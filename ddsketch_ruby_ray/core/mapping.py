@@ -102,6 +102,11 @@ class LogarithmicKeyMapping(KeyMapping):
         return np.log2(value) * self._multiplier
 
     def _pow_gamma(self, value):
+        # Scalar path (quantile finalize) uses libm pow: bit-identical to SQL
+        # engines' power(2.0, x), which lets the DuckDB oracle value-hash the
+        # estimates exactly.  Vectorized path uses exp2 (fast, last-ulp close).
+        if np.ndim(value) == 0:
+            return math.pow(2.0, float(value) / self._multiplier)
         return np.exp2(value / self._multiplier)
 
     @property

@@ -1,0 +1,166 @@
+"""Mergeable Ray Data aggregations (the UDAF surface).
+
+Every sketch in the family is exposed as a ``ray.data.aggregate.AggregateFnV2``
+subclass sharing one contract (the contract DDSketch defines in the reference:
+accumulate / merge / finalize - `/root/reference/lib/ddsketch/base_sketch.rb`):
+
+  * ``aggregate_block(block)``: vectorized partial aggregation of one Arrow (or
+    pandas) block -> a small mergeable state.  Ray Data's sort-aggregate runs
+    this map-side per (block x group), so only KB-sized sketch states ever
+    cross the shuffle - raw rows never do.
+  * ``combine(a, b)``: associative + commutative merge.  NEVER mutates its
+    operands (the reference's merge-consistency contract,
+    `spec/support/shared_examples_for_sketch.rb:203-250`); Ray may merge
+    partial states in an arbitrary tree order.
+  * ``finalize(state)``: per-group result row (a struct column; use
+    :func:`ddsketch_ruby_ray.stages.unnest_struct` to flatten).
+
+Use ``ds.groupby(keys).aggregate(DDSketchAgg(on=...), HLLAgg(on=...), ...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from ray.data.aggregate import AggregateFnV2
+
+from ..core.ddsketch import (
+    DDSketch,
+    LogCollapsingHighestDenseSketch,
+    LogCollapsingLowestDenseSketch,
+    DEFAULT_BIN_LIMIT,
+    DEFAULT_REL_ACC,
+)
+
+__all__ = ["SketchAgg", "DDSketchAgg", "quantile_name"]
+
+
+def _column_numpy(block, col: str) -> np.ndarray:
+    """Extract a column as a float64 numpy array from an Arrow or pandas block."""
+    if hasattr(block, "column_names"):  # pyarrow.Table
+        arr = block.column(col)
+        if arr.null_count:
+            arr = arr.drop_null()
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    vals = block[col].to_numpy()  # pandas
+    vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+    return vals.astype(np.float64, copy=False)
+
+
+def quantile_name(q: float) -> str:
+    """0.5 -> 'p50', 0.99 -> 'p99', 0.999 -> 'p999'."""
+    s = f"{q * 100:.10g}"
+    return "p" + s.replace(".", "")
+
+
+class SketchAgg(AggregateFnV2):
+    """Base class: subclasses provide a sketch factory + vectorized accumulate."""
+
+    def __init__(self, on: str, name: str, ignore_nulls: bool = True):
+        super().__init__(name=name, zero_factory=self._zero, on=on, ignore_nulls=ignore_nulls)
+
+    def _zero(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def combine(self, a, b):
+        if a is None or getattr(a, "count", 1) == 0:
+            return b
+        if b is None or getattr(b, "count", 1) == 0:
+            return a
+        return a.merged_with(b)  # pure: mutates neither operand
+
+
+class DDSketchAgg(SketchAgg):
+    """DDSketch as a distributed UDAF.
+
+    Computes, per group: relative-error-bounded quantiles plus the exact
+    count/sum/min/max/avg the sketch carries alongside the histogram
+    (base_sketch.rb:107-111 - only quantiles are approximate).
+
+    Args:
+        on: value column (float/int).
+        relative_accuracy: alpha (default 0.01 per base_sketch.rb:33).
+        quantiles: quantiles to emit at finalize.
+        store: "dense" | "collapse_lowest" | "collapse_highest".
+        bin_limit: bound for collapsing stores (default 2048, base_sketch.rb:36).
+        weight: optional weight column (disables Ray's column pruning -
+            project the dataset to the needed columns first).
+        name: output (struct) column name.
+    """
+
+    def __init__(
+        self,
+        on: str,
+        relative_accuracy: float = DEFAULT_REL_ACC,
+        quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+        store: str = "dense",
+        bin_limit: int = DEFAULT_BIN_LIMIT,
+        weight: str | None = None,
+        name: str | None = None,
+        ignore_nulls: bool = True,
+    ):
+        self._alpha = float(relative_accuracy)
+        self._quantiles = list(quantiles)
+        self._store = store
+        self._bin_limit = int(bin_limit)
+        self._weight_col = weight
+        self._on_col = on
+        super().__init__(on=on, name=name or f"ddsketch({on})", ignore_nulls=ignore_nulls)
+
+    def get_target_column(self):
+        # With a weight column we need two columns -> opt out of Ray's
+        # single-column pruning (SortAggregateTaskSpec._prune_unused_columns).
+        return None if self._weight_col else self._on_col
+
+    def _zero(self) -> DDSketch:
+        if self._store == "collapse_lowest":
+            return LogCollapsingLowestDenseSketch(self._alpha, self._bin_limit)
+        if self._store == "collapse_highest":
+            return LogCollapsingHighestDenseSketch(self._alpha, self._bin_limit)
+        return DDSketch(self._alpha)
+
+    def aggregate_block(self, block) -> DDSketch:
+        sk = self._zero()
+        if self._weight_col is None:
+            sk.add_batch(_column_numpy(block, self._on_col))
+        else:
+            # aligned extraction (no null drop when weighted; assume non-null)
+            if hasattr(block, "column_names"):
+                vals = block.column(self._on_col).to_numpy(zero_copy_only=False)
+                w = block.column(self._weight_col).to_numpy(zero_copy_only=False)
+            else:
+                vals = block[self._on_col].to_numpy()
+                w = block[self._weight_col].to_numpy()
+            sk.add_batch(np.asarray(vals, dtype=np.float64), np.asarray(w, dtype=np.float64))
+        return sk
+
+    def finalize(self, acc: DDSketch) -> dict:
+        if acc is None:
+            acc = self._zero()
+        empty = acc.count == 0
+        out = {
+            "count": float(acc.count),
+            "sum": 0.0 if empty else float(acc.sum),
+            "min": float("nan") if empty else float(acc.min),
+            "max": float("nan") if empty else float(acc.max),
+            "avg": float("nan") if empty else float(acc.avg),
+        }
+        for q in self._quantiles:
+            v = acc.get_quantile_value(q)
+            out[quantile_name(q)] = float("nan") if v is None else float(v)
+        return out
+
+
+class DDSketchStateAgg(DDSketchAgg):
+    """Variant that finalizes to the serialized sketch state (for checkpoints
+    or further cross-dataset merging) instead of quantile scalars."""
+
+    def finalize(self, acc: DDSketch):
+        if acc is None:
+            acc = self._zero()
+        st = acc.to_state()
+        st["bins"] = np.asarray(st["bins"], dtype=np.float64)
+        st["neg_bins"] = np.asarray(st["neg_bins"], dtype=np.float64)
+        return st

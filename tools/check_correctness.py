@@ -1,0 +1,111 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry under Ray and its ``oracle_sql()`` twin under
+DuckDB at the given scale factor, then compares row count, column names and
+(column-name-sorted, row-sorted) values.  Bit-exact float comparison by
+default, with a tiny-ulp fallback report so mismatches are diagnosable.
+
+Usage: python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"[FAIL] {name}: ray query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(mine)} rows, cols={list(mine.columns)}")
+            continue
+        try:
+            theirs = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok = True
+        if len(mine) != len(theirs):
+            print(f"[FAIL] {name}: rows {len(mine)} vs {len(theirs)}")
+            ok = False
+        elif list(mine.columns) != list(theirs.columns):
+            print(f"[FAIL] {name}: cols {list(mine.columns)} vs {list(theirs.columns)}")
+            ok = False
+        else:
+            for col in mine.columns:
+                a, b = mine[col].to_numpy(), theirs[col].to_numpy()
+                if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                    a = a.astype(np.float64)
+                    b = b.astype(np.float64)
+                    exact = np.array_equal(a, b, equal_nan=True)
+                    if not exact:
+                        close = np.allclose(a, b, rtol=1e-12, equal_nan=True)
+                        bad = np.flatnonzero(~np.isclose(a, b, rtol=1e-12, equal_nan=True))[:3]
+                        print(
+                            f"[{'ULP' if close else 'FAIL'}] {name}.{col}: "
+                            f"max rel diff {np.nanmax(np.abs(a - b) / np.maximum(np.abs(b), 1e-300)):.3e}"
+                            + (f" rows {bad.tolist()} mine={a[bad]} oracle={b[bad]}" if len(bad) else "")
+                        )
+                        ok = ok and close  # count ULP as pass-with-warning
+                elif not (a == b).all():
+                    bad = np.flatnonzero(a != b)[:3]
+                    print(f"[FAIL] {name}.{col}: rows {bad.tolist()} mine={a[bad]} oracle={b[bad]}")
+                    ok = False
+        if ok:
+            print(f"[ok] {name}: {len(mine)} rows x {len(mine.columns)} cols")
+        else:
+            failures += 1
+
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf))
