@@ -153,6 +153,48 @@ class DDSketchAgg(SketchAgg):
         return out
 
 
+class SketchStateMergeAgg(AggregateFnV2):
+    """Merges pre-accumulated sketch-state rows (stage 2 of the two-level merge).
+
+    Input: the state table produced by
+    :class:`ddsketch_ruby_ray.stages.accumulate.SketchStateAccumulator` - one
+    Arrow struct column per sketch.  ``groupby(keys).aggregate(...)`` over it
+    shuffles only KB-sized states; this agg deserializes + merges them and
+    finalizes to the sketch's result struct.  Merge stays associative and
+    commutative and never mutates operands (base_sketch.rb:146-171 semantics).
+    """
+
+    def __init__(self, spec, name: str | None = None):
+        self._spec = spec
+        super().__init__(
+            name=name or spec.name, zero_factory=lambda: None, on=spec.name, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block):
+        if hasattr(block, "column_names"):  # pyarrow.Table
+            col = block.column(self._spec.name)
+            states = col.to_pylist()
+        else:  # pandas
+            states = list(block[self._spec.name])
+        acc = None
+        for st in states:
+            if st is None:
+                continue
+            sk = self._spec.from_state(st)
+            acc = sk if acc is None else self._spec.merge(acc, sk)
+        return acc
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return self._spec.merge(a, b)
+
+    def finalize(self, acc) -> dict:
+        return self._spec.finalize(acc)
+
+
 class DDSketchStateAgg(DDSketchAgg):
     """Variant that finalizes to the serialized sketch state (for checkpoints
     or further cross-dataset merging) instead of quantile scalars."""

@@ -1,20 +1,106 @@
 """Flagship pipeline: per-group quantile sketches over a source-file corpus.
 
-Shape (north_star): read -> map_batches(derive metric columns, zero-copy
-Arrow) -> groupby(lang[,repo]).aggregate(DDSketchAgg...) -> finalize per group.
+Shape (north_star): read -> map_batches(derive metric columns + accumulate
+per-(batch, group) sketch states, zero-copy Arrow, actor pool) -> coalesce the
+tiny state table -> groupby(keys).aggregate(state merge) -> finalize per group.
 
-Ray Data's sort-aggregate partially aggregates map-side (one sketch per group
-per block), so the only data crossing the shuffle is KB-sized sketch states -
-never rows, never content.  Hot-key skew (Zipf langs) therefore costs
-O(num_blocks) small states for the hot key, not O(rows).
+Two-level merge (SURVEY.md §4.2): raw rows NEVER cross a shuffle - each map
+task emits at most ``num_groups`` KB-sized sketch states, the groupby then
+merges O(num_batches x num_groups) states.  Hot-key skew (Zipf langs) costs
+the hot key O(num_batches) states, not O(rows), and the wide step is
+negligible at any scale.
 """
 
 from __future__ import annotations
 
-from ..functions.aggregates import DDSketchAgg
-from ..stages import derive_content_metrics, unnest
+from typing import Sequence
 
-__all__ = ["corpus_sketch_pipeline", "documents_sketch_pipeline"]
+from ..functions.specs import DDSketchSpec, SketchSpec, XorSigSpec
+from ..functions.aggregates import SketchStateMergeAgg
+from ..stages import derive_content_metrics, unnest
+from ..stages.derive import add_sha64
+from ..stages.accumulate import SketchStateAccumulator, coalesce_states
+
+__all__ = [
+    "sketch_states",
+    "merge_sketch_states",
+    "grouped_sketch_pipeline",
+    "corpus_sketch_pipeline",
+    "documents_sketch_pipeline",
+]
+
+
+def sketch_states(
+    ds,
+    specs: Sequence[SketchSpec],
+    group_keys: Sequence[str] = (),
+    *,
+    derive=None,
+    batch_size: int | None = None,
+    concurrency=None,
+):
+    """Stage 1: rows -> per-(batch, group) sketch-state rows (no shuffle).
+
+    ``concurrency=N`` runs the accumulator as an actor pool (setup once per
+    actor); the default (None) uses stateless tasks, which Ray schedules
+    more flexibly - both execute the identical vectorized kernel.
+    """
+    acc = SketchStateAccumulator(specs, group_keys, derive=derive)
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    # batch_size=None -> whole blocks. Ray's default (1024 rows) would emit
+    # one KB-sized state row per (1024-row batch x group x spec): a 1000x
+    # state blow-up that turns the "tiny" state table into gigabytes.
+    return ds.map_batches(
+        acc, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size, **kwargs
+    )
+
+
+def merge_sketch_states(
+    states,
+    specs: Sequence[SketchSpec],
+    group_keys: Sequence[str] = (),
+    *,
+    coalesce: int | None = 8,
+):
+    """Stage 2: shuffle + merge the state table; finalize one row per group.
+
+    Output: one struct column per spec (``spec.name``), flattened by callers
+    via :func:`ddsketch_ruby_ray.stages.unnest`.
+    """
+    if coalesce:
+        states = coalesce_states(states, coalesce)
+    aggs = [SketchStateMergeAgg(spec) for spec in specs]
+    if group_keys:
+        return states.groupby(list(group_keys)).aggregate(*aggs)
+    return states.aggregate(*aggs)
+
+
+def grouped_sketch_pipeline(
+    ds,
+    specs: Sequence[SketchSpec],
+    group_keys: Sequence[str] = (),
+    *,
+    derive=None,
+    batch_size: int | None = None,
+    concurrency=None,
+    coalesce: int | None = 8,
+    prefixes: dict | None = None,
+):
+    """rows -> states -> merged -> flat result columns (full two-level path).
+
+    ``prefixes`` maps spec name -> output column prefix for the unnested
+    result struct (default: no prefix).
+    """
+    states = sketch_states(
+        ds, specs, group_keys, derive=derive, batch_size=batch_size, concurrency=concurrency
+    )
+    out = merge_sketch_states(states, specs, group_keys, coalesce=coalesce)
+    for spec in specs:
+        prefix = (prefixes or {}).get(spec.name)
+        out = unnest(out, columns=[spec.name], prefix=prefix)
+    return out
 
 
 def corpus_sketch_pipeline(
@@ -24,30 +110,73 @@ def corpus_sketch_pipeline(
     alpha: float = 0.01,
     quantiles=(0.5, 0.9, 0.99),
     content_col: str = "content",
+    batch_size: int | None = None,
+    concurrency=None,
+    verify_sha256: bool = False,
 ):
     """content corpus -> per-group sketch summary of byte length + line count.
 
     Returns a Dataset with columns: group keys + ``bytes_*`` / ``lines_*``
-    (count/sum/min/max/avg + requested quantiles).
+    (count/sum/min/max/avg + requested quantiles).  With ``verify_sha256`` the
+    result also carries ``sig_count`` / ``sig_sig``: an order-independent
+    XOR-fold of per-row sha256 hashes per group (the north-star per-row
+    content invariant, provable against any reference copy of the corpus).
+
+    NOTE on fusion: callers should prune columns AT THE READ
+    (``read_parquet(..., columns=[...])``) and read with one block per file
+    (``override_num_blocks=len(files)``) so Ray fuses
+    ReadParquet->MapBatches(accumulator) into one task.  Fused, the wide
+    ``content`` column never enters the object store - the read task itself
+    emits only KB-sized sketch states.  (A ``select_columns`` here, or the
+    SplitBlocks operator that appears when Ray re-splits read outputs, breaks
+    that fusion and ships the full corpus through shared memory.)
     """
-    needed = list(group_keys) + [content_col]
-    ds = ds.select_columns(needed)
-    ds = ds.map_batches(
-        lambda t: derive_content_metrics(t, content_col=content_col).drop_columns([content_col]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    specs = [
+        DDSketchSpec(on="content_bytes", name="bytes", relative_accuracy=alpha, quantiles=quantiles),
+        DDSketchSpec(on="n_lines", name="lines", relative_accuracy=alpha, quantiles=quantiles),
+    ]
+    prefixes = {"bytes": "bytes_", "lines": "lines_"}
+    if verify_sha256:
+        specs.append(XorSigSpec(on="sha64", name="sig"))
+        prefixes["sig"] = "sig_"
+
+    def derive(t):
+        t = derive_content_metrics(t, content_col=content_col)
+        if verify_sha256:
+            t = add_sha64(t, content_col=content_col)
+        return t.drop_columns([content_col])
+
+    return grouped_sketch_pipeline(
+        ds,
+        specs,
+        group_keys,
+        derive=derive,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        prefixes=prefixes,
     )
-    out = ds.groupby(list(group_keys)).aggregate(
-        DDSketchAgg(on="content_bytes", relative_accuracy=alpha, quantiles=quantiles, name="bytes"),
-        DDSketchAgg(on="n_lines", relative_accuracy=alpha, quantiles=quantiles, name="lines"),
-    )
-    out = unnest(out, columns=["bytes"], prefix="bytes_")
-    return unnest(out, columns=["lines"], prefix="lines_")
+
+
+def read_corpus(path, columns, num_blocks: int | None = None):
+    """read_parquet tuned for fusion: one block per file unless told otherwise.
+
+    With an explicit block count Ray skips the SplitBlocks re-split and fuses
+    the read with the downstream accumulator (see corpus_sketch_pipeline).
+    """
+    import glob
+    import os
+
+    import ray.data as rd
+
+    if num_blocks is None:
+        if os.path.isdir(path):
+            num_blocks = len(glob.glob(os.path.join(path, "*.parquet"))) or None
+        else:
+            num_blocks = 1
+    return rd.read_parquet(path, columns=list(columns), override_num_blocks=num_blocks)
 
 
 def documents_sketch_pipeline(sf_dir: str, *, alpha: float = 0.01, quantiles=(0.5, 0.9, 0.99)):
     """Same pipeline over the driver testdata ``documents`` table (text docs)."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = read_corpus(f"{sf_dir}/documents.parquet", ["lang", "text"])
     return corpus_sketch_pipeline(ds, group_keys=("lang",), alpha=alpha, quantiles=quantiles, content_col="text")

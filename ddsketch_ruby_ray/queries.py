@@ -62,12 +62,40 @@ def flagship_docs_metrics(sf_dir: str):
     return documents_sketch_pipeline(sf_dir, alpha=ALPHA, quantiles=QUANTILES)
 
 
+def sha256_invariant_by_lang(sf_dir: str):
+    """Per-row content invariant: order-independent XOR-fold of sha256(text)
+    per lang. Any block split / merge order yields the same signature, so this
+    proves per-row content equality vs a reference copy at any scale."""
+    from .pipelines import grouped_sketch_pipeline
+    from .functions.specs import XorSigSpec
+    from .stages.derive import add_sha64
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return grouped_sketch_pipeline(
+        ds,
+        [XorSigSpec(on="sha64", name="sig")],
+        ("lang",),
+        derive=lambda t: add_sha64(t, content_col="text").drop_columns(["text"]),
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
     "dd_quantiles_by_event_type": dd_quantiles_by_event_type,
     "flagship_docs_metrics": flagship_docs_metrics,
+    "sha256_invariant_by_lang": sha256_invariant_by_lang,
 }
+
+# Subset bench.py times per round (keep each under ~60 s at sf0.1 / 32 cpus).
+BENCH_QUERIES = [
+    "flagship_docs_metrics",
+    "dd_quantiles_by_lang",
+    "dd_quantiles_by_event_type",
+]
+
+# Flagship job used for the two-cluster-size scaling evidence.
+SCALING_QUERIES = ["flagship_docs_metrics"]
 
 
 ORACLE_SQL = {
@@ -105,4 +133,10 @@ ORACLE_SQL = {
         alpha=ALPHA,
         quantiles=QUANTILES,
     ),
+    "sha256_invariant_by_lang": """
+        SELECT lang,
+               CAST(count(*) AS DOUBLE) AS "count",
+               bit_xor(('0x' || substr(sha256(text), 1, 15))::BIGINT) AS sig
+        FROM documents GROUP BY lang
+    """,
 }

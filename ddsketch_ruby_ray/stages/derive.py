@@ -42,3 +42,18 @@ def add_sha256(table: pa.Table, content_col: str = "content", out_col: str = "sh
     col = pc.cast(table.column(content_col), pa.binary())
     sha = [hashlib.sha256(buf.as_py()).hexdigest() for buf in col]
     return table.append_column(out_col, pa.array(sha, type=pa.string()))
+
+
+def add_sha64(table: pa.Table, content_col: str = "content", out_col: str = "sha64") -> pa.Table:
+    """Append the first 60 bits of sha256(content) as a non-negative int64.
+
+    The per-row content invariant in aggregable form: XOR-folding this column
+    per group is order/partition-independent, so a distributed run can prove
+    "every row's content hash matches the reference" against a DuckDB oracle
+    (``bit_xor(('0x' || substr(sha256(col), 1, 15))::BIGINT)``) no matter how
+    blocks were split or merged.  60 bits (15 hex chars) keeps the value
+    positive in both int64 domains.
+    """
+    col = pc.cast(table.column(content_col), pa.binary())
+    sigs = [int(hashlib.sha256(buf.as_py()).hexdigest()[:15], 16) for buf in col]
+    return table.append_column(out_col, pa.array(sigs, type=pa.int64()))
