@@ -1,0 +1,135 @@
+"""Deterministic 64-bit hashing, bit-exactly mirrorable in DuckDB SQL.
+
+Two families, chosen so every hash-based sketch (HLL, Bloom, count-min,
+MinHash, SimHash) is a deterministic function of its input that an ANSI-SQL
+oracle can reproduce exactly:
+
+* ``hash64_int`` - splitmix64 (public constants, Steele et al. / Vigna) over
+  int64/uint64 columns.  Fully vectorized in numpy (wrap-around uint64
+  arithmetic); mirrored in SQL via HUGEINT limb arithmetic
+  (:func:`splitmix64_sql`).
+* ``hash256_str`` - sha256 over utf-8 bytes, sliced into four independent
+  uint64 lanes.  Per-row hashlib loop (sha256 has no vectorized form), ~400
+  MB/s/core, embarrassingly parallel across Ray tasks; mirrored in SQL via
+  DuckDB's ``sha256`` + hex substring casts.
+
+Seeds: integer hashes take a seed mixed in pre-hash; string hashes expose 4
+independent lanes per value (the 256-bit digest), extendable by suffixing the
+input with a seed byte if ever more are needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "splitmix64",
+    "hash64_int",
+    "hash256_str",
+    "splitmix64_sql",
+    "sha_lane_sql",
+]
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrap-around arithmetic)."""
+    old = np.seterr(over="ignore")
+    try:
+        x = (x + np.uint64(_C1)) & _M64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(_C2)) & _M64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(_C3)) & _M64
+        return x ^ (x >> np.uint64(31))
+    finally:
+        np.seterr(**old)
+
+
+def hash64_int(values, seed: int = 0) -> np.ndarray:
+    """uint64 hash of an int64/uint64 array; distinct seeds give independent fns."""
+    v = np.asarray(values).astype(np.uint64)
+    if seed:
+        old = np.seterr(over="ignore")
+        try:
+            v = (v + np.uint64((seed * _C1) & 0xFFFFFFFFFFFFFFFF)) & _M64
+        finally:
+            np.seterr(**old)
+    return splitmix64(v)
+
+
+def hash256_str(col, lanes: int = 1) -> list[np.ndarray]:
+    """sha256 each string/binary; return ``lanes`` (<=4) uint64 arrays.
+
+    Lane ``i`` is bytes ``8*i : 8*i+8`` of the digest, big-endian - exactly
+    ``('0x' || substr(sha256(col), 1 + 16*i, 16))::UBIGINT`` in DuckDB.
+    """
+    assert 1 <= lanes <= 4
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = col.cast(pa.binary() if pa.types.is_string(col.type) else pa.large_binary())
+        digests = [hashlib.sha256(b.as_py()).digest() for b in col]
+    else:  # numpy object array / list of str or bytes
+        digests = [
+            hashlib.sha256(s if isinstance(s, bytes) else str(s).encode("utf-8")).digest()
+            for s in col
+        ]
+    out = []
+    for i in range(lanes):
+        out.append(
+            np.array(
+                [int.from_bytes(d[8 * i : 8 * i + 8], "big") for d in digests],
+                dtype=np.uint64,
+            )
+        )
+    return out
+
+
+# -- SQL mirrors -------------------------------------------------------------
+
+_TWO64 = "18446744073709551616"  # 2^64
+_TWO32 = "4294967296"  # 2^32
+
+
+def _mulmod64_sql(a: str, b_const: int) -> str:
+    """(a * b) mod 2^64 with a < 2^64 (HUGEINT limb arithmetic).
+
+    int128 cannot hold a full 64x64 product, so split b into 32-bit limbs:
+    (a*bl + ((a*bh mod 2^32) << 32)) mod 2^64 -- every intermediate < 2^127.
+    """
+    bh, bl = b_const >> 32, b_const & 0xFFFFFFFF
+    return (
+        f"((({a}) * {bl}::HUGEINT + ((({a}) * {bh}::HUGEINT % {_TWO32}) * {_TWO32}))"
+        f" % {_TWO64})"
+    )
+
+
+def splitmix64_sql(x: str, seed: int = 0) -> str:
+    """SQL expression (HUGEINT in [0, 2^64)) = ``hash64_int(x, seed)``.
+
+    ``x`` must be a SQL expression of integer type (interpreted mod 2^64,
+    matching numpy's uint64 cast of int64 input).
+    """
+    e = f"((({x})::HUGEINT % {_TWO64} + {_TWO64}) % {_TWO64})"
+    if seed:
+        e = f"(({e} + {(seed * _C1) & 0xFFFFFFFFFFFFFFFF}::HUGEINT) % {_TWO64})"
+    e = f"(({e} + {_C1}::HUGEINT) % {_TWO64})"
+    e = f"xor({e}::UBIGINT, ({e} // 1073741824)::UBIGINT)::HUGEINT"  # >> 30
+    e = _mulmod64_sql(e, _C2)
+    e = f"xor({e}::UBIGINT, ({e} // 134217728)::UBIGINT)::HUGEINT"  # >> 27
+    e = _mulmod64_sql(e, _C3)
+    e = f"xor({e}::UBIGINT, ({e} // 2147483648)::UBIGINT)::HUGEINT"  # >> 31
+    return e
+
+
+def sha_lane_sql(col: str, lane: int = 0) -> str:
+    """SQL expression (UBIGINT) = lane ``lane`` of ``hash256_str(col)``."""
+    assert 0 <= lane <= 3
+    return f"('0x' || substr(sha256({col}), {1 + 16 * lane}, 16))::UBIGINT"

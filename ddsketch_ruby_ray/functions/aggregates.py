@@ -164,8 +164,9 @@ class SketchStateMergeAgg(AggregateFnV2):
     commutative and never mutates operands (base_sketch.rb:146-171 semantics).
     """
 
-    def __init__(self, spec, name: str | None = None):
+    def __init__(self, spec, name: str | None = None, emit_state: bool = False):
         self._spec = spec
+        self._emit_state = emit_state
         super().__init__(
             name=name or spec.name, zero_factory=lambda: None, on=spec.name, ignore_nulls=True
         )
@@ -192,6 +193,10 @@ class SketchStateMergeAgg(AggregateFnV2):
         return self._spec.merge(a, b)
 
     def finalize(self, acc) -> dict:
+        if self._emit_state:
+            if acc is None:
+                acc = self._spec.zero()
+            return self._spec.to_state(acc)
         return self._spec.finalize(acc)
 
 

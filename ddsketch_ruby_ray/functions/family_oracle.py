@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL mirroring the hash-based sketch family bit-for-bit.
+
+Same philosophy as the DDSketch oracle (functions/oracle.py): HLL, Bloom and
+count-min results are approximate w.r.t. the data but DETERMINISTIC functions
+of it - every step (splitmix64 / sha256 hashing, register max-fold, exact
+HUGEINT harmonic sums, double-hash bucket addressing) is expressible in SQL,
+so the driver's value-hash comparison fully verifies the distributed
+implementation, not just row counts.
+
+t-digest and KLL are merge-order-dependent (within their published bounds)
+and deliberately have NO oracle here - their driver checks are rows-only and
+their accuracy is pinned by the pytest suite.
+"""
+
+from __future__ import annotations
+
+from ..core.hll import _alpha
+from ..core.hashing import sha_lane_sql, splitmix64_sql
+
+__all__ = ["hll_sql", "bloom_membership_sql", "cms_frequency_sql"]
+
+_TWO64 = "18446744073709551616"
+
+
+def _hash_expr(col: str, kind: str, lane: int) -> str:
+    """HUGEINT-typed hash expression: splitmix64 seed=lane / sha256 lane."""
+    if kind == "int":
+        return splitmix64_sql(col, seed=lane)
+    return f"({sha_lane_sql(col, lane)})::HUGEINT"
+
+
+def hll_sql(
+    *,
+    table: str,
+    group_col: str,
+    value_col: str,
+    p: int = 14,
+    kind: str = "int",
+    where: str = "",
+) -> str:
+    """SQL computing exactly ``HLLSpec(on=value_col, p=p, kind=kind)`` per group.
+
+    Output: ``{group_col}, distinct`` (double).  Mirrors core/hll.py: register
+    index = low p bits, rho = (64-p) - bitlen(h >> p) + 1, registers = max,
+    harmonic denominator as an exact integer S = sum 2^(64-r) (HUGEINT), raw
+    estimate = alpha*m^2 * 2^64 / S, small-range linear counting when
+    raw <= 2.5m and empty registers exist.
+    """
+    m = 1 << p
+    c_am2 = _alpha(m) * m * m  # same fp evaluation order as HyperLogLog.estimate
+    width = 64 - p
+    h = _hash_expr(value_col, kind, 0)
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS grp, {h} AS h FROM {table} {where_clause}
+),
+jr AS (
+  SELECT grp, (h % {m})::BIGINT AS j, (h // {m}) AS w FROM h
+),
+rho AS (
+  SELECT grp, j,
+         CASE WHEN w = 0 THEN {width + 1}
+              ELSE {width} - length(bin(w::UBIGINT)) + 1 END AS rho
+  FROM jr
+),
+regs AS (SELECT grp, j, max(rho) AS r FROM rho GROUP BY grp, j),
+agg AS (
+  SELECT grp,
+         sum(1::HUGEINT << (64 - r)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         ({c_am2:.17e} * {float(2**64):.17e}) /
+           (s_present + ({m} - n_present) * (1::HUGEINT << 64))::DOUBLE AS raw,
+         {m} - n_present AS zeros
+  FROM agg
+)
+SELECT grp AS {group_col},
+       CASE WHEN raw <= {2.5 * m} AND zeros > 0
+            THEN {float(m)} * ln({float(m)} / zeros::DOUBLE)
+            ELSE raw END AS "distinct"
+FROM est
+"""
+
+
+def _positions_cte(
+    src_table: str, key_col: str, kind: str, k: int, m_bits: int, alias: str
+) -> str:
+    """CTE body: (key, pos) pairs via Kirsch-Mitzenmacher double hashing.
+
+    pos_i = ((h1 + i*h2) mod 2^64) mod m  -- identical to numpy's uint64 wrap.
+    """
+    h1 = _hash_expr(key_col, kind, 0)
+    h2 = _hash_expr(key_col, kind, 1)
+    return f"""
+  SELECT {key_col} AS key,
+         (({h1} + i.i * {h2}) % {_TWO64}) % {m_bits} AS pos
+  FROM {src_table} CROSS JOIN (SELECT unnest(range({k})) AS i) i
+"""
+
+
+def bloom_membership_sql(
+    *,
+    build_table: str,
+    build_col: str,
+    probe_table: str,
+    probe_col: str,
+    m_bits: int,
+    k: int,
+    kind: str = "int",
+    out_key: str = "key",
+) -> str:
+    """SQL computing Bloom membership of each DISTINCT probe key, mirroring
+    ``BloomFilter(m_bits, k)`` built over build_table.build_col.
+
+    Output: ``{out_key}, maybe_member`` (bool) - false positives and all.
+    """
+    build = _positions_cte(build_table, build_col, kind, k, m_bits, "b")
+    probe = _positions_cte(
+        f"(SELECT DISTINCT {probe_col} FROM {probe_table})", probe_col, kind, k, m_bits, "p"
+    )
+    return f"""
+WITH build_pos AS (SELECT DISTINCT pos FROM ({build})),
+probe_pos AS ({probe})
+SELECT p.key AS {out_key},
+       bool_and(bp.pos IS NOT NULL) AS maybe_member
+FROM probe_pos p LEFT JOIN build_pos bp USING (pos)
+GROUP BY p.key
+"""
+
+
+def cms_frequency_sql(
+    *,
+    table: str,
+    key_col: str,
+    w: int,
+    d: int,
+    kind: str = "int",
+    out_key: str = "key",
+) -> str:
+    """SQL computing the count-min estimate for every DISTINCT key of
+    ``table.key_col``, mirroring ``CountMinSketch(w, d)`` built over all rows.
+
+    Output: ``{out_key}, est, exact`` - est is the min-over-rows sketch
+    estimate (an overestimate), exact the true count.
+    """
+    h1 = _hash_expr(key_col, kind, 0)
+    h2 = _hash_expr(key_col, kind, 1)
+    return f"""
+WITH keyed AS (
+  SELECT {key_col} AS key, {h1} AS h1, {h2} AS h2 FROM {table}
+),
+buckets AS (
+  SELECT key, i.i AS i, ((h1 + i.i * h2) % {_TWO64}) % {w} AS bucket
+  FROM keyed CROSS JOIN (SELECT unnest(range({d})) AS i) i
+),
+counters AS (
+  SELECT i, bucket, CAST(count(*) AS DOUBLE) AS c FROM buckets GROUP BY i, bucket
+),
+probe AS (SELECT DISTINCT key, i, bucket FROM buckets),
+est AS (
+  SELECT p.key, min(c.c) AS est
+  FROM probe p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+  GROUP BY p.key
+),
+exact AS (SELECT key, CAST(count(*) AS DOUBLE) AS exact FROM keyed GROUP BY key)
+SELECT e.key AS {out_key}, e.est AS est, x.exact AS exact
+FROM est e JOIN exact x USING (key)
+"""

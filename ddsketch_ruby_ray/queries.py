@@ -79,12 +79,91 @@ def sha256_invariant_by_lang(sf_dir: str):
     )
 
 
+# -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
+
+def hll_users_by_event_type(sf_dir: str):
+    """HLL distinct user_id per event_type (splitmix64 int hashing)."""
+    from .functions.family_specs import HLLSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_sketch_pipeline(
+        ds, [HLLSpec(on="user_id", name="h", p=14, kind="int")], ("event_type",)
+    )
+
+
+def hll_props_by_event_type(sf_dir: str):
+    """HLL distinct props-string per event_type (sha256 string hashing)."""
+    from .functions.family_specs import HLLSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return grouped_sketch_pipeline(
+        ds, [HLLSpec(on="props", name="h", p=14, kind="str")], ("event_type",)
+    )
+
+
+def bloom_customer_membership(sf_dir: str):
+    """Bloom filter over customer keys, probed by distinct event user_ids."""
+    from .functions.family_specs import BloomSpec
+    from .pipelines.probe import bloom_membership_pipeline
+
+    build = _read(sf_dir, "customer", ["c_custkey"])
+    probe = _read(sf_dir, "events", ["user_id"])
+    return bloom_membership_pipeline(
+        build,
+        probe,
+        build_spec=BloomSpec(on="c_custkey", m_bits=1 << 14, k=7, kind="int"),
+        probe_col="user_id",
+        out_key="user_id",
+    )
+
+
+def cms_user_frequencies(sf_dir: str):
+    """Count-min estimate vs exact count of events per user_id."""
+    from .functions.family_specs import CMSSpec
+    from .pipelines.probe import cms_frequency_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return cms_frequency_pipeline(
+        ds, spec=CMSSpec(on="user_id", w=256, d=4, kind="int"), out_key="user_id"
+    )
+
+
+def tdigest_chars_by_lang(sf_dir: str):
+    """t-digest quantiles of doc length by lang (rows-only driver check)."""
+    from .functions.family_specs import TDigestSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_sketch_pipeline(
+        ds, [TDigestSpec(on="n_chars", name="t", quantiles=QUANTILES)], ("lang",)
+    )
+
+
+def kll_chars_by_lang(sf_dir: str):
+    """KLL quantiles of doc length by lang (rows-only driver check)."""
+    from .functions.family_specs import KLLSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_sketch_pipeline(
+        ds, [KLLSpec(on="n_chars", name="k", quantiles=QUANTILES)], ("lang",)
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
     "dd_quantiles_by_event_type": dd_quantiles_by_event_type,
     "flagship_docs_metrics": flagship_docs_metrics,
     "sha256_invariant_by_lang": sha256_invariant_by_lang,
+    "hll_users_by_event_type": hll_users_by_event_type,
+    "hll_props_by_event_type": hll_props_by_event_type,
+    "bloom_customer_membership": bloom_customer_membership,
+    "cms_user_frequencies": cms_user_frequencies,
+    "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
+    "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
 }
 
 # Subset bench.py times per round (keep each under ~60 s at sf0.1 / 32 cpus).
@@ -140,3 +219,32 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
 }
+
+
+def _family_oracles() -> dict:
+    from .functions.family_oracle import bloom_membership_sql, cms_frequency_sql, hll_sql
+
+    return {
+        "hll_users_by_event_type": hll_sql(
+            table="events", group_col="event_type", value_col="user_id", p=14, kind="int"
+        ),
+        "hll_props_by_event_type": hll_sql(
+            table="events", group_col="event_type", value_col="props", p=14, kind="str"
+        ),
+        "bloom_customer_membership": bloom_membership_sql(
+            build_table="customer",
+            build_col="c_custkey",
+            probe_table="events",
+            probe_col="user_id",
+            m_bits=1 << 14,
+            k=7,
+            kind="int",
+            out_key="user_id",
+        ),
+        "cms_user_frequencies": cms_frequency_sql(
+            table="events", key_col="user_id", w=256, d=4, kind="int", out_key="user_id"
+        ),
+    }
+
+
+ORACLE_SQL.update(_family_oracles())
