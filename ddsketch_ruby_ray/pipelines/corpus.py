@@ -169,11 +169,15 @@ def read_corpus(path, columns, num_blocks: int | None = None):
     import ray.data as rd
 
     if num_blocks is None:
-        if os.path.isdir(path):
+        if isinstance(path, (list, tuple)):
+            num_blocks = len(path)
+        elif os.path.isdir(path):
             num_blocks = len(glob.glob(os.path.join(path, "*.parquet"))) or None
         else:
             num_blocks = 1
-    return rd.read_parquet(path, columns=list(columns), override_num_blocks=num_blocks)
+    return rd.read_parquet(
+        path, columns=list(columns) if columns else None, override_num_blocks=num_blocks
+    )
 
 
 def documents_sketch_pipeline(sf_dir: str, *, alpha: float = 0.01, quantiles=(0.5, 0.9, 0.99)):

@@ -107,7 +107,9 @@ def corpus_dataset(n_rows: int, *, override_num_blocks: int | None = None):
     import ray.data as rd
 
     ds = rd.range(n_rows, override_num_blocks=override_num_blocks)
-    return ds.map_batches(synthesize_corpus_batch, batch_format="numpy", batch_size=8192)
+    # batch_size=None: one batch per block, so the requested block layout
+    # survives (a fixed batch_size would coalesce small blocks into one file)
+    return ds.map_batches(synthesize_corpus_batch, batch_format="numpy", batch_size=None)
 
 
 def write_corpus(path: str, n_rows: int, num_blocks: int = 16) -> None:
