@@ -111,13 +111,18 @@ def _mulmod64_sql(a: str, b_const: int) -> str:
     )
 
 
-def splitmix64_sql(x: str, seed: int = 0) -> str:
+def splitmix64_sql(x: str, seed: int = 0, normalize: bool = True) -> str:
     """SQL expression (HUGEINT in [0, 2^64)) = ``hash64_int(x, seed)``.
 
     ``x`` must be a SQL expression of integer type (interpreted mod 2^64,
-    matching numpy's uint64 cast of int64 input).
+    matching numpy's uint64 cast of int64 input).  Pass ``normalize=False``
+    when ``x`` is already a HUGEINT expression in [0, 2^64) (e.g. a
+    pre-seeded hash) to skip the int64 -> uint64 domain shift.
     """
-    e = f"((({x})::HUGEINT % {_TWO64} + {_TWO64}) % {_TWO64})"
+    if normalize:
+        e = f"((({x})::HUGEINT % {_TWO64} + {_TWO64}) % {_TWO64})"
+    else:
+        e = f"({x})"
     if seed:
         e = f"(({e} + {(seed * _C1) & 0xFFFFFFFFFFFFFFFF}::HUGEINT) % {_TWO64})"
     e = f"(({e} + {_C1}::HUGEINT) % {_TWO64})"

@@ -1,0 +1,178 @@
+"""DuckDB oracle SQL mirroring the dedup pipelines bit-for-bit.
+
+Tokenization contract shared with pipelines/dedup.py: literal single-space
+split with empties dropped; word n-gram shingles joined by a single space,
+DISTINCT per doc for MinHash/Jaccard, multiset tokens for SimHash.
+Hashing contract: sha256 lanes + seeded splitmix64 (core/hashing.py).
+"""
+
+from __future__ import annotations
+
+from ..core.hashing import _C1, sha_lane_sql, splitmix64_sql
+
+__all__ = [
+    "exact_dedup_sql",
+    "minhash_signature_sql",
+    "lsh_pairs_sql",
+    "jaccard_pairs_sql",
+    "simhash_sql",
+]
+
+_TWO64 = "18446744073709551616"
+
+
+def _tokens_cte(table: str, key: str, text: str) -> str:
+    """(key, tok, pos) - single-space split, empties dropped, order kept."""
+    return f"""
+  SELECT {key} AS key, t.tok AS tok, t.pos AS pos
+  FROM {table},
+       LATERAL (SELECT unnest(string_split({text}, ' ')) AS tok,
+                       generate_subscripts(string_split({text}, ' '), 1) AS pos) t
+  WHERE t.tok <> ''
+"""
+
+
+def _shingles_cte(table: str, key: str, text: str, n: int) -> str:
+    """(key, shingle) DISTINCT word n-grams (single-space joined).
+
+    Docs with fewer than n tokens contribute their full token join (matching
+    word_shingles); docs with zero tokens contribute nothing.
+    """
+    return f"""
+  WITH toks AS (
+    SELECT key, list(tok ORDER BY pos) AS ts
+    FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+  )
+  SELECT DISTINCT key,
+         CASE WHEN len(ts) < {n} THEN array_to_string(ts, ' ')
+              ELSE array_to_string(ts[i : i + {n - 1}], ' ') END AS shingle
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(ts) - {n - 1}, 1) + 1)) AS i
+  )
+"""
+
+
+def exact_dedup_sql(*, table: str, key: str, text: str) -> str:
+    """min(key) per exact text (128-bit hash equivalence = text equality)."""
+    return f"SELECT min({key}) AS {key} FROM {table} GROUP BY sha256({text})"
+
+
+def _minhash_cte(table: str, key: str, text: str, num_hashes: int, n: int) -> str:
+    """(key, i, m): minhash value per (doc, seed i).
+
+    Mirrors minhash_signatures: shingle hash = sha256 lane 0; per seed i,
+    h = splitmix64(lane0 + i*C1 mod 2^64) >> 1 (int63 domain); m = min.
+    Empty docs are restored via the doc list with sentinel 2^63-1.
+    """
+    seeded = f"((sh.h + (i.i::HUGEINT * {_C1}::HUGEINT) % {_TWO64}) % {_TWO64})"
+    core = splitmix64_sql(seeded, normalize=False)
+    return f"""
+  WITH sh_raw AS ({_shingles_cte(table, key, text, n)}),
+  sh AS (SELECT key, ({sha_lane_sql('shingle', 0)})::HUGEINT AS h FROM sh_raw),
+  mh AS (
+    SELECT sh.key, i.i AS i, min(({core}) // 2)::BIGINT AS m
+    FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS i) i
+    GROUP BY sh.key, i.i
+  ),
+  alldocs AS (SELECT {key} AS key FROM {table}),
+  seeds AS (SELECT unnest(range({num_hashes})) AS i)
+  SELECT d.key, s.i, coalesce(mh.m, 9223372036854775807) AS m
+  FROM alldocs d CROSS JOIN seeds s
+  LEFT JOIN mh ON mh.key = d.key AND mh.i = s.i
+"""
+
+
+def minhash_signature_sql(
+    *, table: str, key: str, text: str, num_hashes: int = 16, n: int = 3
+) -> str:
+    """(key, m0..m{K-1}) wide signature table."""
+    cols = ",\n  ".join(
+        f"max(CASE WHEN i = {i} THEN m END) AS m{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH mh AS ({_minhash_cte(table, key, text, num_hashes, n)})
+SELECT key AS {key}, {cols} FROM mh GROUP BY key
+"""
+
+
+def lsh_pairs_sql(
+    *, table: str, key: str, text: str, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> str:
+    """Distinct (a, b) key pairs sharing >= 1 band bucket (a < b)."""
+    r = num_hashes // bands
+    band_cases = " ".join(
+        f"WHEN {b} THEN concat_ws('-', {', '.join(f'm{b * r + j}' for j in range(r))})"
+        for b in range(bands)
+    )
+    sig_sql = minhash_signature_sql(table=table, key=key, text=text, num_hashes=num_hashes, n=n)
+    return f"""
+WITH sigs AS ({sig_sql}),
+buckets AS (
+  SELECT {key} AS key, b.band,
+         CASE b.band {band_cases} END AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band) b
+)
+SELECT DISTINCT x.key AS a, y.key AS b
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.key < y.key
+"""
+
+
+def jaccard_pairs_sql(
+    *,
+    table: str,
+    key: str,
+    text: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> str:
+    """(a, b, jac1000) for LSH candidates with exact shingle-set Jaccard >= threshold."""
+    pairs = lsh_pairs_sql(table=table, key=key, text=text, num_hashes=num_hashes, bands=bands, n=n)
+    shingles = _shingles_cte(table, key, text, n)
+    return f"""
+WITH pairs AS ({pairs}),
+sh AS ({shingles}),
+sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.key = p.a
+  JOIN sh sb ON sb.key = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b
+),
+jac AS (
+  SELECT p.a, p.b,
+         coalesce(i.i, 0)::DOUBLE / (za.sz + zb.sz - coalesce(i.i, 0)) AS j
+  FROM pairs p
+  JOIN sizes za ON za.key = p.a
+  JOIN sizes zb ON zb.key = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+SELECT a, b, CAST(floor(j * 1000) AS BIGINT) AS jac1000
+FROM jac WHERE j >= {threshold:.17e}
+"""
+
+
+def simhash_sql(*, table: str, key: str, text: str) -> str:
+    """(key, simhash_hi, simhash_lo): 64-bit SimHash from multiset token votes."""
+    return f"""
+WITH toks AS ({_tokens_cte(table, key, text)}),
+h AS (SELECT key, ({sha_lane_sql('tok', 0)}) AS h FROM toks),
+votes AS (
+  SELECT key, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY key, b.b
+),
+sim AS (
+  SELECT key, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS s
+  FROM votes GROUP BY key
+),
+alldocs AS (SELECT {key} AS key FROM {table})
+SELECT d.key AS {key},
+       coalesce((s.s // 4294967296), 0)::BIGINT AS simhash_hi,
+       coalesce((s.s % 4294967296), 0)::BIGINT AS simhash_lo
+FROM alldocs d LEFT JOIN sim s ON s.key = d.key
+"""

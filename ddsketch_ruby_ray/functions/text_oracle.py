@@ -1,0 +1,96 @@
+"""DuckDB oracle SQL for the text-analysis stages (stages/text.py).
+
+Both sides run RE2 (pyarrow.compute and DuckDB), so regex counts agree
+exactly; ratios are identical float64 divisions of identical integers.
+"""
+
+from __future__ import annotations
+
+from ..stages.text import LANG_MARKERS, _LANG_PRIORITY
+
+__all__ = ["quality_scores_sql", "lang_id_sql", "winnow_sql", "token_stats_by_group_sql"]
+
+
+def _cnt(col: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def token_stats_by_group_sql(*, table: str, group_col: str, text_col: str) -> str:
+    """Per group: docs, total tokens, total chars, mean tokens per doc."""
+    toks = _cnt(text_col, "[^ ]+")
+    return f"""
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum({toks}) AS BIGINT) AS total_tokens,
+       CAST(sum(length({text_col})) AS BIGINT) AS total_chars,
+       CAST(sum({toks}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+FROM {table} GROUP BY {group_col}
+"""
+
+
+def quality_scores_sql(*, table: str, key_col: str, text_col: str) -> str:
+    t = text_col
+    punct = r"[.,;:!?''\"()\[\]{}-]"  # '' = escaped quote in SQL literal
+    return f"""
+SELECT {key_col},
+  CAST(length({t}) AS BIGINT) AS n_chars_,
+  CAST({_cnt(t, '[^ ]+')} AS BIGINT) AS n_tokens,
+  {_cnt(t, '[a-zA-Z]')} / greatest(length({t}), 1)::DOUBLE AS alpha_ratio,
+  {_cnt(t, '[0-9]')} / greatest(length({t}), 1)::DOUBLE AS digit_ratio,
+  {_cnt(t, punct)} / greatest(length({t}), 1)::DOUBLE AS punct_ratio,
+  {_cnt(t, ' ')} / greatest(length({t}), 1)::DOUBLE AS space_ratio,
+  (length({t}) - {_cnt(t, ' ')}) / greatest({_cnt(t, '[^ ]+')}, 1)::DOUBLE AS mean_token_len
+FROM {table}
+"""
+
+
+def lang_id_sql(*, table: str, key_col: str, text_col: str, out_col: str = "pred_lang") -> str:
+    lower = f"lower({text_col})"
+    scores = {l: _cnt(lower, rx.replace("'", "''")) for l, rx in LANG_MARKERS.items()}
+    score_cols = ",\n  ".join(f"{expr} AS s_{l}" for l, expr in scores.items())
+    mx = f"greatest({', '.join('s_' + l for l in _LANG_PRIORITY)})"
+    case = " ".join(f"WHEN s_{l} = mx THEN '{l}'" for l in _LANG_PRIORITY)
+    return f"""
+WITH scored AS (
+  SELECT {key_col}, {score_cols} FROM {table}
+),
+m AS (SELECT *, {mx} AS mx FROM scored)
+SELECT {key_col},
+       CASE WHEN mx = 0 THEN 'unk' {case} END AS {out_col}
+FROM m
+"""
+
+
+def winnow_sql(
+    *, table: str, key_col: str, text_col: str, k: int = 8, window: int = 4
+) -> str:
+    """(key, n_fp, fp_xor) winnowing fingerprints, mirroring winnow_fingerprints."""
+    return f"""
+WITH grams AS (
+  SELECT {key_col} AS key, i.i AS pos,
+         ('0x' || substr(sha256(substr({text_col}, i.i, {k})), 1, 16))::UBIGINT // 2 AS h,
+         length({text_col}) - {k} + 1 AS n_grams
+  FROM {table},
+       LATERAL (SELECT unnest(range(1, greatest(length({text_col}) - {k} + 1, 0) + 1)) AS i) i
+),
+wins AS (
+  SELECT key, pos, n_grams,
+         min(h) OVER (
+           PARTITION BY key ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+         ) AS wmin
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT key, wmin::BIGINT AS fp
+  FROM wins WHERE pos <= n_grams - {window} + 1
+),
+agg AS (
+  SELECT key, count(*) AS n_fp, bit_xor(fp) AS fp_xor FROM fps GROUP BY key
+),
+alldocs AS (SELECT {key_col} AS key FROM {table})
+SELECT d.key AS {key_col},
+       coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+       coalesce(a.fp_xor, 0)::BIGINT AS fp_xor
+FROM alldocs d LEFT JOIN agg a ON a.key = d.key
+"""

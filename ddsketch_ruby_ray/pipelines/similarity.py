@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``knn_bruteforce_pipeline`` - exact top-k cosine: the query matrix is tiny,
+  so it is broadcast (``ray.put``) and every batch does ONE float64 matmul
+  against it; per-batch top-k partials then reduce per query.  This is the
+  baseline and the verification oracle for ANN variants.
+* ``cosine_neardup_pipeline`` - all pairs >= threshold via the same broadcast
+  matmul (the probe side is the whole table, blocked; at 10^12 rows you'd
+  first LSH-bucket - see ``signed_random_projection_buckets``).
+* ``signed_random_projection_buckets`` - the scale path: SimHash-style LSH
+  for cosine similarity with deterministic hyperplanes drawn from
+  counter-based splitmix64 uniforms; near-dup candidates share a bucket.
+
+Float determinism: cosines are emitted as ``floor(cos * 10^4 + 0.5)``
+(int64). numpy-BLAS and DuckDB accumulate float64 in different orders; their
+results differ by ulps, which rounding to 4 decimals absorbs.  Ordering ties
+are broken by neighbor id, so ranks are deterministic too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.hashing import splitmix64
+
+__all__ = [
+    "knn_bruteforce_pipeline",
+    "cosine_neardup_pipeline",
+    "signed_random_projection_buckets",
+]
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(arr[0])
+    return flat.reshape(-1, dim)
+
+
+def _cos_q(m: np.ndarray) -> np.ndarray:
+    """Row-normalize (float64)."""
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _round4(c: np.ndarray) -> np.ndarray:
+    return np.floor(c * 10_000.0 + 0.5).astype(np.int64)
+
+
+def knn_bruteforce_pipeline(ds, *, id_col: str, vec_col: str, query_ids, k: int = 5):
+    """-> Dataset[(query_id, neighbor_id, cos4)]: exact top-k per query.
+
+    Order contract: per query, by (cos4 DESC, neighbor_id ASC); self-matches
+    excluded.  Two-stage top-k: each batch emits its local top-k per query
+    (<= k rows per query per batch), then a per-query group reduce - the
+    shuffle carries k * num_blocks rows per query, never the table.
+    """
+    import ray
+
+    query_ids = sorted(int(q) for q in query_ids)
+    qset = set(query_ids)
+
+    def grab_queries(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(qset))
+        return batch.filter(pa.array(mask))
+
+    q_tbl = pa.concat_tables(
+        ds.map_batches(grab_queries, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    q_ids = q_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _cos_q(_embedding_matrix(q_tbl, vec_col))
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    ref = ray.put((q_ids, q_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _cos_q(_embedding_matrix(batch, vec_col))
+        cos4 = _round4(m @ qm.T)  # (n, nq)
+        out_q, out_n, out_c = [], [], []
+        for j, qid in enumerate(qi):
+            col = cos4[:, j]
+            keep = ids != qid
+            cand_ids, cand_c = ids[keep], col[keep]
+            if cand_ids.size > k:
+                # top-k by (cos4 desc, id asc)
+                sel = np.lexsort((cand_ids, -cand_c))[:k]
+            else:
+                sel = np.lexsort((cand_ids, -cand_c))
+            out_q.extend([qid] * len(sel))
+            out_n.extend(cand_ids[sel].tolist())
+            out_c.extend(cand_c[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos4": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        n = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        c = group.column("cos4").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((n, -c))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(sel), pa.int64()),
+                "neighbor_id": pa.array(n[sel], pa.int64()),
+                "cos4": pa.array(c[sel], pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+def cosine_neardup_pipeline(ds, *, id_col: str, vec_col: str, threshold: float = 0.95):
+    """-> Dataset[(a, b, cos4)]: all pairs with cosine >= threshold, a < b.
+
+    Probe side = whole table blocked against a broadcast of the (normalized)
+    full matrix.  O(n^2) by nature - the documented scale path is
+    ``signed_random_projection_buckets`` first, then this check per bucket.
+    """
+    import ray
+
+    full = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    all_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    all_m = _cos_q(_embedding_matrix(full, vec_col))
+    ref = ray.put((all_ids, all_m))
+    thr4 = int(np.floor(threshold * 10_000 + 0.5))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _cos_q(_embedding_matrix(batch, vec_col))
+        cos4 = _round4(m @ m_all.T)
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(len(ids)):
+            mask = (cos4[i] >= thr4) & (ids_all > ids[i])
+            js = np.nonzero(mask)[0]
+            rows_a.extend([ids[i]] * len(js))
+            rows_b.extend(ids_all[js].tolist())
+            rows_c.extend(cos4[i][js].tolist())
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "cos4": pa.array(rows_c, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def signed_random_projection_buckets(ds, *, id_col: str, vec_col: str, n_planes: int = 16):
+    """-> Dataset[(id, bucket)]: SimHash-for-cosine LSH bucket per row.
+
+    Hyperplanes are deterministic: plane p, dim d gets a uniform in [-1, 1)
+    from splitmix64(p * dim + d) - no RNG state, identical on every worker,
+    reproducible across runs and cluster layouts.  (No SQL oracle: the
+    hyperplane constants are implementation-defined; candidate quality is
+    tested against the brute-force pipeline in pytest.)
+    """
+
+    def stage(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, vec_col)
+        dim = m.shape[1]
+        idx = np.arange(n_planes * dim, dtype=np.uint64)
+        u = splitmix64(idx).astype(np.float64) / float(2**64)  # [0, 1)
+        planes = (u * 2.0 - 1.0).reshape(n_planes, dim)
+        bits = (m @ planes.T) > 0  # (n, n_planes)
+        bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

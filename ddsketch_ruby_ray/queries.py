@@ -152,6 +152,153 @@ def kll_chars_by_lang(sf_dir: str):
     )
 
 
+# -- dedup suite -------------------------------------------------------------
+
+def _docs(sf_dir):
+    return _read(sf_dir, "documents", ["doc_id", "text"])
+
+
+def exact_dedup_docs(sf_dir: str):
+    """Keep min doc_id per exact text (128-bit hash identity, no text shuffle)."""
+    from .pipelines.dedup import exact_dedup_pipeline
+
+    return exact_dedup_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+def minhash_signatures_docs(sf_dir: str):
+    """16-permutation MinHash signature per document (word 3-gram shingles)."""
+    from .pipelines.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+def lsh_candidate_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs (4 bands x 4 rows)."""
+    from .pipelines.dedup import lsh_candidate_pairs_pipeline
+
+    return lsh_candidate_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+def jaccard_dedup_pairs(sf_dir: str):
+    """LSH candidates verified by exact shingle Jaccard >= 0.5."""
+    from .pipelines.dedup import jaccard_pairs_pipeline
+
+    return jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash per document (emitted as two 32-bit halves)."""
+    from .pipelines.dedup import simhash_pipeline
+
+    return simhash_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+# -- similarity search -------------------------------------------------------
+
+KNN_QUERY_IDS = tuple(range(10))
+NEARDUP_COS_THRESHOLD = 0.4
+
+
+def knn_cosine_top5(sf_dir: str):
+    """Exact top-5 cosine neighbors for the first 10 vectors (broadcast matmul)."""
+    from .pipelines.similarity import knn_bruteforce_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce_pipeline(
+        ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """All vector pairs with cosine >= 0.4 (brute force; LSH variant is the
+    scale path, tested in pytest)."""
+    from .pipelines.similarity import cosine_neardup_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_neardup_pipeline(
+        ds, id_col="vec_id", vec_col="embedding", threshold=NEARDUP_COS_THRESHOLD
+    )
+
+
+# -- text analysis -----------------------------------------------------------
+
+def token_stats_by_lang(sf_dir: str):
+    """Per-lang token/char totals (RE2 token runs, vectorized)."""
+    import pyarrow as pa
+
+    from .stages.text import token_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    with_counts = ds.map_batches(
+        lambda t: token_stats(t, text_col="text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = with_counts.groupby("lang").aggregate(
+        *_sum_count_aggs(["n_tokens", "n_chars_"])
+    )
+    return agg.map_batches(_token_stats_finalize, batch_format="pyarrow")
+
+
+def _sum_count_aggs(cols):
+    from ray.data.aggregate import Count, Sum
+
+    aggs = [Count()]
+    for c in cols:
+        aggs.append(Sum(c))
+    return aggs
+
+
+def _token_stats_finalize(t):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = pc.cast(t.column("count()"), pa.int64())
+    toks = pc.cast(t.column("sum(n_tokens)"), pa.int64())
+    chars = pc.cast(t.column("sum(n_chars_)"), pa.int64())
+    mean = pc.divide(pc.cast(toks, pa.float64()), pc.cast(docs, pa.float64()))
+    return pa.Table.from_arrays(
+        [t.column("lang"), docs, toks, chars, mean],
+        names=["lang", "docs", "total_tokens", "total_chars", "mean_tokens"],
+    )
+
+
+def quality_scores_docs(sf_dir: str):
+    """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
+    from .stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: quality_scores(t, text_col="text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def lang_id_docs(sf_dir: str):
+    """Heuristic language ID per doc (marker-regex argmax)."""
+    from .stages.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: lang_id(t, text_col="text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def winnow_fingerprints_docs(sf_dir: str):
+    """Winnowing fingerprints per doc (char 8-grams, window 4)."""
+    from .stages.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: winnow_fingerprints(t, key_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -164,6 +311,17 @@ QUERIES = {
     "cms_user_frequencies": cms_user_frequencies,
     "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
     "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
+    "exact_dedup_docs": exact_dedup_docs,
+    "minhash_signatures_docs": minhash_signatures_docs,
+    "lsh_candidate_pairs": lsh_candidate_pairs,
+    "jaccard_dedup_pairs": jaccard_dedup_pairs,
+    "simhash_docs": simhash_docs,
+    "knn_cosine_top5": knn_cosine_top5,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "token_stats_by_lang": token_stats_by_lang,
+    "quality_scores_docs": quality_scores_docs,
+    "lang_id_docs": lang_id_docs,
+    "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
 
 # Subset bench.py times per round (keep each under ~60 s at sf0.1 / 32 cpus).
@@ -223,8 +381,51 @@ ORACLE_SQL = {
 
 def _family_oracles() -> dict:
     from .functions.family_oracle import bloom_membership_sql, cms_frequency_sql, hll_sql
+    from .functions.dedup_oracle import (
+        exact_dedup_sql,
+        jaccard_pairs_sql,
+        lsh_pairs_sql,
+        minhash_signature_sql,
+        simhash_sql,
+    )
+    from .functions.similarity_oracle import knn_sql, neardup_sql
+    from .functions.text_oracle import (
+        lang_id_sql,
+        quality_scores_sql,
+        token_stats_by_group_sql,
+        winnow_sql,
+    )
 
+    dedup_kw = dict(table="documents", key="doc_id", text="text")
     return {
+        "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
+        "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
+        "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
+        "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
+        "simhash_docs": simhash_sql(**dedup_kw),
+        "knn_cosine_top5": knn_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            query_ids=KNN_QUERY_IDS,
+            k=5,
+        ),
+        "embedding_neardup_pairs": neardup_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=NEARDUP_COS_THRESHOLD,
+        ),
+        "token_stats_by_lang": token_stats_by_group_sql(
+            table="documents", group_col="lang", text_col="text"
+        ),
+        "quality_scores_docs": quality_scores_sql(
+            table="documents", key_col="doc_id", text_col="text"
+        ),
+        "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        "winnow_fingerprints_docs": winnow_sql(
+            table="documents", key_col="doc_id", text_col="text"
+        ),
         "hll_users_by_event_type": hll_sql(
             table="events", group_col="event_type", value_col="user_id", p=14, kind="int"
         ),

@@ -1,0 +1,146 @@
+"""Text-analysis stages: token stats, quality scores, language ID, winnowing
+fingerprints.  All vectorized with pyarrow.compute RE2 kernels - the SAME
+regex engine DuckDB uses, so the SQL oracles match bit-for-bit.
+
+Tokens throughout = maximal runs of non-space characters (``[^ ]+``),
+matching the dedup pipelines' single-space split contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "LANG_MARKERS",
+    "lang_id",
+    "winnow_fingerprints",
+]
+
+
+def _re_count(col, pattern: str):
+    """Count of non-overlapping RE2 matches per row (int64)."""
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
+def token_stats(batch: pa.Table, *, text_col: str) -> pa.Table:
+    """Append n_tokens / n_chars per row."""
+    col = batch.column(text_col)
+    batch = batch.append_column("n_tokens", _re_count(col, "[^ ]+"))
+    return batch.append_column("n_chars_", pc.cast(pc.utf8_length(col), pa.int64()))
+
+
+def quality_scores(batch: pa.Table, *, text_col: str) -> pa.Table:
+    """Per-row quality signals: token/char counts, ratios, mean word length.
+
+    Ratios are float64 divisions of exact integer counts - deterministic and
+    bit-identical to the SQL mirror.
+    """
+    col = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    n_tokens = _re_count(col, "[^ ]+")
+    n_alpha = _re_count(col, "[a-zA-Z]")
+    n_digit = _re_count(col, "[0-9]")
+    n_punct = _re_count(col, r"[.,;:!?'\"()\[\]{}-]")
+    n_space = _re_count(col, " ")
+
+    chars = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_chars = np.where(chars == 0, 1.0, chars)
+    safe_toks = np.where(toks == 0, 1.0, toks)
+
+    def ratio(cnt):
+        return pa.array(cnt.to_numpy(zero_copy_only=False) / safe_chars, pa.float64())
+
+    out = {
+        "n_chars_": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": ratio(n_alpha),
+        "digit_ratio": ratio(n_digit),
+        "punct_ratio": ratio(n_punct),
+        "space_ratio": ratio(n_space),
+        "mean_token_len": pa.array(
+            (chars - n_space.to_numpy(zero_copy_only=False)) / safe_toks, pa.float64()
+        ),
+    }
+    for name, arr in out.items():
+        batch = batch.append_column(name, arr)
+    return batch
+
+
+# word-boundary marker regexes per language; tiny on purpose (heuristic).
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|la|los|las|es|y)\b",
+    "fr": r"\b(le|la|les|est|et|ne)\b",
+    "zh": r"[\x{4e00}-\x{9fff}]",
+}
+_LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]  # tie-break order
+
+
+def lang_id(batch: pa.Table, *, text_col: str, out_col: str = "pred_lang") -> pa.Table:
+    """Heuristic language ID: argmax of marker-regex hit counts.
+
+    Ties resolve by _LANG_PRIORITY order ('unk' when all scores are zero) -
+    the SQL mirror uses the same sequential CASE.
+    """
+    col = pc.utf8_lower(batch.column(text_col))
+    scores = {l: _re_count(col, rx).to_numpy(zero_copy_only=False) for l, rx in LANG_MARKERS.items()}
+    n = batch.num_rows
+    # contract (mirrored by the SQL CASE chain): pred = first language in
+    # priority order whose score equals the max; 'unk' when the max is 0.
+    mx = np.zeros(n, dtype=np.int64)
+    for l in _LANG_PRIORITY:
+        mx = np.maximum(mx, scores[l])
+    pred = np.array(["unk"] * n, dtype=object)
+    assigned = np.zeros(n, dtype=bool)
+    for l in _LANG_PRIORITY:
+        take = (~assigned) & (mx > 0) & (scores[l] == mx)
+        pred[take] = l
+        assigned |= take
+    return batch.append_column(out_col, pa.array(pred, pa.string()))
+
+
+def winnow_fingerprints(
+    batch: pa.Table, *, key_col: str, text_col: str, k: int = 8, window: int = 4
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Char k-gram hashes (sha256 lane 0, the oracle-mirrorable choice; a
+    rolling polynomial hash is the scale substitution), then the min hash of
+    every full window of ``window`` consecutive k-grams; the DISTINCT set of
+    those minima is the fingerprint.  Emits (key, n_fp, fp_xor).
+    """
+    keys = batch.column(key_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_n, out_x = [], []
+    for t in texts:
+        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
+        if len(grams) < window:
+            out_n.append(0)
+            out_x.append(0)
+            continue
+        h = np.array(
+            [
+                int.from_bytes(hashlib.sha256(g.encode("utf-8")).digest()[:8], "big") >> 1
+                for g in grams
+            ],
+            dtype=np.int64,
+        )
+        mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        fps = np.unique(mins)
+        out_n.append(int(fps.size))
+        out_x.append(int(np.bitwise_xor.reduce(fps)) if fps.size else 0)
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.int64()),
+            "n_fp": pa.array(out_n, pa.int64()),
+            "fp_xor": pa.array(out_x, pa.int64()),
+        }
+    )

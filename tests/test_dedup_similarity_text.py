@@ -1,0 +1,242 @@
+"""Ray-level tests for dedup, similarity-search and text-analysis pipelines.
+
+The bit-exact SQL-oracle comparison lives in the driver gate
+(queries.py / tools/check_correctness.py); these tests pin the semantic
+properties: duplicate capture, LSH recall, partition-layout invariance,
+hamming locality, fingerprint stability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds(extra_rows: pa.Table | None = None, blocks: int | None = None):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    if extra_rows is not None:
+        ds = ds.union(rd.from_arrow(extra_rows))
+    if blocks:
+        ds = ds.repartition(blocks)
+    return ds
+
+
+def _perturbed_copies(n=20, offset=10_000):
+    """Copies of the first n docs with ONE token changed (strong near-dups)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = [], []
+    for i in range(n):
+        toks = t.column("text")[i].as_py().split(" ")
+        mid = len(toks) // 2
+        toks[mid] = "zzqx"
+        ids.append(t.column("doc_id")[i].as_py() + offset)
+        texts.append(" ".join(toks))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+class TestExactDedup:
+    def test_exact_duplicates_collapse(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ddsketch_ruby_ray.pipelines.dedup import exact_dedup_pipeline
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        dup = pa.table(
+            {
+                "doc_id": pa.array([d.as_py() + 5000 for d in t.column("doc_id")], pa.int64()),
+                "text": t.column("text"),
+            }
+        )
+        kept = exact_dedup_pipeline(_docs_ds(dup), key_col="doc_id", text_col="text").to_pandas()
+        assert len(kept) == t.num_rows  # every text resolves to ONE keeper
+        assert set(kept["doc_id"]) == set(d.as_py() for d in t.column("doc_id"))  # min wins
+
+    def test_partition_layout_invariant(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import exact_dedup_pipeline
+
+        a = exact_dedup_pipeline(_docs_ds(), key_col="doc_id", text_col="text").to_pandas()
+        b = exact_dedup_pipeline(_docs_ds(blocks=11), key_col="doc_id", text_col="text").to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+class TestMinHashLSH:
+    def test_near_duplicates_are_candidates(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import lsh_candidate_pairs_pipeline
+
+        extra = _perturbed_copies(20)
+        pairs = lsh_candidate_pairs_pipeline(
+            _docs_ds(extra), key_col="doc_id", text_col="text"
+        ).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+        hits = sum((i, i + 10_000) in found for i in range(20))
+        assert hits >= 17  # banding theory: ~99% capture at s ~= 0.9
+
+    def test_jaccard_verifies_candidates(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import jaccard_pairs_pipeline
+
+        extra = _perturbed_copies(10)
+        out = jaccard_pairs_pipeline(
+            _docs_ds(extra), key_col="doc_id", text_col="text", threshold=0.5
+        ).to_pandas()
+        mine = out[(out.b - out.a) == 10_000]
+        assert len(mine) >= 8
+        assert (mine["jac1000"] >= 700).all()
+
+    def test_signature_partition_invariant(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import minhash_signatures
+
+        a = minhash_signatures(_docs_ds(), key_col="doc_id", text_col="text").to_pandas()
+        b = minhash_signatures(_docs_ds(blocks=7), key_col="doc_id", text_col="text").to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert (a.values == b.values).all()
+
+
+class TestSimHash:
+    def test_identical_and_near_duplicate_hamming(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import simhash_pipeline
+
+        extra = _perturbed_copies(20)
+        out = simhash_pipeline(_docs_ds(extra), key_col="doc_id", text_col="text").to_pandas()
+        sig = {
+            r.doc_id: (int(r.simhash_hi) << 32) | int(r.simhash_lo)
+            for r in out.itertuples()
+        }
+        dists = [bin(sig[i] ^ sig[i + 10_000]).count("1") for i in range(20)]
+        assert np.mean(dists) < 8  # one token changed out of ~50 -> few bits flip
+        rng = np.random.default_rng(0)
+        rand_pairs = rng.choice(500, (20, 2), replace=False)
+        rand_d = [bin(sig[a] ^ sig[b]).count("1") for a, b in rand_pairs if a != b]
+        assert np.mean(rand_d) > np.mean(dists) + 5  # unrelated docs far apart
+
+
+class TestSimilarity:
+    def test_knn_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import knn_bruteforce_pipeline
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        out = knn_bruteforce_pipeline(
+            ds, id_col="vec_id", vec_col="embedding", query_ids=[0, 1, 2], k=3
+        ).to_pandas()
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        m = (
+            t.column("embedding").combine_chunks().values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), -1)
+        )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for q in (0, 1, 2):
+            cos4 = np.floor(m @ m[q] * 10_000 + 0.5).astype(np.int64)
+            keep = ids != q
+            order = np.lexsort((ids[keep], -cos4[keep]))[:3]
+            expect = list(ids[keep][order])
+            got = list(out[out.query_id == q].sort_values(
+                ["cos4", "neighbor_id"], ascending=[False, True]
+            )["neighbor_id"])
+            assert got == expect, q
+
+    def test_srp_buckets_capture_near_identical_vectors(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import signed_random_projection_buckets
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(0, 1, (50, 16)).astype(np.float32)
+        twin = base + rng.normal(0, 1e-3, base.shape).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(range(50)) + list(range(100, 150)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in base] + [list(map(float, r)) for r in twin],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = signed_random_projection_buckets(
+            rd.from_arrow(tbl), id_col="vec_id", vec_col="embedding", n_planes=12
+        ).to_pandas()
+        b = dict(zip(out.vec_id, out.bucket))
+        same = sum(b[i] == b[i + 100] for i in range(50))
+        assert same >= 45  # near-identical vectors nearly always share buckets
+
+
+class TestTextAnalysis:
+    def test_lang_id_markers(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.stages.text import lang_id
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat and the dog is in the house",
+                        "der hund und die katze ist nicht da",
+                        "el perro y la casa es grande",
+                        "xyzzy plugh",
+                    ]
+                ),
+            }
+        )
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(lambda t: lang_id(t, text_col="text"), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(out.pred_lang) == ["en", "de", "es", "unk"]
+
+    def test_quality_scores_sane(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.stages.text import quality_scores
+
+        tbl = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["ab 12 cd!"])})
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(lambda t: quality_scores(t, text_col="text"), batch_format="pyarrow")
+            .to_pandas()
+        )
+        r = out.iloc[0]
+        assert r.n_chars_ == 9 and r.n_tokens == 3
+        assert r.digit_ratio == 2 / 9 and r.punct_ratio == 1 / 9
+        assert r.alpha_ratio == 4 / 9
+
+    def test_winnow_fingerprint_stability(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.stages.text import winnow_fingerprints
+
+        text = "the quick brown fox jumps over the lazy dog repeatedly today"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([text, text, "short"]),
+            }
+        )
+        out = (
+            rd.from_arrow(tbl)
+            .map_batches(
+                lambda t: winnow_fingerprints(t, key_col="doc_id", text_col="text"),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "n_fp"] == out.loc[1, "n_fp"]
+        assert out.loc[0, "fp_xor"] == out.loc[1, "fp_xor"]
+        assert out.loc[2, "n_fp"] == 0  # shorter than k+window
