@@ -49,18 +49,35 @@ def ddsketch_quantile_sql(
     prefix: str = "",
     include_sum_avg: bool = True,
     where: str = "",
+    weight_expr: str | None = None,
+    signed: bool = False,
+    collapse: str | None = None,
+    bin_limit: int = 2048,
 ) -> str:
     """SQL computing exactly what ``DDSketchAgg(on=value_expr)`` finalizes.
 
     Output columns: ``{group_col}, {prefix}count, [{prefix}sum, {prefix}avg,]
-    {prefix}min, {prefix}max, {prefix}p50, ...``.  Values must be >= 0 (the
-    negative-store path is exercised by the pytest conformance suite instead).
-    ``sum``/``avg`` are only bit-stable when values are integer-valued; pass
-    ``include_sum_avg=False`` for fractional value columns.
+    {prefix}min, {prefix}max, {prefix}p50, ...``.
+
+    Options mirroring the reference's edge cases (base_sketch.rb:96-138):
+      * ``weight_expr`` - add-with-weight: bin counts/stats accumulate the
+        weight column instead of 1 (bit-stable when weights are
+        integer-valued).
+      * ``signed`` - the two-store signed model: v < -min_possible keys the
+        negative store at key(-v); quantile walks negative store first with
+        reversed rank and UPPER key_at_rank semantics (dense_store.rb:123-135
+        lower=false: first key whose running count >= rank+1).
+      * ``collapse`` - 'lowest' or 'highest': the spec's clamp model
+        (collapsing_lowest_dense_store_spec.rb:35-38): keys clamp to
+        [k_max - bin_limit + 1, ...] / [..., k_min + bin_limit - 1] per
+        store per group.
+    ``sum``/``avg`` are only bit-stable when values (x weights) are
+    integer-valued; pass ``include_sum_avg=False`` otherwise.
     """
     _, m, coef, min_possible = _consts(alpha)
     qvals = ", ".join(f"({q:.17e})" for q in quantiles)
     p = prefix
+    w = f"CAST(({weight_expr}) AS DOUBLE)" if weight_expr else "1.0"
     sum_avg_sel = f's.s AS "{p}sum", s.s / s.cnt AS "{p}avg",' if include_sum_avg else ""
     qcols = ",\n  ".join(
         f'max(CASE WHEN e.q = {q:.17e} THEN e.val END) AS "{p}{quantile_name(q)}"'
@@ -68,48 +85,99 @@ def ddsketch_quantile_sql(
     )
     sum_avg_grp = f', "{p}sum", "{p}avg"' if include_sum_avg else ""
     where_clause = f"WHERE {where}" if where else ""
+
+    v = f"CAST(({value_expr}) AS DOUBLE)"
+    if signed:
+        key_case = f"""
+         CASE WHEN {v} > {min_possible:.17e}
+              THEN CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)
+              WHEN {v} < -{min_possible:.17e}
+              THEN CAST(ceil(log2(-{v}) * {m:.17e}) AS BIGINT)
+         END AS k,
+         CASE WHEN {v} > {min_possible:.17e} THEN 1
+              WHEN {v} < -{min_possible:.17e} THEN -1
+              ELSE 0 END AS side"""
+    else:
+        key_case = f"""
+         CASE WHEN {v} > {min_possible:.17e}
+              THEN CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)
+         END AS k,
+         CASE WHEN {v} > {min_possible:.17e} THEN 1 ELSE 0 END AS side"""
+
+    if collapse == "lowest":
+        clamp = "greatest(b.k, ext.k_hi - {lim} + 1)".format(lim=bin_limit)
+    elif collapse == "highest":
+        clamp = "least(b.k, ext.k_lo + {lim} - 1)".format(lim=bin_limit)
+    else:
+        clamp = "b.k"
+
     return f"""
 WITH keyed AS (
-  SELECT {group_col} AS grp,
-         CAST(({value_expr}) AS DOUBLE) AS v,
-         CASE WHEN CAST(({value_expr}) AS DOUBLE) > {min_possible:.17e}
-              THEN CAST(ceil(log2(CAST(({value_expr}) AS DOUBLE)) * {m:.17e}) AS BIGINT)
-         END AS k
+  SELECT {group_col} AS grp, {v} AS v, {w} AS w, {key_case}
   FROM {table} {where_clause}
 ),
 stats AS (
   SELECT grp,
-         CAST(count(*) AS DOUBLE) AS cnt,
-         CAST(sum(v) AS DOUBLE) AS s,
+         CAST(sum(w) AS DOUBLE) AS cnt,
+         CAST(sum(v * w) AS DOUBLE) AS s,
          min(v) AS mn,
          max(v) AS mx,
-         CAST(count(*) FILTER (WHERE k IS NULL) AS DOUBLE) AS zero_cnt
+         CAST(coalesce(sum(w) FILTER (WHERE side = 0), 0) AS DOUBLE) AS zero_cnt,
+         CAST(coalesce(sum(w) FILTER (WHERE side = -1), 0) AS DOUBLE) AS neg_cnt
   FROM keyed GROUP BY grp
 ),
+binned_raw AS (
+  SELECT grp, side, k, CAST(sum(w) AS DOUBLE) AS c
+  FROM keyed WHERE side <> 0 GROUP BY grp, side, k
+),
+extents AS (
+  SELECT grp, side, max(k) AS k_hi, min(k) AS k_lo FROM binned_raw GROUP BY grp, side
+),
 binned AS (
-  SELECT grp, k, CAST(count(*) AS DOUBLE) AS c
-  FROM keyed WHERE k IS NOT NULL GROUP BY grp, k
+  SELECT b.grp, b.side, {clamp} AS k, sum(b.c) AS c
+  FROM binned_raw b JOIN extents ext ON ext.grp = b.grp AND ext.side = b.side
+  GROUP BY b.grp, b.side, 3
 ),
 cum AS (
-  SELECT grp, k, sum(c) OVER (PARTITION BY grp ORDER BY k) AS running
+  SELECT grp, side, k, c,
+         sum(c) OVER (PARTITION BY grp, side ORDER BY k) AS running
   FROM binned
 ),
 qs AS (SELECT q FROM (VALUES {qvals}) AS t(q)),
-hit AS (
-  SELECT st.grp, qs.q, st.cnt, st.zero_cnt,
-         min(CASE WHEN c.running > qs.q * (st.cnt - 1) - st.zero_cnt THEN c.k END) AS k_hit,
+ranks AS (
+  SELECT st.grp, qs.q, st.cnt, st.zero_cnt, st.neg_cnt,
+         qs.q * (st.cnt - 1) AS rank
+  FROM stats st CROSS JOIN qs
+),
+-- negative store: reversed_rank = neg_cnt - rank - 1, upper semantics
+-- (first key with running >= reversed_rank + 1); falls through to max key.
+neg_hit AS (
+  SELECT r.grp, r.q,
+         min(CASE WHEN c.running >= (r.neg_cnt - r.rank - 1) + 1 THEN c.k END) AS k_hit,
          max(c.k) AS k_max
-  FROM stats st
-  CROSS JOIN qs
-  LEFT JOIN cum c ON c.grp = st.grp
-  GROUP BY st.grp, qs.q, st.cnt, st.zero_cnt
+  FROM ranks r LEFT JOIN cum c ON c.grp = r.grp AND c.side = -1
+  WHERE r.rank < r.neg_cnt
+  GROUP BY r.grp, r.q
+),
+pos_hit AS (
+  SELECT r.grp, r.q,
+         min(CASE WHEN c.running > r.rank - r.zero_cnt - r.neg_cnt THEN c.k END) AS k_hit,
+         max(c.k) AS k_max
+  FROM ranks r LEFT JOIN cum c ON c.grp = r.grp AND c.side = 1
+  WHERE r.rank >= r.zero_cnt + r.neg_cnt
+  GROUP BY r.grp, r.q
 ),
 est AS (
-  SELECT grp, q,
-         CASE WHEN q * (cnt - 1) < zero_cnt THEN 0.0
-              ELSE power(2.0, coalesce(k_hit, k_max) / {m:.17e}) * {coef:.17e}
+  SELECT r.grp, r.q,
+         CASE
+           WHEN r.rank < r.neg_cnt
+           THEN -(power(2.0, coalesce(nh.k_hit, nh.k_max) / {m:.17e}) * {coef:.17e})
+           WHEN r.rank < r.zero_cnt + r.neg_cnt THEN 0.0
+           ELSE power(2.0, coalesce(ph.k_hit, ph.k_max) / {m:.17e}) * {coef:.17e}
          END AS val
-  FROM hit
+  FROM ranks r
+  LEFT JOIN neg_hit nh ON nh.grp = r.grp AND nh.q = r.q
+  LEFT JOIN pos_hit ph ON ph.grp = r.grp AND ph.q = r.q
 )
 SELECT s.grp AS {group_col},
   s.cnt AS "{p}count",

@@ -79,6 +79,62 @@ def sha256_invariant_by_lang(sf_dir: str):
     )
 
 
+# -- DDSketch edge cases (north_star: weighted, signed, collapsing) ----------
+
+def dd_weighted_price_by_flag(sf_dir: str):
+    """Add-with-weight: l_extendedprice weighted by l_quantity, per returnflag.
+    (base_sketch.rb:96 weighted add; counts are weight sums, floats.)"""
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    spec = DDSketchSpec(
+        on="l_extendedprice",
+        weight="l_quantity",
+        name="s",
+        relative_accuracy=ALPHA,
+        quantiles=QUANTILES,
+        include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("l_returnflag",))
+
+
+def dd_signed_quantiles_by_event_type(sf_dir: str):
+    """Signed two-store model: quantiles of (value - 50.0) per event type -
+    negative store, zero band and positive store all exercised
+    (base_sketch.rb:99-105, :121-138)."""
+    import pyarrow.compute as pc
+
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def derive(t):
+        return t.append_column("signed", pc.subtract(t.column("value"), 50.0))
+
+    spec = DDSketchSpec(
+        on="signed", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("event_type",), derive=derive)
+
+
+def dd_collapsed_quantiles_by_event_type(sf_dir: str):
+    """Bounded-memory collapsing-lowest store (bin_limit=64 over a ~540-key
+    range - collapse genuinely triggers; spec clamp model
+    collapsing_lowest_dense_store_spec.rb:35-38)."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    spec = DDSketchSpec(
+        on="value", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        store="collapse_lowest", bin_limit=64, include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("event_type",))
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -305,6 +361,9 @@ QUERIES = {
     "dd_quantiles_by_event_type": dd_quantiles_by_event_type,
     "flagship_docs_metrics": flagship_docs_metrics,
     "sha256_invariant_by_lang": sha256_invariant_by_lang,
+    "dd_weighted_price_by_flag": dd_weighted_price_by_flag,
+    "dd_signed_quantiles_by_event_type": dd_signed_quantiles_by_event_type,
+    "dd_collapsed_quantiles_by_event_type": dd_collapsed_quantiles_by_event_type,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -324,11 +383,17 @@ QUERIES = {
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
 
-# Subset bench.py times per round (keep each under ~60 s at sf0.1 / 32 cpus).
+# Subset bench.py times per round (keep the total under ~60 s at sf0.1 / 32 cpus).
 BENCH_QUERIES = [
     "flagship_docs_metrics",
     "dd_quantiles_by_lang",
     "dd_quantiles_by_event_type",
+    "dd_weighted_price_by_flag",
+    "hll_users_by_event_type",
+    "cms_user_frequencies",
+    "exact_dedup_docs",
+    "lsh_candidate_pairs",
+    "knn_cosine_top5",
 ]
 
 # Flagship job used for the two-cluster-size scaling evidence.
@@ -398,6 +463,34 @@ def _family_oracles() -> dict:
 
     dedup_kw = dict(table="documents", key="doc_id", text="text")
     return {
+        "dd_weighted_price_by_flag": ddsketch_quantile_sql(
+            table="lineitem",
+            group_col="l_returnflag",
+            value_expr="l_extendedprice",
+            weight_expr="l_quantity",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
+        ),
+        "dd_signed_quantiles_by_event_type": ddsketch_quantile_sql(
+            table="events",
+            group_col="event_type",
+            value_expr="value - 50.0",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
+            signed=True,
+        ),
+        "dd_collapsed_quantiles_by_event_type": ddsketch_quantile_sql(
+            table="events",
+            group_col="event_type",
+            value_expr="value",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
+            collapse="lowest",
+            bin_limit=64,
+        ),
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),

@@ -92,13 +92,16 @@ class CheckpointedRun:
         if not pending:
             return {}
 
+        from .metrics import parse_stage_metrics
+
         run_id = f"run-{len(self.manifest()['runs']):03d}"
         out_dir = os.path.join(self.dir, run_id)
         t0 = time.perf_counter()
         ds = read_corpus(pending, self.columns, num_blocks=len(pending))
         rows = ds.count()
         states = sketch_states(ds, self.specs, self.group_keys, derive=self.derive)
-        states.write_parquet(out_dir)
+        materialized = states.materialize()
+        materialized.write_parquet(out_dir)
         wall = time.perf_counter() - t0
         entry = {
             "run_id": run_id,
@@ -107,6 +110,7 @@ class CheckpointedRun:
             "wall_s": round(wall, 3),
             "rows_per_sec": round(rows / wall, 1) if wall else None,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "stage_metrics": parse_stage_metrics(materialized.stats()),
         }
         self._commit(entry)
         return entry

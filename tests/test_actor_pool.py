@@ -1,0 +1,29 @@
+"""Actor-pool accumulate path (input_hint: stateful stages as actor pools).
+
+``sketch_states(..., concurrency=N)`` runs SketchStateAccumulator as an actor
+pool (setup once per actor); results must be identical to the task path.
+"""
+
+from __future__ import annotations
+
+
+class TestActorPool:
+    def test_actor_pool_matches_task_path(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        def run(concurrency):
+            ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+            out = grouped_sketch_pipeline(
+                ds,
+                [DDSketchSpec(on="n_chars", name="s", quantiles=(0.5, 0.99))],
+                ("lang",),
+                concurrency=concurrency,
+            )
+            return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+        tasks = run(None)
+        actors = run(2)
+        assert (tasks.values == actors.values).all()
