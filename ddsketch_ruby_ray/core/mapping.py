@@ -41,14 +41,28 @@ class KeyMapping:
     #: interpolation tag used by serialization (None | "linear" | "cubic")
     interpolation: str | None = None
 
-    def __init__(self, relative_accuracy: float, offset: float = 0.0):
-        if relative_accuracy <= 0 or relative_accuracy >= 1:
-            raise ValueError("Relative accuracy must be between 0 and 1.")
-        self.relative_accuracy = float(relative_accuracy)
-        self.offset = float(offset)
+    def __init__(self, relative_accuracy: float | None, offset: float = 0.0, *, gamma: float | None = None):
+        """Construct from ``relative_accuracy`` or (wire decode) exact ``gamma``.
 
-        gamma_mantissa = 2 * relative_accuracy / (1 - relative_accuracy)
-        self.gamma = 1.0 + gamma_mantissa
+        The wire format carries gamma, not alpha; constructing from gamma
+        keeps merge-compatibility (gamma equality) exact across a
+        serialize/deserialize hop.  The derived multiplier can differ from
+        the alpha-constructed one by an ulp (gamma - 1 vs 2a/(1-a)) - an
+        inherent property of the proto schema, not of this implementation.
+        """
+        self.offset = float(offset)
+        if gamma is not None:
+            if gamma <= 1.0:
+                raise ValueError("gamma must be > 1")
+            self.gamma = float(gamma)
+            gamma_mantissa = self.gamma - 1.0
+            self.relative_accuracy = gamma_mantissa / (self.gamma + 1.0)
+        else:
+            if relative_accuracy <= 0 or relative_accuracy >= 1:
+                raise ValueError("Relative accuracy must be between 0 and 1.")
+            self.relative_accuracy = float(relative_accuracy)
+            gamma_mantissa = 2 * relative_accuracy / (1 - relative_accuracy)
+            self.gamma = 1.0 + gamma_mantissa
         self._multiplier = 1.0 / math.log1p(gamma_mantissa)
         self.min_possible = sys.float_info.min * self.gamma
         self.max_possible = sys.float_info.max / self.gamma
@@ -94,8 +108,8 @@ class LogarithmicKeyMapping(KeyMapping):
 
     interpolation = None
 
-    def __init__(self, relative_accuracy: float, offset: float = 0.0):
-        super().__init__(relative_accuracy, offset)
+    def __init__(self, relative_accuracy: float | None, offset: float = 0.0, *, gamma: float | None = None):
+        super().__init__(relative_accuracy, offset, gamma=gamma)
         self._multiplier *= math.log(2.0)
 
     def _log_gamma(self, value):
@@ -148,8 +162,8 @@ class CubicallyInterpolatedKeyMapping(KeyMapping):
     _B = -3.0 / 5.0
     _C = 10.0 / 7.0
 
-    def __init__(self, relative_accuracy: float, offset: float = 0.0):
-        super().__init__(relative_accuracy, offset)
+    def __init__(self, relative_accuracy: float | None, offset: float = 0.0, *, gamma: float | None = None):
+        super().__init__(relative_accuracy, offset, gamma=gamma)
         self._multiplier /= self._C
 
     def _log_gamma(self, value):
@@ -182,10 +196,12 @@ _TAGS = {
 }
 
 
-def mapping_from_tag(tag, relative_accuracy: float, offset: float = 0.0) -> KeyMapping:
-    """Construct a mapping by its serialization tag."""
+def mapping_from_tag(
+    tag, relative_accuracy: float | None, offset: float = 0.0, *, gamma: float | None = None
+) -> KeyMapping:
+    """Construct a mapping by its serialization tag (alpha- or gamma-based)."""
     try:
         cls = _TAGS[tag]
     except KeyError:
         raise ValueError(f"unknown mapping tag {tag!r}") from None
-    return cls(relative_accuracy, offset)
+    return cls(relative_accuracy, offset, gamma=gamma)
