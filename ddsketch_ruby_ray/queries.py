@@ -135,6 +135,47 @@ def dd_collapsed_quantiles_by_event_type(sf_dir: str):
     return grouped_sketch_pipeline(ds, [spec], ("event_type",))
 
 
+def dd_collapsed_highest_by_event_type(sf_dir: str):
+    """Collapsing-HIGHEST mirror case (bin_limit=64; folds the top bins)."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    spec = DDSketchSpec(
+        on="value", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        store="collapse_highest", bin_limit=64, include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("event_type",))
+
+
+def dd_windowed_quantiles(sf_dir: str):
+    """Tumbling-window (1 h) DDSketch quantiles per (window, event_type) - the
+    streaming-window pattern: the window id is just another derived group key,
+    so the same two-level state merge handles it (sketches stay mergeable
+    across late/out-of-order data)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(t):
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 3600), 3600)
+        key = pc.binary_join_element_wise(
+            pc.cast(hour, pa.string()), t.column("event_type"), "|"
+        )
+        return t.append_column("window_key", key).drop_columns(["ts", "event_type"])
+
+    spec = DDSketchSpec(
+        on="value", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("window_key",), derive=derive)
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -265,6 +306,18 @@ def knn_cosine_top5(sf_dir: str):
     )
 
 
+def ivf_knn_top5(sf_dir: str):
+    """IVF approximate top-5 (scale path; rows-only - k-means quantizer is
+    not SQL-expressible; recall vs brute force is pytest-pinned)."""
+    from .pipelines.similarity import ivf_knn_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_knn_pipeline(
+        ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5,
+        n_lists=8, n_probe=3,
+    )
+
+
 def embedding_neardup_pairs(sf_dir: str):
     """All vector pairs with cosine >= 0.4 (brute force; LSH variant is the
     scale path, tested in pytest)."""
@@ -364,6 +417,8 @@ QUERIES = {
     "dd_weighted_price_by_flag": dd_weighted_price_by_flag,
     "dd_signed_quantiles_by_event_type": dd_signed_quantiles_by_event_type,
     "dd_collapsed_quantiles_by_event_type": dd_collapsed_quantiles_by_event_type,
+    "dd_collapsed_highest_by_event_type": dd_collapsed_highest_by_event_type,
+    "dd_windowed_quantiles": dd_windowed_quantiles,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -376,6 +431,7 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
+    "ivf_knn_top5": ivf_knn_top5,  # rows-only (no oracle_sql)
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
@@ -490,6 +546,25 @@ def _family_oracles() -> dict:
             include_sum_avg=False,
             collapse="lowest",
             bin_limit=64,
+        ),
+        "dd_collapsed_highest_by_event_type": ddsketch_quantile_sql(
+            table="events",
+            group_col="event_type",
+            value_expr="value",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
+            collapse="highest",
+            bin_limit=64,
+        ),
+        "dd_windowed_quantiles": ddsketch_quantile_sql(
+            table="(SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600)::VARCHAR"
+            " || '|' || event_type AS window_key, value FROM events) w",
+            group_col="window_key",
+            value_expr="value",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
         ),
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),

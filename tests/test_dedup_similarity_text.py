@@ -147,6 +147,35 @@ class TestSimilarity:
             )["neighbor_id"])
             assert got == expect, q
 
+    def test_ivf_recall_and_layout_invariance(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import (
+            ivf_knn_pipeline,
+            knn_bruteforce_pipeline,
+        )
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        Q = list(range(8))
+        bf = knn_bruteforce_pipeline(
+            ds, id_col="vec_id", vec_col="embedding", query_ids=Q, k=5
+        ).to_pandas()
+        iv = ivf_knn_pipeline(
+            ds, id_col="vec_id", vec_col="embedding", query_ids=Q, k=5, n_lists=8, n_probe=3
+        ).to_pandas()
+        hits = sum(
+            len(set(bf[bf.query_id == q].neighbor_id) & set(iv[iv.query_id == q].neighbor_id))
+            for q in Q
+        )
+        assert hits >= 0.5 * 5 * len(Q)  # scanning 3/8 of the lists
+        iv2 = ivf_knn_pipeline(
+            ds.repartition(5), id_col="vec_id", vec_col="embedding", query_ids=Q, k=5,
+            n_lists=8, n_probe=3,
+        ).to_pandas()
+        a = iv.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+        b = iv2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+        assert len(a) == len(b) and (a.values == b.values).all()
+
     def test_srp_buckets_capture_near_identical_vectors(self, ray_session):
         import ray.data as rd
 
