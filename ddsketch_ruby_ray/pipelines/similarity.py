@@ -52,27 +52,37 @@ def _round4(c: np.ndarray) -> np.ndarray:
     return np.floor(c * 10_000.0 + 0.5).astype(np.int64)
 
 
-def knn_bruteforce_pipeline(ds, *, id_col: str, vec_col: str, query_ids, k: int = 5):
+def _fetch_query_rows(ds, id_col: str, query_ids, queries_table):
+    """The query-side rows: either caller-provided (prune-at-the-read, the
+    fast path) or one filtered scan of ``ds``."""
+    if queries_table is not None:
+        return queries_table
+    qset = set(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, list(qset))))
+
+    return pa.concat_tables(
+        ds.map_batches(grab, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+
+
+def knn_bruteforce_pipeline(
+    ds, *, id_col: str, vec_col: str, query_ids, k: int = 5, queries_table: pa.Table | None = None
+):
     """-> Dataset[(query_id, neighbor_id, cos4)]: exact top-k per query.
 
     Order contract: per query, by (cos4 DESC, neighbor_id ASC); self-matches
     excluded.  Two-stage top-k: each batch emits its local top-k per query
     (<= k rows per query per batch), then a per-query group reduce - the
     shuffle carries k * num_blocks rows per query, never the table.
+    Pass ``queries_table`` (e.g. a pushed-down parquet read of just the query
+    rows) to skip the extra query-fetch scan.
     """
     import ray
 
-    query_ids = sorted(int(q) for q in query_ids)
-    qset = set(query_ids)
-
-    def grab_queries(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(qset))
-        return batch.filter(pa.array(mask))
-
-    q_tbl = pa.concat_tables(
-        ds.map_batches(grab_queries, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    )
+    q_tbl = _fetch_query_rows(ds, id_col, query_ids, queries_table)
     q_ids = q_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     q_mat = _cos_q(_embedding_matrix(q_tbl, vec_col))
     order = np.argsort(q_ids)
@@ -173,6 +183,7 @@ def ivf_knn_pipeline(
     n_lists: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 5,
+    queries_table: pa.Table | None = None,
 ):
     """IVF (inverted-file) approximate top-k cosine - the ANN scale path.
 
@@ -207,15 +218,7 @@ def ivf_knn_pipeline(
         centroids = _cos_q(centroids)
 
     # ---- query matrix + probed lists per query
-    qset = set(int(q) for q in query_ids)
-
-    def grab_queries(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, list(qset))))
-
-    q_tbl = pa.concat_tables(
-        ds.map_batches(grab_queries, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    )
+    q_tbl = _fetch_query_rows(ds, id_col, query_ids, queries_table)
     q_ids = q_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     q_mat = _cos_q(_embedding_matrix(q_tbl, vec_col))
     probed = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)

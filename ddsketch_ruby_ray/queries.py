@@ -62,6 +62,25 @@ def flagship_docs_metrics(sf_dir: str):
     return documents_sketch_pipeline(sf_dir, alpha=ALPHA, quantiles=QUANTILES)
 
 
+def flagship_by_lang_source(sf_dir: str):
+    """Two-key grouping (north_star: 'grouped by lang and repo' - here the
+    documents table's lang x source).  Emitted as a composite key so the
+    single-group-column SQL oracle template applies."""
+    import pyarrow.compute as pc
+
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def derive(t):
+        key = pc.binary_join_element_wise(t.column("lang"), t.column("source"), "|")
+        return t.append_column("group_key", key).drop_columns(["lang", "source"])
+
+    spec = DDSketchSpec(on="n_chars", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES)
+    return grouped_sketch_pipeline(ds, [spec], ("group_key",), derive=derive)
+
+
 def sha256_invariant_by_lang(sf_dir: str):
     """Per-row content invariant: order-independent XOR-fold of sha256(text)
     per lang. Any block split / merge order yields the same signature, so this
@@ -296,13 +315,25 @@ KNN_QUERY_IDS = tuple(range(10))
 NEARDUP_COS_THRESHOLD = 0.4
 
 
+def _query_vectors(sf_dir: str):
+    """Pushed-down parquet read of just the query rows (prune at the read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(KNN_QUERY_IDS))],
+    )
+
+
 def knn_cosine_top5(sf_dir: str):
     """Exact top-5 cosine neighbors for the first 10 vectors (broadcast matmul)."""
     from .pipelines.similarity import knn_bruteforce_pipeline
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_bruteforce_pipeline(
-        ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5
+        ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5,
+        queries_table=_query_vectors(sf_dir),
     )
 
 
@@ -314,7 +345,7 @@ def ivf_knn_top5(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_knn_pipeline(
         ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5,
-        n_lists=8, n_probe=3,
+        n_lists=8, n_probe=3, queries_table=_query_vectors(sf_dir),
     )
 
 
@@ -413,6 +444,7 @@ QUERIES = {
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
     "dd_quantiles_by_event_type": dd_quantiles_by_event_type,
     "flagship_docs_metrics": flagship_docs_metrics,
+    "flagship_by_lang_source": flagship_by_lang_source,
     "sha256_invariant_by_lang": sha256_invariant_by_lang,
     "dd_weighted_price_by_flag": dd_weighted_price_by_flag,
     "dd_signed_quantiles_by_event_type": dd_signed_quantiles_by_event_type,
@@ -556,6 +588,13 @@ def _family_oracles() -> dict:
             include_sum_avg=False,
             collapse="highest",
             bin_limit=64,
+        ),
+        "flagship_by_lang_source": ddsketch_quantile_sql(
+            table="(SELECT lang || '|' || source AS group_key, n_chars FROM documents) g",
+            group_col="group_key",
+            value_expr="n_chars",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
         ),
         "dd_windowed_quantiles": ddsketch_quantile_sql(
             table="(SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600)::VARCHAR"
