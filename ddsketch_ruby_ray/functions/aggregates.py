@@ -153,6 +153,50 @@ class DDSketchAgg(SketchAgg):
         return out
 
 
+class SpecAgg(AggregateFnV2):
+    """Raw-row aggregation of ANY SketchSpec (the high-cardinality path).
+
+    ``groupby(keys).aggregate(SpecAgg(spec))`` lets Ray's sort-shuffle move
+    the (compact, derived) rows and build ONE sketch per group - the right
+    trade when groups-per-block approaches rows-per-block, where the
+    per-(block x group) state path would instantiate millions of KB-sized
+    states (see pipelines/corpus.py strategy notes).
+    """
+
+    def __init__(self, spec, name: str | None = None):
+        self._spec = spec
+        super().__init__(
+            name=name or spec.name, zero_factory=lambda: None, on=None, ignore_nulls=True
+        )
+
+    def get_target_column(self):
+        # multi-column extraction -> opt out of single-column pruning
+        return self._spec.columns[0] if len(self._spec.columns) == 1 else None
+
+    def aggregate_block(self, block):
+        import numpy as np
+
+        sk = self._spec.zero()
+        if hasattr(block, "column_names"):  # pyarrow
+            arrays = {
+                c: block.column(c).to_numpy(zero_copy_only=False) for c in self._spec.columns
+            }
+        else:  # pandas
+            arrays = {c: np.asarray(block[c]) for c in self._spec.columns}
+        self._spec.accumulate(sk, arrays)
+        return sk
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return self._spec.merge(a, b)
+
+    def finalize(self, acc) -> dict:
+        return self._spec.finalize(acc if acc is not None else self._spec.zero())
+
+
 class SketchStateMergeAgg(AggregateFnV2):
     """Merges pre-accumulated sketch-state rows (stage 2 of the two-level merge).
 

@@ -87,16 +87,41 @@ def grouped_sketch_pipeline(
     concurrency=None,
     coalesce: int | None = 8,
     prefixes: dict | None = None,
+    strategy: str = "states",
 ):
-    """rows -> states -> merged -> flat result columns (full two-level path).
+    """rows -> per-group sketch results, flat columns.
+
+    ``strategy`` picks the distribution plan:
+      * ``"states"`` (default) - the two-level merge: per-(block, group)
+        states inside the (fused) map stage, then a tiny state shuffle.
+        Optimal when groups << rows-per-block (e.g. 20 languages): raw rows
+        never shuffle and hot keys cost O(blocks) states.
+      * ``"rows"`` - derive compact metric rows in the map stage, then
+        ``groupby(keys).aggregate(SpecAgg)``: Ray's sort-shuffle moves the
+        (pruned, ~tens of bytes) rows and ONE sketch per group is built.
+        Optimal when group cardinality approaches row count (e.g.
+        lang x repo at 10^7+ groups) - the state path would instantiate
+        O(blocks x groups) KB-sized states, which does not scale.
+    The two strategies produce identical results (merge associativity).
 
     ``prefixes`` maps spec name -> output column prefix for the unnested
     result struct (default: no prefix).
     """
-    states = sketch_states(
-        ds, specs, group_keys, derive=derive, batch_size=batch_size, concurrency=concurrency
-    )
-    out = merge_sketch_states(states, specs, group_keys, coalesce=coalesce)
+    if strategy == "rows":
+        from ..functions.aggregates import SpecAgg
+
+        if derive is not None:
+            ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=batch_size)
+        aggs = [SpecAgg(spec) for spec in specs]
+        out = ds.groupby(list(group_keys)).aggregate(*aggs) if group_keys else ds.aggregate(*aggs)
+    elif strategy == "states":
+        states = sketch_states(
+            ds, specs, group_keys, derive=derive, batch_size=batch_size, concurrency=concurrency
+        )
+        out = merge_sketch_states(states, specs, group_keys, coalesce=coalesce)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     for spec in specs:
         prefix = (prefixes or {}).get(spec.name)
         out = unnest(out, columns=[spec.name], prefix=prefix)
@@ -113,6 +138,7 @@ def corpus_sketch_pipeline(
     batch_size: int | None = None,
     concurrency=None,
     verify_sha256: bool = False,
+    strategy: str = "states",
 ):
     """content corpus -> per-group sketch summary of byte length + line count.
 
@@ -154,6 +180,7 @@ def corpus_sketch_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
         prefixes=prefixes,
+        strategy=strategy,
     )
 
 

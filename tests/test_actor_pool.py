@@ -27,3 +27,33 @@ class TestActorPool:
         tasks = run(None)
         actors = run(2)
         assert (tasks.values == actors.values).all()
+
+
+class TestStrategies:
+    def test_rows_strategy_identical_to_states(self, ray_session, sf_dir):
+        """High-cardinality plan (raw-row groupby) == two-level state merge."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.functions.family_specs import HLLSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        def run(strategy):
+            ds = rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "doc_id"]
+            )
+            out = grouped_sketch_pipeline(
+                ds,
+                [
+                    DDSketchSpec(on="n_chars", name="s", quantiles=(0.5, 0.99)),
+                    HLLSpec(on="doc_id", name="h", p=12),
+                ],
+                ("lang",),
+                strategy=strategy,
+            )
+            df = out.to_pandas().sort_values("lang").reset_index(drop=True)
+            return df[sorted(df.columns)]
+
+        a, b = run("states"), run("rows")
+        assert list(a.columns) == list(b.columns)
+        assert (a.values == b.values).all()
