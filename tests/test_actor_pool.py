@@ -57,3 +57,50 @@ class TestStrategies:
         a, b = run("states"), run("rows")
         assert list(a.columns) == list(b.columns)
         assert (a.values == b.values).all()
+
+    def test_pairs_strategy_identical_incl_signed_and_zero(self, ray_session):
+        """The vectorized extreme-cardinality plan == states, with negative
+        values, a zero band, many groups, and empty-side groups."""
+        import pyarrow as pa
+        import ray.data as rd
+        import numpy as np
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        rng = np.random.default_rng(5)
+        n = 20_000
+        tbl = pa.table(
+            {
+                "grp": pa.array([f"g{int(i)}" for i in rng.integers(0, 500, n)]),
+                "v": pa.array(
+                    np.where(
+                        rng.random(n) < 0.05,
+                        0.0,
+                        rng.normal(0, 100, n),  # signed, spans the zero band
+                    )
+                ),
+            }
+        )
+        specs = [DDSketchSpec(on="v", name="s", quantiles=(0.01, 0.5, 0.99))]
+
+        def run(strategy):
+            df = grouped_sketch_pipeline(
+                rd.from_arrow(tbl).repartition(7), specs, ("grp",), strategy=strategy
+            ).to_pandas()
+            df = df.sort_values("grp").reset_index(drop=True)
+            return df[sorted(df.columns)]
+
+        a, b = run("states"), run("pairs")
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if c in ("sum", "avg"):
+                # fractional values: fp summation ORDER differs between plans;
+                # only integer-valued metrics are bit-stable (and fractional
+                # driver queries exclude sum/avg for exactly this reason)
+                assert np.allclose(av, bv, rtol=1e-9), c
+            elif a[c].dtype.kind == "f":
+                assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all(), c
+            else:
+                assert (av == bv).all(), c
