@@ -78,7 +78,9 @@ def flagship_by_lang_source(sf_dir: str):
         return t.append_column("group_key", key).drop_columns(["lang", "source"])
 
     spec = DDSketchSpec(on="n_chars", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES)
-    return grouped_sketch_pipeline(ds, [spec], ("group_key",), derive=derive)
+    # strategy="pairs": the extreme-cardinality plan, verified bit-exact
+    # against the same SQL oracle as the state-merge plan
+    return grouped_sketch_pipeline(ds, [spec], ("group_key",), derive=derive, strategy="pairs")
 
 
 def sha256_invariant_by_lang(sf_dir: str):
