@@ -197,6 +197,42 @@ def dd_windowed_quantiles(sf_dir: str):
     return grouped_sketch_pipeline(ds, [spec], ("window_key",), derive=derive)
 
 
+def dd_sliding_window_quantiles(sf_dir: str):
+    """Sliding windows (1 h window / 30 min slide): rows replicate into their
+    2 windows inside map_batches, then the usual grouped sketch pipeline."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+    from .pipelines.windows import assign_sliding_windows
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(t):
+        t = assign_sliding_windows(t, ts_col="ts", window_s=3600, slide_s=1800)
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("window_start"), pa.string()), t.column("event_type"), "|"
+        )
+        return t.append_column("window_key", key).drop_columns(
+            ["ts", "event_type", "window_start"]
+        )
+
+    spec = DDSketchSpec(
+        on="value", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        include_sum_avg=False,
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("window_key",), derive=derive)
+
+
+def user_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min) per user over the events log."""
+    from .pipelines.windows import sessionize_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize_pipeline(ds, key_col="user_id", ts_col="ts", gap_s=1800)
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -453,6 +489,8 @@ QUERIES = {
     "dd_collapsed_quantiles_by_event_type": dd_collapsed_quantiles_by_event_type,
     "dd_collapsed_highest_by_event_type": dd_collapsed_highest_by_event_type,
     "dd_windowed_quantiles": dd_windowed_quantiles,
+    "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
+    "user_sessions": user_sessions,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -607,6 +645,48 @@ def _family_oracles() -> dict:
             quantiles=QUANTILES,
             include_sum_avg=False,
         ),
+        "dd_sliding_window_quantiles": ddsketch_quantile_sql(
+            table="(SELECT ((epoch_us(ts) // 1000000 // 1800) * 1800 - o.o)::VARCHAR"
+            " || '|' || event_type AS window_key, value"
+            " FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS o) o) w",
+            group_col="window_key",
+            value_expr="value",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
+        ),
+        "user_sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) / 1000000.0 AS sec FROM events
+            ),
+            ordered AS (
+              SELECT user_id, sec,
+                     lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+              FROM e
+            ),
+            flags AS (
+              SELECT user_id, sec,
+                     CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ),
+            sess AS (
+              SELECT user_id, sec,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY sec
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS sid
+              FROM flags
+            ),
+            per_sess AS (
+              SELECT user_id, sid, max(sec) - min(sec) AS len, count(*) AS n
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   max(len) AS longest_s,
+                   CAST(sum(n) AS BIGINT) AS total_events
+            FROM per_sess GROUP BY user_id
+        """,
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
