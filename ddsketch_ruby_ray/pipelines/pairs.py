@@ -41,8 +41,8 @@ def _check_specs(specs: Sequence[DDSketchSpec]) -> None:
     for s in specs:
         if not isinstance(s, DDSketchSpec):
             raise TypeError("pairs strategy supports DDSketchSpec only")
-        if s.store != "dense" or s.weight is not None:
-            raise ValueError("pairs strategy supports dense, unweighted specs")
+        if s.store != "dense":
+            raise ValueError("pairs strategy supports dense stores only")
         if s.alpha != specs[0].alpha:
             raise ValueError("all specs must share alpha (one mapping per pipeline)")
 
@@ -88,6 +88,7 @@ def ddsketch_pairs_pipeline(
     include_sum_avg = {s.name: s.include_sum_avg for s in specs}
     metric_names = [s.name for s in specs]
     value_cols = [s.on for s in specs]
+    weight_cols = [s.weight for s in specs]
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         if derive is not None:
@@ -130,6 +131,16 @@ def ddsketch_pairs_pipeline(
         gdict_np = np.asarray(gdict.to_pylist(), dtype=object)
         for mi, col in enumerate(value_cols):
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if weight_cols[mi] is not None:
+                wt = (
+                    batch.column(weight_cols[mi])
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                )
+                if wt.size and float(wt.min()) <= 0.0:
+                    raise ValueError("weight must be positive")
+            else:
+                wt = np.ones(n)
             side = np.zeros(n, dtype=np.int8)
             side[v > min_possible] = 1
             side[v < -min_possible] = -1
@@ -141,13 +152,13 @@ def ddsketch_pairs_pipeline(
             if neg.any():
                 k[neg] = np.ceil(np.log2(-v[neg]) * mult).astype(np.int64)
             order = np.lexsort((k, side, gcodes))
-            gs, ss, ks, vs = gcodes[order], side[order], k[order], v[order]
+            gs, ss, ks, vs, ws = gcodes[order], side[order], k[order], v[order], wt[order]
             newgrp = np.empty(n, dtype=bool)
             newgrp[0] = True
             newgrp[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1]) | (ks[1:] != ks[:-1])
             starts = np.flatnonzero(newgrp)
-            w_sum = np.add.reduceat(np.ones(n), starts)
-            vw_sum = np.add.reduceat(vs, starts)
+            w_sum = np.add.reduceat(ws, starts)
+            vw_sum = np.add.reduceat(vs * ws, starts)
             v_min = np.minimum.reduceat(vs, starts)
             v_max = np.maximum.reduceat(vs, starts)
             gsel = gs[starts]

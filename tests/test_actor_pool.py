@@ -6,6 +6,8 @@ pool (setup once per actor); results must be identical to the task path.
 
 from __future__ import annotations
 
+import numpy as np
+
 
 class TestActorPool:
     def test_actor_pool_matches_task_path(self, ray_session, sf_dir):
@@ -91,7 +93,35 @@ class TestStrategies:
             df = df.sort_values("grp").reset_index(drop=True)
             return df[sorted(df.columns)]
 
+        self._assert_frames(run("states"), run("pairs"))
+
+    def test_pairs_weighted_matches_states(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        spec = DDSketchSpec(
+            on="l_extendedprice", weight="l_quantity", name="s",
+            quantiles=(0.5, 0.99), include_sum_avg=False,
+        )
+
+        def run(strategy):
+            ds = rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+            )
+            df = grouped_sketch_pipeline(
+                ds, [spec], ("l_returnflag",), strategy=strategy
+            ).to_pandas()
+            return df.sort_values("l_returnflag").reset_index(drop=True)[
+                sorted(df.columns)
+            ]
+
         a, b = run("states"), run("pairs")
+        assert (a.values == b.values).all()  # integer weights -> bit-exact
+
+    def _assert_frames(self, a, b):
         assert list(a.columns) == list(b.columns)
         for c in a.columns:
             av, bv = a[c].values, b[c].values
