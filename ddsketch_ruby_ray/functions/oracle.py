@@ -27,16 +27,37 @@ from .aggregates import quantile_name
 __all__ = ["ddsketch_quantile_sql", "ddsketch_group_sql"]
 
 
-def _consts(alpha: float):
+def _consts(alpha: float, mapping: str = "log"):
     # Take the constants from the actual mapping implementation so the SQL
     # literals are the very same doubles the Ray pipeline computes with
     # (computing e.g. ln2/ln(gamma) here instead of the mapping's
     # (1/log1p(gamma-1))*ln2 differs by ulps, amplified by the key magnitude).
-    from ..core.mapping import LogarithmicKeyMapping
+    from ..core.mapping import LinearlyInterpolatedKeyMapping, LogarithmicKeyMapping
 
-    mp = LogarithmicKeyMapping(alpha)
+    cls = {"log": LogarithmicKeyMapping, "linear": LinearlyInterpolatedKeyMapping}[mapping]
+    mp = cls(alpha)
     coef = 2.0 / (1.0 + mp.gamma)
-    return mp.gamma, mp.multiplier, coef, mp.min_possible
+    return mp.gamma, mp._multiplier, coef, mp.min_possible
+
+
+def _key_sql(v: str, m: float, mapping: str) -> str:
+    """Bucket key of a POSITIVE double expression, per mapping variant."""
+    if mapping == "log":
+        return f"CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)"
+    # linear (frexp interpolation): v = mant * 2^e, mant in [0.5, 1)
+    e = f"(floor(log2({v})) + 1)"
+    mant = f"({v} * power(2.0, -{e}))"
+    return f"CAST(ceil((2 * {mant} - 1 + ({e} - 1)) * {m:.17e}) AS BIGINT)"
+
+
+def _value_sql(k: str, m: float, coef: float, mapping: str) -> str:
+    """Representative value of bucket key expression ``k`` (double)."""
+    if mapping == "log":
+        return f"power(2.0, {k} / {m:.17e}) * {coef:.17e}"
+    x = f"(({k}) / {m:.17e})"
+    fx = f"floor({x})"
+    mant = f"(({x} - {fx} + 1.0) / 2.0)"
+    return f"({mant} * power(2.0, {fx} + 1.0)) * {coef:.17e}"
 
 
 def ddsketch_quantile_sql(
@@ -53,6 +74,7 @@ def ddsketch_quantile_sql(
     signed: bool = False,
     collapse: str | None = None,
     bin_limit: int = 2048,
+    mapping: str = "log",
 ) -> str:
     """SQL computing exactly what ``DDSketchAgg(on=value_expr)`` finalizes.
 
@@ -74,7 +96,7 @@ def ddsketch_quantile_sql(
     ``sum``/``avg`` are only bit-stable when values (x weights) are
     integer-valued; pass ``include_sum_avg=False`` otherwise.
     """
-    _, m, coef, min_possible = _consts(alpha)
+    _, m, coef, min_possible = _consts(alpha, mapping)
     qvals = ", ".join(f"({q:.17e})" for q in quantiles)
     p = prefix
     w = f"CAST(({weight_expr}) AS DOUBLE)" if weight_expr else "1.0"
@@ -90,9 +112,9 @@ def ddsketch_quantile_sql(
     if signed:
         key_case = f"""
          CASE WHEN {v} > {min_possible:.17e}
-              THEN CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)
+              THEN {_key_sql(v, m, mapping)}
               WHEN {v} < -{min_possible:.17e}
-              THEN CAST(ceil(log2(-{v}) * {m:.17e}) AS BIGINT)
+              THEN {_key_sql(f'(-{v})', m, mapping)}
          END AS k,
          CASE WHEN {v} > {min_possible:.17e} THEN 1
               WHEN {v} < -{min_possible:.17e} THEN -1
@@ -100,7 +122,7 @@ def ddsketch_quantile_sql(
     else:
         key_case = f"""
          CASE WHEN {v} > {min_possible:.17e}
-              THEN CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)
+              THEN {_key_sql(v, m, mapping)}
          END AS k,
          CASE WHEN {v} > {min_possible:.17e} THEN 1 ELSE 0 END AS side"""
 
@@ -171,9 +193,9 @@ est AS (
   SELECT r.grp, r.q,
          CASE
            WHEN r.rank < r.neg_cnt
-           THEN -(power(2.0, coalesce(nh.k_hit, nh.k_max) / {m:.17e}) * {coef:.17e})
+           THEN -({_value_sql('coalesce(nh.k_hit, nh.k_max)', m, coef, mapping)})
            WHEN r.rank < r.zero_cnt + r.neg_cnt THEN 0.0
-           ELSE power(2.0, coalesce(ph.k_hit, ph.k_max) / {m:.17e}) * {coef:.17e}
+           ELSE {_value_sql('coalesce(ph.k_hit, ph.k_max)', m, coef, mapping)}
          END AS val
   FROM ranks r
   LEFT JOIN neg_hit nh ON nh.grp = r.grp AND nh.q = r.q

@@ -161,6 +161,7 @@ class DDSketchSpec:
         bin_limit: int = DEFAULT_BIN_LIMIT,
         weight: str | None = None,
         include_sum_avg: bool = True,
+        interpolation: str | None = None,
     ):
         self.on = on
         self.name = name or f"ddsketch({on})"
@@ -170,14 +171,23 @@ class DDSketchSpec:
         self.bin_limit = int(bin_limit)
         self.weight = weight
         self.include_sum_avg = include_sum_avg
+        self.interpolation = interpolation  # None=log | "linear" | "cubic"
         self.columns = (on,) if weight is None else (on, weight)
 
+    def _mapping(self):
+        if self.interpolation is None:
+            return None  # sketch ctor builds the default logarithmic mapping
+        from ..core.mapping import mapping_from_tag
+
+        return mapping_from_tag(self.interpolation, self.alpha)
+
     def zero(self) -> DDSketch:
+        mp = self._mapping()
         if self.store == "collapse_lowest":
-            return LogCollapsingLowestDenseSketch(self.alpha, self.bin_limit)
+            return LogCollapsingLowestDenseSketch(self.alpha, self.bin_limit, mapping=mp)
         if self.store == "collapse_highest":
-            return LogCollapsingHighestDenseSketch(self.alpha, self.bin_limit)
-        return DDSketch(self.alpha)
+            return LogCollapsingHighestDenseSketch(self.alpha, self.bin_limit, mapping=mp)
+        return DDSketch(self.alpha, mapping=mp)
 
     def accumulate(self, sketch: DDSketch, arrays: dict) -> None:
         vals = np.asarray(arrays[self.on], dtype=np.float64)

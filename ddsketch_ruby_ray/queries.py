@@ -156,6 +156,20 @@ def dd_collapsed_quantiles_by_event_type(sf_dir: str):
     return grouped_sketch_pipeline(ds, [spec], ("event_type",))
 
 
+def dd_linear_mapping_by_lang(sf_dir: str):
+    """LinearlyInterpolatedKeyMapping variant (frexp interpolation,
+    linear_interpolated_key_mapping.rb:35-49) - faster keys, same guarantee."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    spec = DDSketchSpec(
+        on="n_chars", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        interpolation="linear",
+    )
+    return grouped_sketch_pipeline(ds, [spec], ("lang",))
+
+
 def dd_collapsed_highest_by_event_type(sf_dir: str):
     """Collapsing-HIGHEST mirror case (bin_limit=64; folds the top bins)."""
     from .functions.specs import DDSketchSpec
@@ -487,6 +501,7 @@ QUERIES = {
     "dd_weighted_price_by_flag": dd_weighted_price_by_flag,
     "dd_signed_quantiles_by_event_type": dd_signed_quantiles_by_event_type,
     "dd_collapsed_quantiles_by_event_type": dd_collapsed_quantiles_by_event_type,
+    "dd_linear_mapping_by_lang": dd_linear_mapping_by_lang,
     "dd_collapsed_highest_by_event_type": dd_collapsed_highest_by_event_type,
     "dd_windowed_quantiles": dd_windowed_quantiles,
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
@@ -618,6 +633,14 @@ def _family_oracles() -> dict:
             include_sum_avg=False,
             collapse="lowest",
             bin_limit=64,
+        ),
+        "dd_linear_mapping_by_lang": ddsketch_quantile_sql(
+            table="documents",
+            group_col="lang",
+            value_expr="n_chars",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            mapping="linear",
         ),
         "dd_collapsed_highest_by_event_type": ddsketch_quantile_sql(
             table="events",
