@@ -163,8 +163,9 @@ class SpecAgg(AggregateFnV2):
     states (see pipelines/corpus.py strategy notes).
     """
 
-    def __init__(self, spec, name: str | None = None):
+    def __init__(self, spec, name: str | None = None, emit_state: bool = False):
         self._spec = spec
+        self._emit_state = emit_state
         super().__init__(
             name=name or spec.name, zero_factory=lambda: None, on=None, ignore_nulls=True
         )
@@ -194,7 +195,10 @@ class SpecAgg(AggregateFnV2):
         return self._spec.merge(a, b)
 
     def finalize(self, acc) -> dict:
-        return self._spec.finalize(acc if acc is not None else self._spec.zero())
+        acc = acc if acc is not None else self._spec.zero()
+        if self._emit_state:
+            return self._spec.to_state(acc)
+        return self._spec.finalize(acc)
 
 
 class SketchStateMergeAgg(AggregateFnV2):

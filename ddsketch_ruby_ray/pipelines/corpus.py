@@ -88,6 +88,7 @@ def grouped_sketch_pipeline(
     coalesce: int | None = 8,
     prefixes: dict | None = None,
     strategy: str = "states",
+    salt: int = 0,
 ):
     """rows -> per-group sketch results, flat columns.
 
@@ -122,8 +123,33 @@ def grouped_sketch_pipeline(
         if derive is not None:
             ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True,
                                 batch_size=batch_size)
-        aggs = [SpecAgg(spec) for spec in specs]
-        out = ds.groupby(list(group_keys)).aggregate(*aggs) if group_keys else ds.aggregate(*aggs)
+        if salt and group_keys:
+            # Skewed hot keys: phase 1 aggregates per (keys, salt bucket) so a
+            # 40%-of-rows key splits across `salt` reduce tasks; phase 2 merges
+            # the <=salt KB-sized states per key (SURVEY.md §4.2).
+            def add_salt(t):
+                import numpy as np
+                import pyarrow as pa
+
+                # round-robin within each batch: splits any hot key across
+                # `salt` phase-1 groups; merge associativity makes the final
+                # result independent of the assignment
+                s = (np.arange(t.num_rows) % salt).astype(np.int32)
+                return t.append_column("_salt", pa.array(s))
+
+            salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+            phase1 = salted.groupby(list(group_keys) + ["_salt"]).aggregate(
+                *[SpecAgg(spec, emit_state=True) for spec in specs]
+            )
+            phase1 = phase1.drop_columns(["_salt"])
+            out = merge_sketch_states(phase1, specs, group_keys, coalesce=None)
+        else:
+            aggs = [SpecAgg(spec) for spec in specs]
+            out = (
+                ds.groupby(list(group_keys)).aggregate(*aggs)
+                if group_keys
+                else ds.aggregate(*aggs)
+            )
     elif strategy == "states":
         states = sketch_states(
             ds, specs, group_keys, derive=derive, batch_size=batch_size, concurrency=concurrency

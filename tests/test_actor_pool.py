@@ -121,6 +121,32 @@ class TestStrategies:
         a, b = run("states"), run("pairs")
         assert (a.values == b.values).all()  # integer weights -> bit-exact
 
+    def test_salted_rows_identical_on_skewed_keys(self, ray_session):
+        """salt=K splits a hot key over K phase-1 groups; the phase-2 state
+        merge restores the identical result (SURVEY §4.2 skew answer)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        rng = np.random.default_rng(1)
+        n = 20_000
+        hot = rng.random(n) < 0.8
+        keys = np.where(hot, "hotkey", np.array([f"k{i % 100}" for i in range(n)]))
+        tbl = pa.table({"g": pa.array(keys.tolist()), "v": pa.array(rng.lognormal(0, 1, n))})
+        spec = DDSketchSpec(on="v", name="s", quantiles=(0.5, 0.99), include_sum_avg=False)
+
+        def run(**kw):
+            df = grouped_sketch_pipeline(
+                rd.from_arrow(tbl).repartition(7), [spec], ("g",), strategy="rows", **kw
+            ).to_pandas()
+            return df.sort_values("g").reset_index(drop=True)[sorted(df.columns)]
+
+        a, b = run(), run(salt=8)
+        assert (a.values == b.values).all()
+
     def _assert_frames(self, a, b):
         assert list(a.columns) == list(b.columns)
         for c in a.columns:
