@@ -455,6 +455,42 @@ def _token_stats_finalize(t):
     )
 
 
+def top_tokens(sf_dir: str):
+    """Exact top-20 tokens by corpus frequency: vectorized token explosion in
+    map_batches -> groupby count (the wide step moves (token,count) partials,
+    not text) -> global sort + limit.  Ties break by token asc."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        # per-block pre-aggregation: ship (token, partial count), never raw tokens
+        arr = flat.to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq.tolist(), pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    counted = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t.column("token"), "n": t.column("sum(n)")})
+
+    counted = counted.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return counted.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
 def quality_scores_docs(sf_dir: str):
     """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
     from .stages.text import quality_scores
@@ -520,6 +556,7 @@ QUERIES = {
     "knn_cosine_top5": knn_cosine_top5,
     "ivf_knn_top5": ivf_knn_top5,  # rows-only (no oracle_sql)
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "top_tokens": top_tokens,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
     "lang_id_docs": lang_id_docs,
@@ -728,6 +765,14 @@ def _family_oracles() -> dict:
             vec_col="embedding",
             threshold=NEARDUP_COS_THRESHOLD,
         ),
+        "top_tokens": """
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, token ASC
+            LIMIT 20
+        """,
         "token_stats_by_lang": token_stats_by_group_sql(
             table="documents", group_col="lang", text_col="text"
         ),
