@@ -44,6 +44,11 @@ def sketch_states(
     ``concurrency=N`` runs the accumulator as an actor pool (setup once per
     actor); the default (None) uses stateless tasks, which Ray schedules
     more flexibly - both execute the identical vectorized kernel.
+
+    NULL group keys: the accumulator itself groups them correctly (their own
+    group, like SQL GROUP BY), but Ray's sort-shuffle cannot ORDER null
+    string keys when the downstream ``merge_sketch_states`` groupby runs -
+    use ``strategy="rows"`` for corpora whose key columns contain nulls.
     """
     acc = SketchStateAccumulator(specs, group_keys, derive=derive)
     kwargs = {}

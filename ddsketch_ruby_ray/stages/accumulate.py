@@ -39,14 +39,19 @@ def group_codes(batch: pa.Table, group_keys: Sequence[str]):
     ``first_row_index[g]`` points at a representative row of group ``g``.
     Dictionary-encoding each key column keeps this vectorized (no Python rows).
     """
+    import pyarrow.compute as pc
+
     combined = None
     for k in group_keys:
         col = batch.column(k)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         dict_arr = col.dictionary_encode()
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        card = len(dict_arr.dictionary) + 1
+        # null keys form their own group (matching Dataset.groupby semantics):
+        # give them the code past the dictionary end
+        indices = pc.fill_null(dict_arr.indices, len(dict_arr.dictionary))
+        codes = indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = len(dict_arr.dictionary) + 2
         combined = codes if combined is None else combined * card + codes
     uniq, first, inverse = np.unique(combined, return_index=True, return_inverse=True)
     return inverse, first

@@ -147,6 +147,32 @@ class TestStrategies:
         a, b = run(), run(salt=8)
         assert (a.values == b.values).all()
 
+    def test_null_keys_and_values(self, ray_session):
+        """Null group keys group like SQL GROUP BY in the rows strategy;
+        null values drop per spec; the states path documents that Ray's
+        sort-shuffle cannot order null keys."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        tbl = pa.table(
+            {
+                "g": pa.array(["a", None, "b", "a", None]),
+                "v": pa.array([1.0, 2.0, None, 4.0, 5.0]),
+            }
+        )
+        spec = DDSketchSpec(on="v", name="s", quantiles=(0.5,))
+        df = (
+            grouped_sketch_pipeline(rd.from_arrow(tbl), [spec], ("g",), strategy="rows")
+            .to_pandas()
+            .set_index("g")
+        )
+        assert df.loc["a", "count"] == 2
+        assert df.loc["b", "count"] == 0  # its only value was null
+        assert df[df.index.isnull()]["count"].iloc[0] == 2
+
     def _assert_frames(self, a, b):
         assert list(a.columns) == list(b.columns)
         for c in a.columns:
