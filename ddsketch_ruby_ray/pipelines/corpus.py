@@ -107,10 +107,11 @@ def grouped_sketch_pipeline(
         (pruned, ~tens of bytes) rows and ONE sketch per group is built.
         General (any spec), but Ray's aggregate machinery iterates groups in
         Python (~250 us/group).
-      * ``"pairs"`` - the extreme-cardinality plan (DDSketch dense specs
-        only): vectorized pair-table pre-aggregation + hash-partitioned
-        vectorized finalize, no per-group Python in the hot path
-        (pipelines/pairs.py; ~8x faster than "rows" at 10^6 groups).
+      * ``"pairs"`` - the extreme-cardinality plan (DDSketch specs with the
+        logarithmic mapping; dense AND collapsing stores, weighted or not):
+        vectorized pair-table pre-aggregation + hash-partitioned vectorized
+        finalize, no per-group Python in the hot path (pipelines/pairs.py;
+        ~8x faster than "rows" at 10^6 groups).
     All strategies produce identical results (merge associativity).
 
     ``prefixes`` maps spec name -> output column prefix for the unnested

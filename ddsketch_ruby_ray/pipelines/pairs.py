@@ -41,10 +41,30 @@ def _check_specs(specs: Sequence[DDSketchSpec]) -> None:
     for s in specs:
         if not isinstance(s, DDSketchSpec):
             raise TypeError("pairs strategy supports DDSketchSpec only")
-        if s.store != "dense":
-            raise ValueError("pairs strategy supports dense stores only")
+        if s.interpolation is not None:
+            raise ValueError("pairs strategy supports the logarithmic mapping only")
         if s.alpha != specs[0].alpha:
             raise ValueError("all specs must share alpha (one mapping per pipeline)")
+
+
+def _clamp_keys(ks: np.ndarray, ws: np.ndarray, store: str, bin_limit: int):
+    """Apply the collapsing-store clamp model to one side's sorted buckets.
+
+    The spec's order-independent model (collapsing_lowest_dense_store_spec.rb:
+    35-38 / highest :35-38): final bins == multiset of max(k, kmax-limit+1)
+    (lowest) or min(k, kmin+limit-1) (highest) over the side's FINAL extent -
+    which is exactly what collapse-during-accumulate + fold-merge produces.
+    """
+    if ks.size == 0 or store == "dense":
+        return ks, ws
+    if store == "collapse_lowest":
+        clamped = np.maximum(ks, ks[-1] - bin_limit + 1)  # ks sorted ascending
+    else:  # collapse_highest
+        clamped = np.minimum(ks, ks[0] + bin_limit - 1)
+    uniq, inv = np.unique(clamped, return_inverse=True)
+    wsum = np.zeros(uniq.size)
+    np.add.at(wsum, inv, ws)
+    return uniq, wsum
 
 
 def _group_composite(batch: pa.Table, group_keys: Sequence[str]):
@@ -89,6 +109,8 @@ def ddsketch_pairs_pipeline(
     metric_names = [s.name for s in specs]
     value_cols = [s.on for s in specs]
     weight_cols = [s.weight for s in specs]
+    stores = [s.store for s in specs]
+    bin_limits = [s.bin_limit for s in specs]
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         if derive is not None:
@@ -261,9 +283,10 @@ def ddsketch_pairs_pipeline(
             negm = ss == -1
             zerom = ss == 0
             posm = ss == 1
-            neg_k, neg_w = ks[negm], ws[negm]
+            mstore, mlimit = stores[bm[a]], bin_limits[bm[a]]
+            neg_k, neg_w = _clamp_keys(ks[negm], ws[negm], mstore, mlimit)
             zero_cnt = ws[zerom].sum() if zerom.any() else 0.0
-            pos_k, pos_w = ks[posm], ws[posm]
+            pos_k, pos_w = _clamp_keys(ks[posm], ws[posm], mstore, mlimit)
             neg_cnt = neg_w.sum() if neg_k.size else 0.0
             pos_cum = np.cumsum(pos_w) if pos_k.size else np.zeros(0)
             # negative store: ascending key scan with UPPER rank semantics

@@ -147,6 +147,35 @@ class TestStrategies:
         a, b = run(), run(salt=8)
         assert (a.values == b.values).all()
 
+    def test_pairs_collapsing_stores_identical(self, ray_session):
+        """Collapsing clamp model at finalize == collapse-during-accumulate,
+        with collapse heavily triggered on both stores (signed, limit 32)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        rng = np.random.default_rng(2)
+        n = 20_000
+        v = np.where(rng.random(n) < 0.5, rng.lognormal(0, 4, n), -rng.lognormal(0, 4, n))
+        v[rng.random(n) < 0.02] = 0.0
+        tbl = pa.table({"g": pa.array([f"g{i % 40}" for i in range(n)]), "v": pa.array(v)})
+        for store in ("collapse_lowest", "collapse_highest"):
+            spec = DDSketchSpec(
+                on="v", name="s", store=store, bin_limit=32,
+                quantiles=(0.01, 0.5, 0.99), include_sum_avg=False,
+            )
+
+            def run(strategy):
+                df = grouped_sketch_pipeline(
+                    rd.from_arrow(tbl).repartition(9), [spec], ("g",), strategy=strategy
+                ).to_pandas()
+                return df.sort_values("g").reset_index(drop=True)[sorted(df.columns)]
+
+            self._assert_frames(run("states"), run("pairs"))
+
     def test_null_keys_and_values(self, ray_session):
         """Null group keys group like SQL GROUP BY in the rows strategy;
         null values drop per spec; the states path documents that Ray's
