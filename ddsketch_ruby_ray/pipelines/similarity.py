@@ -29,6 +29,7 @@ __all__ = [
     "cosine_neardup_pipeline",
     "ivf_knn_pipeline",
     "signed_random_projection_buckets",
+    "srp_neardup_pipeline",
 ]
 
 
@@ -265,6 +266,75 @@ def ivf_knn_pipeline(
     return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
 
 
+def srp_neardup_pipeline(
+    ds,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+):
+    """Scale-path near-duplicate pairs: SRP-LSH bucket -> exact verify.
+
+    Stage 1 assigns every row an LSH bucket (signed random projections -
+    vectors with cosine near 1 share all sign bits w.h.p.); stage 2 groups by
+    bucket and verifies candidates with an exact cosine matmul INSIDE each
+    (small) bucket.  Only same-bucket pairs are ever scored, so the all-pairs
+    matmul of ``cosine_neardup_pipeline`` never materializes - this is the
+    10^12-row shape.  Recall misses pairs whose cosine < ~cos(pi/n_planes)
+    per plane; pytest pins recall against brute force.  Deterministic
+    (counter-seeded hyperplanes) but kept rows-only for the driver: the
+    matmul sign of near-zero projections is fp-summation-order sensitive.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        out = signed_random_projection_buckets_table(batch, id_col, vec_col, n_planes)
+        return batch.append_column("bucket", out.column("bucket"))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    thr4 = int(np.floor(threshold * 10_000 + 0.5))
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos4": pa.array([], pa.int64())}
+            )
+        m = _cos_q(_embedding_matrix(group, vec_col))
+        cos4 = _round4(m @ m.T)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cos4[ii, jj] >= thr4
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {"a": pa.array(a2, pa.int64()), "b": pa.array(b2, pa.int64()),
+             "cos4": pa.array(cos4[ii, jj][keep], pa.int64())}
+        )
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+def signed_random_projection_buckets_table(
+    batch: pa.Table, id_col: str, vec_col: str, n_planes: int
+) -> pa.Table:
+    """Batch-level SRP bucket assignment (shared by the Dataset wrapper)."""
+    m = _embedding_matrix(batch, vec_col)
+    dim = m.shape[1]
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    u = splitmix64(idx).astype(np.float64) / float(2**64)
+    planes = (u * 2.0 - 1.0).reshape(n_planes, dim)
+    bits = (m @ planes.T) > 0
+    bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {id_col: batch.column(id_col), "bucket": pa.array(bucket.astype(np.int64))}
+    )
+
+
 def signed_random_projection_buckets(ds, *, id_col: str, vec_col: str, n_planes: int = 16):
     """-> Dataset[(id, bucket)]: SimHash-for-cosine LSH bucket per row.
 
@@ -276,20 +346,6 @@ def signed_random_projection_buckets(ds, *, id_col: str, vec_col: str, n_planes:
     """
 
     def stage(batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, vec_col)
-        dim = m.shape[1]
-        idx = np.arange(n_planes * dim, dtype=np.uint64)
-        u = splitmix64(idx).astype(np.float64) / float(2**64)  # [0, 1)
-        planes = (u * 2.0 - 1.0).reshape(n_planes, dim)
-        bits = (m @ planes.T) > 0  # (n, n_planes)
-        bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(bucket.astype(np.int64)),
-            }
-        )
+        return signed_random_projection_buckets_table(batch, id_col, vec_col, n_planes)
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

@@ -401,6 +401,18 @@ def ivf_knn_top5(sf_dir: str):
     )
 
 
+def srp_neardup(sf_dir: str):
+    """SRP-LSH near-dup pairs (the 10^12-row scale path: only same-bucket
+    pairs are scored; rows-only - see pipeline docstring)."""
+    from .pipelines.similarity import srp_neardup_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return srp_neardup_pipeline(
+        ds, id_col="vec_id", vec_col="embedding",
+        threshold=NEARDUP_COS_THRESHOLD, n_planes=6,
+    )
+
+
 def embedding_neardup_pairs(sf_dir: str):
     """All vector pairs with cosine >= 0.4 (brute force; LSH variant is the
     scale path, tested in pytest)."""
@@ -556,6 +568,7 @@ QUERIES = {
     "knn_cosine_top5": knn_cosine_top5,
     "ivf_knn_top5": ivf_knn_top5,  # rows-only (no oracle_sql)
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "srp_neardup": srp_neardup,  # rows-only (no oracle_sql)
     "top_tokens": top_tokens,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,

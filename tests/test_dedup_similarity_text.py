@@ -176,6 +176,42 @@ class TestSimilarity:
         b = iv2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
         assert len(a) == len(b) and (a.values == b.values).all()
 
+    def test_srp_neardup_recall_and_precision(self, ray_session):
+        """SRP bucket+verify finds most true near-dup pairs (recall), and
+        never emits a pair below threshold (exact verify => full precision)."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import (
+            cosine_neardup_pipeline,
+            srp_neardup_pipeline,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(0, 1, (100, 32)).astype(np.float32)
+        twin = base + rng.normal(0, 0.02, base.shape).astype(np.float32)
+        noise = rng.normal(0, 1, (300, 32)).astype(np.float32)
+        vecs = np.concatenate([base, twin, noise])
+        ids = list(range(100)) + list(range(1000, 1100)) + list(range(5000, 5300))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        bf = cosine_neardup_pipeline(
+            rd.from_arrow(tbl), id_col="vec_id", vec_col="embedding", threshold=0.95
+        ).to_pandas()
+        srp = srp_neardup_pipeline(
+            rd.from_arrow(tbl).repartition(5),
+            id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=10,
+        ).to_pandas()
+        bf_pairs = set(zip(bf.a, bf.b))
+        srp_pairs = set(zip(srp.a, srp.b))
+        assert srp_pairs <= bf_pairs  # exact verify: no false positives
+        assert len(bf_pairs & srp_pairs) >= 0.8 * len(bf_pairs)
+
     def test_srp_buckets_capture_near_identical_vectors(self, ray_session):
         import ray.data as rd
 
