@@ -140,25 +140,28 @@ def cms_frequency_sql(
     d: int,
     kind: str = "int",
     out_key: str = "key",
+    weight_col: str | None = None,
 ) -> str:
     """SQL computing the count-min estimate for every DISTINCT key of
     ``table.key_col``, mirroring ``CountMinSketch(w, d)`` built over all rows.
 
     Output: ``{out_key}, est, exact`` - est is the min-over-rows sketch
-    estimate (an overestimate), exact the true count.
+    estimate (an overestimate), exact the true count (or weight sum with
+    ``weight_col``; bit-exact for integer-valued weights).
     """
     h1 = _hash_expr(key_col, kind, 0)
     h2 = _hash_expr(key_col, kind, 1)
+    wexpr = f"CAST({weight_col} AS DOUBLE)" if weight_col else "1.0"
     return f"""
 WITH keyed AS (
-  SELECT {key_col} AS key, {h1} AS h1, {h2} AS h2 FROM {table}
+  SELECT {key_col} AS key, {wexpr} AS wt, {h1} AS h1, {h2} AS h2 FROM {table}
 ),
 buckets AS (
-  SELECT key, i.i AS i, ((h1 + i.i * h2) % {_TWO64}) % {w} AS bucket
+  SELECT key, wt, i.i AS i, ((h1 + i.i * h2) % {_TWO64}) % {w} AS bucket
   FROM keyed CROSS JOIN (SELECT unnest(range({d})) AS i) i
 ),
 counters AS (
-  SELECT i, bucket, CAST(count(*) AS DOUBLE) AS c FROM buckets GROUP BY i, bucket
+  SELECT i, bucket, CAST(sum(wt) AS DOUBLE) AS c FROM buckets GROUP BY i, bucket
 ),
 probe AS (SELECT DISTINCT key, i, bucket FROM buckets),
 est AS (
@@ -166,7 +169,7 @@ est AS (
   FROM probe p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
   GROUP BY p.key
 ),
-exact AS (SELECT key, CAST(count(*) AS DOUBLE) AS exact FROM keyed GROUP BY key)
+exact AS (SELECT key, CAST(sum(wt) AS DOUBLE) AS exact FROM keyed GROUP BY key)
 SELECT e.key AS {out_key}, e.est AS est, x.exact AS exact
 FROM est e JOIN exact x USING (key)
 """

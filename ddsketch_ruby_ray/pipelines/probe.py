@@ -77,8 +77,14 @@ def cms_frequency_pipeline(ds, *, spec, out_key: str):
     ref = _broadcast(cms)
     kind = spec.kind
     key_col = spec.on
+    weight = spec.weight
 
-    per_key = ds.groupby(key_col).count()
+    if weight is None:
+        per_key = ds.groupby(key_col).count()
+        exact_col = "count()"
+    else:
+        per_key = ds.groupby(key_col).sum(weight)
+        exact_col = f"sum({weight})"
 
     def probe(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
@@ -89,7 +95,7 @@ def cms_frequency_pipeline(ds, *, spec, out_key: str):
         else:
             h1, h2 = c.hash_pair_strings(col)
         est = c.estimate_hash_pairs(h1, h2)
-        exact = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        exact = batch.column(exact_col).to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {out_key: col, "est": pa.array(est, pa.float64()), "exact": pa.array(exact, pa.float64())}
         )

@@ -287,6 +287,23 @@ def bloom_customer_membership(sf_dir: str):
     )
 
 
+def bloom_text_membership(sf_dir: str):
+    """STRING-kind Bloom: filter built over document texts, probed by distinct
+    event props (mostly non-members; false positives deterministic)."""
+    from .functions.family_specs import BloomSpec
+    from .pipelines.probe import bloom_membership_pipeline
+
+    build = _read(sf_dir, "documents", ["text"])
+    probe = _read(sf_dir, "events", ["props"])
+    return bloom_membership_pipeline(
+        build,
+        probe,
+        build_spec=BloomSpec(on="text", m_bits=1 << 14, k=5, kind="str"),
+        probe_col="props",
+        out_key="props",
+    )
+
+
 def cms_user_frequencies(sf_dir: str):
     """Count-min estimate vs exact count of events per user_id."""
     from .functions.family_specs import CMSSpec
@@ -295,6 +312,20 @@ def cms_user_frequencies(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
     return cms_frequency_pipeline(
         ds, spec=CMSSpec(on="user_id", w=256, d=4, kind="int"), out_key="user_id"
+    )
+
+
+def cms_weighted_part_quantities(sf_dir: str):
+    """Weighted count-min: total l_quantity shipped per part (weights are
+    first-class floats, matching the DDSketch weighted-add convention)."""
+    from .functions.family_specs import CMSSpec
+    from .pipelines.probe import cms_frequency_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    return cms_frequency_pipeline(
+        ds,
+        spec=CMSSpec(on="l_partkey", weight="l_quantity", w=4096, d=4, kind="int"),
+        out_key="l_partkey",
     )
 
 
@@ -557,7 +588,9 @@ QUERIES = {
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
+    "bloom_text_membership": bloom_text_membership,
     "cms_user_frequencies": cms_user_frequencies,
+    "cms_weighted_part_quantities": cms_weighted_part_quantities,
     "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
     "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
     "exact_dedup_docs": exact_dedup_docs,
@@ -814,6 +847,25 @@ def _family_oracles() -> dict:
         ),
         "cms_user_frequencies": cms_frequency_sql(
             table="events", key_col="user_id", w=256, d=4, kind="int", out_key="user_id"
+        ),
+        "cms_weighted_part_quantities": cms_frequency_sql(
+            table="lineitem",
+            key_col="l_partkey",
+            w=4096,
+            d=4,
+            kind="int",
+            out_key="l_partkey",
+            weight_col="l_quantity",
+        ),
+        "bloom_text_membership": bloom_membership_sql(
+            build_table="documents",
+            build_col="text",
+            probe_table="events",
+            probe_col="props",
+            m_bits=1 << 14,
+            k=5,
+            kind="str",
+            out_key="props",
         ),
     }
 
