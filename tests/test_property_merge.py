@@ -86,6 +86,57 @@ class TestDDSketchProperties:
         assert weighted.negative_store == repeated.negative_store
 
 
+class TestPairsPlanProperties:
+    """The vectorized pairs plan must equal the states plan for ARBITRARY
+    inputs - groups of size 1, all-zero groups, extreme magnitudes, signed
+    values - not just the fixed fixtures."""
+
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 6),  # group id
+                st.floats(min_value=-1e12, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        blocks=st.integers(1, 4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_pairs_equals_states(self, ray_session, data, blocks):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+        from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+        tbl = pa.table(
+            {
+                "g": pa.array([f"g{g}" for g, _ in data]),
+                "v": pa.array([v for _, v in data], pa.float64()),
+            }
+        )
+        spec = DDSketchSpec(on="v", name="s", quantiles=(0.0, 0.5, 1.0),
+                            include_sum_avg=False)
+
+        def run(strategy):
+            df = grouped_sketch_pipeline(
+                rd.from_arrow(tbl).repartition(blocks), [spec], ("g",), strategy=strategy
+            ).to_pandas()
+            return df.sort_values("g").reset_index(drop=True)[sorted(df.columns)]
+
+        a, b = run("states"), run("pairs")
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if a[c].dtype.kind == "f":
+                ok = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                assert ok.all(), (c, av[~ok], bv[~ok])
+            else:
+                assert (av == bv).all(), c
+
+
 class TestFamilyProperties:
     @given(
         keys=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300),
