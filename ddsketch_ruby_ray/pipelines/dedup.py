@@ -29,6 +29,7 @@ __all__ = [
     "tokenize",
     "word_shingles",
     "exact_dedup_pipeline",
+    "exact_dedup_rows_pipeline",
     "minhash_signatures",
     "lsh_candidate_pairs_pipeline",
     "jaccard_pairs_pipeline",
@@ -78,6 +79,30 @@ def exact_dedup_pipeline(ds, *, key_col: str, text_col: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str):
+    """Full-row exact dedup: -> Dataset with one (min-key) row per distinct text.
+
+    Rows are co-located by 128-bit content hash and each hash group keeps its
+    min-key row - the standard one-shuffle dedup shape (content moves exactly
+    once; at petabyte scale prefer exact_dedup_pipeline + a broadcast keep-set
+    when the duplicate fraction is high and rows are wide).
+    """
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        lanes = hash256_str(batch.column(text_col), lanes=2)
+        batch = batch.append_column("_h_hi", pa.array(lanes[0].astype(np.int64)))
+        return batch.append_column("_h_lo", pa.array(lanes[1].astype(np.int64)))
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        winner = int(np.argmin(keys))
+        return group.slice(winner, 1).drop_columns(["_h_hi", "_h_lo"])
+
+    return hashed.groupby(["_h_hi", "_h_lo"]).map_groups(keep_min, batch_format="pyarrow")
 
 
 # -- MinHash + LSH -----------------------------------------------------------

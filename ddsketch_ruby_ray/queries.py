@@ -364,6 +364,15 @@ def exact_dedup_docs(sf_dir: str):
     return exact_dedup_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def exact_dedup_rows(sf_dir: str):
+    """Full-row dedup: the surviving (doc_id, lang, n_chars) rows themselves."""
+    from .pipelines.dedup import exact_dedup_rows_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    out = exact_dedup_rows_pipeline(ds, key_col="doc_id", text_col="text")
+    return out.drop_columns(["text"])
+
+
 def minhash_signatures_docs(sf_dir: str):
     """16-permutation MinHash signature per document (word 3-gram shingles)."""
     from .pipelines.dedup import minhash_signatures
@@ -594,6 +603,7 @@ QUERIES = {
     "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
     "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
     "exact_dedup_docs": exact_dedup_docs,
+    "exact_dedup_rows": exact_dedup_rows,
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
@@ -794,6 +804,13 @@ def _family_oracles() -> dict:
             FROM per_sess GROUP BY user_id
         """,
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
+        "exact_dedup_rows": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
