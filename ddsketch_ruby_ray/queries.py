@@ -543,6 +543,36 @@ def top_tokens(sf_dir: str):
     return counted.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+def curation_counts_by_lang(sf_dir: str):
+    """Composed training-data curation pipeline: quality filter (vectorized
+    predicate inside map_batches) -> full-row exact dedup -> per-lang counts.
+    The end-to-end shape a dataset-curation job takes at 100 TB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.dedup import exact_dedup_rows_pipeline
+    from .stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def filter_quality(t: pa.Table) -> pa.Table:
+        t = quality_scores(t, text_col="text")
+        keep = pc.and_(
+            pc.greater_equal(t.column("alpha_ratio"), 0.5),
+            pc.greater_equal(t.column("n_tokens"), 20),
+        )
+        return t.filter(keep).select(["doc_id", "lang", "text"])
+
+    filtered = ds.map_batches(filter_quality, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = exact_dedup_rows_pipeline(filtered, key_col="doc_id", text_col="text")
+    counted = deduped.groupby("lang").count()
+    return counted.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "kept": pc.cast(t.column("count()"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def quality_scores_docs(sf_dir: str):
     """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
     from .stages.text import quality_scores
@@ -615,6 +645,7 @@ QUERIES = {
     "top_tokens": top_tokens,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
+    "curation_counts_by_lang": curation_counts_by_lang,
     "lang_id_docs": lang_id_docs,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
@@ -842,6 +873,28 @@ def _family_oracles() -> dict:
         "quality_scores_docs": quality_scores_sql(
             table="documents", key_col="doc_id", text_col="text"
         ),
+        "curation_counts_by_lang": """
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '[a-zA-Z]'))
+                       / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                     len(regexp_extract_all(text, '[^ ]+')) AS n_tokens
+              FROM documents
+            ),
+            filtered AS (
+              SELECT doc_id, lang, text FROM q
+              WHERE alpha_ratio >= 0.5 AND n_tokens >= 20
+            ),
+            deduped AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM filtered
+              ) WHERE rn = 1
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS kept
+            FROM deduped GROUP BY lang
+        """,
         "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
         "winnow_fingerprints_docs": winnow_sql(
             table="documents", key_col="doc_id", text_col="text"
