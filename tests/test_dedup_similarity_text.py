@@ -237,6 +237,54 @@ class TestSimilarity:
         assert same >= 45  # near-identical vectors nearly always share buckets
 
 
+class TestOracleFuzz:
+    def test_dedup_mirrors_on_hostile_text(self, ray_session):
+        """minhash/simhash SQL mirrors hold for unicode, quotes, SQL-special
+        characters, emoji, tabs, empty and whitespace-only documents."""
+        import random
+
+        import duckdb
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.dedup_oracle import (
+            minhash_signature_sql,
+            simhash_sql,
+        )
+        from ddsketch_ruby_ray.pipelines.dedup import minhash_signatures, simhash_pipeline
+
+        rng = random.Random(7)
+        weird = ["naïve", "日本語", "it's", 'quo"te', "a\\b", "x%y_", "🙂ok",
+                 "<tag>", "$(cmd)", "tab\tchar", "'", "''", "--c", "0x1f"]
+        docs = [" ".join(rng.choice(weird) for _ in range(rng.randint(0, 12)))
+                for _ in range(120)] + ["", " ", "   ", "single"]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+        )
+        con = duckdb.connect()
+        con.register("documents_arrow", tbl)
+        con.sql("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+        ds = rd.from_arrow(tbl).repartition(5)
+
+        def assert_match(mine, sql):
+            theirs = con.sql(sql).df()
+            a = mine[sorted(mine.columns)].sort_values(
+                by=sorted(mine.columns)).reset_index(drop=True)
+            b = theirs[sorted(theirs.columns)].sort_values(
+                by=sorted(theirs.columns)).reset_index(drop=True)
+            assert len(a) == len(b)
+            for c in a.columns:
+                assert (a[c].values == b[c].values).all(), c
+
+        assert_match(
+            minhash_signatures(ds, key_col="doc_id", text_col="text").to_pandas(),
+            minhash_signature_sql(table="documents", key="doc_id", text="text"),
+        )
+        assert_match(
+            simhash_pipeline(ds, key_col="doc_id", text_col="text").to_pandas(),
+            simhash_sql(table="documents", key="doc_id", text="text"),
+        )
+
+
 class TestTextAnalysis:
     def test_lang_id_markers(self, ray_session):
         import ray.data as rd
