@@ -285,6 +285,66 @@ class TestOracleFuzz:
         )
 
 
+class TestTextOracleFuzz:
+    def test_text_mirrors_on_hostile_text(self, ray_session):
+        """quality/lang-id/winnowing mirrors hold for unicode, emoji, long
+        runs, empty and whitespace-only docs (character-based substr/length
+        semantics agree between python slicing and DuckDB)."""
+        import random
+
+        import duckdb
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.text_oracle import (
+            lang_id_sql,
+            quality_scores_sql,
+            winnow_sql,
+        )
+        from ddsketch_ruby_ray.stages.text import lang_id, quality_scores, winnow_fingerprints
+
+        rng = random.Random(9)
+        weird = ["naïve", "日本語中文", "it's", 'quo"te', "a\\b", "123", "!?!",
+                 "🙂", "der", "the", "la", "le", "und", "\t", "x" * 300]
+        docs = [" ".join(rng.choice(weird) for _ in range(rng.randint(0, 15)))
+                for _ in range(100)] + ["", " ", "ab"]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+        )
+        con = duckdb.connect()
+        con.register("da", tbl)
+        con.sql("CREATE VIEW documents AS SELECT * FROM da")
+        ds = rd.from_arrow(tbl).repartition(4)
+
+        def assert_match(mine, sql):
+            theirs = con.sql(sql).df()
+            a = mine[sorted(mine.columns)].sort_values("doc_id").reset_index(drop=True)
+            b = theirs[sorted(theirs.columns)].sort_values("doc_id").reset_index(drop=True)
+            for c in a.columns:
+                assert (a[c].values == b[c].values).all(), c
+
+        assert_match(
+            ds.map_batches(
+                lambda t: quality_scores(t, text_col="text").drop_columns(["text"]),
+                batch_format="pyarrow",
+            ).to_pandas(),
+            quality_scores_sql(table="documents", key_col="doc_id", text_col="text"),
+        )
+        assert_match(
+            ds.map_batches(
+                lambda t: lang_id(t, text_col="text").drop_columns(["text"]),
+                batch_format="pyarrow",
+            ).to_pandas(),
+            lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        )
+        assert_match(
+            ds.map_batches(
+                lambda t: winnow_fingerprints(t, key_col="doc_id", text_col="text"),
+                batch_format="pyarrow",
+            ).to_pandas(),
+            winnow_sql(table="documents", key_col="doc_id", text_col="text"),
+        )
+
+
 class TestTextAnalysis:
     def test_lang_id_markers(self, ray_session):
         import ray.data as rd
