@@ -68,6 +68,11 @@ def hash256_str(col, lanes: int = 1) -> list[np.ndarray]:
 
     Lane ``i`` is bytes ``8*i : 8*i+8`` of the digest, big-endian - exactly
     ``('0x' || substr(sha256(col), 1 + 16*i, 16))::UBIGINT`` in DuckDB.
+
+    Null policy: a null value hashes as the EMPTY STRING (the SQL mirror is
+    ``sha256(coalesce(col, ''))``, which :func:`sha_lane_sql` applies), so a
+    corpus with null text rows flows through every hash pipeline with a
+    defined, oracle-consistent result instead of an opaque TypeError.
     """
     assert 1 <= lanes <= 4
     if isinstance(col, pa.ChunkedArray):
@@ -75,10 +80,12 @@ def hash256_str(col, lanes: int = 1) -> list[np.ndarray]:
     if isinstance(col, pa.Array):
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             col = col.cast(pa.binary() if pa.types.is_string(col.type) else pa.large_binary())
-        digests = [hashlib.sha256(b.as_py()).digest() for b in col]
+        digests = [hashlib.sha256(b.as_py() or b"").digest() for b in col]
     else:  # numpy object array / list of str or bytes
         digests = [
-            hashlib.sha256(s if isinstance(s, bytes) else str(s).encode("utf-8")).digest()
+            hashlib.sha256(
+                s if isinstance(s, bytes) else b"" if s is None else str(s).encode("utf-8")
+            ).digest()
             for s in col
         ]
     out = []
@@ -135,6 +142,10 @@ def splitmix64_sql(x: str, seed: int = 0, normalize: bool = True) -> str:
 
 
 def sha_lane_sql(col: str, lane: int = 0) -> str:
-    """SQL expression (UBIGINT) = lane ``lane`` of ``hash256_str(col)``."""
+    """SQL expression (UBIGINT) = lane ``lane`` of ``hash256_str(col)``.
+
+    ``coalesce(col, '')`` mirrors the Python side's null-as-empty-string
+    policy (see :func:`hash256_str`).
+    """
     assert 0 <= lane <= 3
-    return f"('0x' || substr(sha256({col}), {1 + 16 * lane}, 16))::UBIGINT"
+    return f"('0x' || substr(sha256(coalesce({col}, '')), {1 + 16 * lane}, 16))::UBIGINT"

@@ -6,12 +6,17 @@ Scale shapes (the 100 TB story):
     text.  (60-bit hashes collide at 10^12 rows; 128 bits do not.)
   * MinHash+LSH: per-row signatures in map_batches (vectorized reduceat over
     all shingles in a batch), then a groupby on (band, bucket) whose groups
-    are tiny by construction; candidate pairs come out of map_groups.
+    are tiny by construction; candidate pairs come out of map_groups.  The
+    bucket id is a splitmix64 fold of the band's minhash slots (one uint64
+    per row x band - no Python string building).
   * SimHash: one 64-bit signature per row, near-dup candidates via band
     equality - same groupby shape.
-  * Jaccard verify: exact similarity only for LSH candidates (never all
-    pairs); candidate shingle sets are broadcast (ray.put) because LSH has
-    already shrunk them to a tiny side.
+  * Jaccard verify: exact similarity computed INSIDE each (band, bucket)
+    group - the shingle-HASH sets (8 bytes/shingle, never the text) ride the
+    same shuffle as the bucket rows, so verification is distributed and
+    nothing is ever materialized on the driver; cross-band duplicate pairs
+    collapse in a final (a, b) groupby whose value is identical in every
+    band by construction.
 
 Every stage is deterministic (sha256 / splitmix64 hashing - see
 core/hashing.py) and mirrored bit-for-bit in DuckDB SQL
@@ -23,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.hashing import hash64_int, hash256_str
+from ..core.hashing import hash64_int, hash256_str, splitmix64
 
 __all__ = [
     "tokenize",
@@ -39,8 +44,13 @@ __all__ = [
 SPLIT_CHAR = " "  # literal split; mirrored by string_split(text, ' ') in SQL
 
 
-def tokenize(text: str) -> list[str]:
-    """Literal single-space split, empties dropped (= SQL string_split + filter)."""
+def tokenize(text: str | None) -> list[str]:
+    """Literal single-space split, empties dropped (= SQL string_split + filter).
+
+    Null text tokenizes like the empty string (see hash256_str's null policy).
+    """
+    if not text:
+        return []
     return [t for t in text.split(SPLIT_CHAR) if t]
 
 
@@ -138,16 +148,18 @@ def minhash_signatures(ds, *, key_col: str, text_col: str, num_hashes: int = 16,
         n_docs = len(bounds) - 1
         cols = {key_col: batch.column(key_col)}
         starts = bounds[:-1]
-        empty = bounds[1:] == starts
-        safe_starts = np.minimum(starts, max(0, flat.size - 1))
+        # reduceat only over NON-EMPTY docs' starts: consecutive non-empty
+        # starts delimit exact segments (empty docs have zero width), and a
+        # trailing empty doc would otherwise need a start == flat.size, which
+        # reduceat rejects — clamping it would truncate the previous doc's
+        # segment (silently dropping its last shingle).
+        valid = bounds[1:] > starts
         for i in range(num_hashes):
-            if flat.size:
+            mins = np.full(n_docs, sentinel, dtype=np.int64)
+            if flat.size and valid.any():
                 h = (hash64_int(flat.astype(np.int64), seed=i) >> np.uint64(1)).astype(np.int64)
-                mins = np.minimum.reduceat(h, safe_starts) if n_docs else h[:0]
-                mins = np.where(empty, sentinel, mins)
-            else:
-                mins = np.full(n_docs, sentinel)
-            cols[f"m{i}"] = pa.array(mins.astype(np.int64))
+                mins[valid] = np.minimum.reduceat(h, starts[valid])
+            cols[f"m{i}"] = pa.array(mins)
         return pa.table(cols)
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -297,19 +309,16 @@ def simhash_pipeline(ds, *, key_col: str, text_col: str):
             toks = tokenize(t)
             all_toks.extend(toks)
             bounds.append(len(all_toks))
-        if all_toks:
+        sums = np.zeros((len(texts), 64), dtype=np.int64)
+        starts = np.asarray(bounds[:-1])
+        valid = np.asarray(bounds[1:]) > starts  # non-empty docs only (see minhash note)
+        if all_toks and valid.any():
             h = hash256_str(np.array(all_toks, dtype=object), lanes=1)[0]
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )
             votes = bits * 2 - 1  # (n_tokens, 64) in {-1, +1}
-            starts = np.asarray(bounds[:-1])
-            empty = np.asarray(bounds[1:]) == starts
-            safe = np.minimum(starts, max(0, len(all_toks) - 1))
-            sums = np.add.reduceat(votes, safe, axis=0)
-            sums[empty] = 0
-        else:
-            sums = np.zeros((len(texts), 64), dtype=np.int64)
+            sums[valid] = np.add.reduceat(votes, starts[valid], axis=0)
         simhash = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64
         )

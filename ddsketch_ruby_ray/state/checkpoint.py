@@ -12,10 +12,13 @@ Layout under ``checkpoint_dir``:
     run-000/*.parquet          - state table for that run's shards
     run-001/*.parquet          - ...
 
-Commit protocol: a run's states are written via ``write_parquet`` first; the
-manifest is then atomically replaced (tmp + rename).  A crash before the
-rename leaves an orphan run dir that the next attempt overwrites - shards are
-only ever skipped when their states are durably committed.  Because sketch
+Commit protocol: the run dir is cleared (``shutil.rmtree``), the run's states
+are written via ``write_parquet``, then the manifest is atomically replaced
+(tmp + rename).  A crash before the rename leaves an orphan run dir whose
+files the retry DELETES before re-writing — ``write_parquet`` in Ray 2.49
+APPENDS into an existing directory, so without the rmtree a retry into the
+same run id would double-count every shard's states.  Shards are only ever
+skipped when their states are durably committed.  Because sketch
 merge is associative/commutative and accumulation is deterministic per shard,
 re-processing after a crash yields bit-identical final results.
 
@@ -30,6 +33,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 from typing import Sequence
 
@@ -96,6 +100,10 @@ class CheckpointedRun:
 
         run_id = f"run-{len(self.manifest()['runs']):03d}"
         out_dir = os.path.join(self.dir, run_id)
+        # A crashed previous attempt may have left files under this run id;
+        # write_parquet APPENDS into an existing dir, so clear it first or the
+        # retry would commit two copies of every shard's states.
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = read_corpus(pending, self.columns, num_blocks=len(pending))
         rows = ds.count()

@@ -121,6 +121,42 @@ class TestCheckpointResume:
         # counts reflect only committed shards (3 of 6 -> half the corpus)
         assert df_with_orphan["bytes_count"].sum() < 3000
 
+    def test_crash_between_write_and_commit_then_retry(
+        self, ray_session, corpus_files, tmp_path, monkeypatch
+    ):
+        """Regression: a crash AFTER write_parquet but BEFORE the manifest
+        rename leaves run-000 files; the retry reuses run id run-000 and must
+        NOT append a second copy of every shard's states (Ray's write_parquet
+        appends into an existing dir)."""
+        specs, derive = _specs()
+        ck_dir = str(tmp_path / "ck6")
+        run = CheckpointedRun(ck_dir, specs, ("lang",), derive=derive,
+                              columns=["repo", "lang", "content"])
+        orig_commit = CheckpointedRun._commit
+        state = {"calls": 0}
+
+        def crashing_commit(self, entry):
+            state["calls"] += 1
+            if state["calls"] == 1:
+                raise RuntimeError("simulated crash pre-commit")
+            return orig_commit(self, entry)
+
+        monkeypatch.setattr(CheckpointedRun, "_commit", crashing_commit)
+        with pytest.raises(RuntimeError):
+            run.process(corpus_files, max_shards=2)
+        # orphan run-000 parquet files exist but are uncommitted
+        assert glob.glob(os.path.join(ck_dir, "run-000", "*.parquet"))
+        assert run.manifest()["runs"] == []
+
+        # fresh driver retries into the SAME run id, then finishes the rest
+        run2 = CheckpointedRun(ck_dir, specs, ("lang",), derive=derive,
+                               columns=["repo", "lang", "content"])
+        e1 = run2.process(corpus_files, max_shards=2)
+        assert e1["run_id"] == "run-000"
+        run2.process(corpus_files)
+        total = _result_df(run2)["bytes_count"].sum()
+        assert total == 3000  # every row counted exactly once, no double-append
+
     def test_result_without_checkpoints_raises(self, ray_session, tmp_path):
         specs, derive = _specs()
         run = CheckpointedRun(str(tmp_path / "ck5"), specs, ("lang",), derive=derive)

@@ -99,6 +99,99 @@ class TestMinHashLSH:
         assert (a.values == b.values).all()
 
 
+class TestEmptyDocBoundaries:
+    """Regression: a batch whose FINAL doc(s) are empty/null must not truncate
+    the preceding doc's reduceat segment (minhash + simhash)."""
+
+    CASES = [
+        ["alpha beta gamma delta epsilon zeta", "", ""],
+        ["alpha beta gamma delta epsilon zeta", None],
+        ["", "alpha beta gamma delta epsilon zeta", "", "other words here too now", ""],
+        ["", "", ""],
+        [None, "", None],
+    ]
+
+    @staticmethod
+    def _one_block(texts):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return rd.from_arrow(t)
+
+    def test_minhash_trailing_empty_does_not_truncate(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import minhash_signatures
+
+        for texts in self.CASES:
+            batched = (
+                minhash_signatures(self._one_block(texts), key_col="doc_id", text_col="text")
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            for i, txt in enumerate(texts):
+                solo = minhash_signatures(
+                    self._one_block([txt]), key_col="doc_id", text_col="text"
+                ).to_pandas()
+                mcols = [c for c in batched.columns if c.startswith("m")]
+                assert (
+                    batched.loc[i, mcols].to_numpy().astype(np.int64)
+                    == solo.loc[0, mcols].to_numpy().astype(np.int64)
+                ).all(), (texts, i)
+
+    def test_minhash_empty_docs_get_sentinel(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import minhash_signatures
+
+        out = (
+            minhash_signatures(
+                self._one_block(["words here now", "", None]), key_col="doc_id", text_col="text"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        sent = 2**63 - 1
+        mcols = [c for c in out.columns if c.startswith("m")]
+        assert (out.loc[1, mcols] == sent).all()
+        assert (out.loc[2, mcols] == sent).all()
+        assert not (out.loc[0, mcols] == sent).any()
+
+    def test_simhash_trailing_empty_does_not_truncate(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import simhash_pipeline
+
+        for texts in self.CASES:
+            batched = (
+                simhash_pipeline(self._one_block(texts), key_col="doc_id", text_col="text")
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            for i, txt in enumerate(texts):
+                solo = simhash_pipeline(
+                    self._one_block([txt]), key_col="doc_id", text_col="text"
+                ).to_pandas()
+                assert int(batched.loc[i, "simhash_hi"]) == int(solo.loc[0, "simhash_hi"]), (
+                    texts,
+                    i,
+                )
+                assert int(batched.loc[i, "simhash_lo"]) == int(solo.loc[0, "simhash_lo"])
+
+    def test_null_text_flows_through_exact_dedup(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import exact_dedup_pipeline
+
+        kept = exact_dedup_pipeline(
+            self._one_block(["same text", None, "", "same text", None]),
+            key_col="doc_id",
+            text_col="text",
+        ).to_pandas()
+        # null == '' under the policy: {0} for "same text", {1} for ''/null
+        assert set(kept["doc_id"]) == {0, 1}
+
+
 class TestSimHash:
     def test_identical_and_near_duplicate_hamming(self, ray_session):
         from ddsketch_ruby_ray.pipelines.dedup import simhash_pipeline
