@@ -176,11 +176,22 @@ class CubicallyInterpolatedKeyMapping(KeyMapping):
         # Solve A*s^3 + B*s^2 + C*s = frac for s in [0,1) via Cardano's formula,
         # in the exact algebraic form of the reference (cubically_interpolated_
         # key_mapping.rb:48-63) so round-trips agree to the last ulp.
+        a, b, c = self._A, self._B, self._C
+        delta_0 = b * b - 3.0 * a * c
+        if np.ndim(value) == 0:
+            # Scalar path (quantile finalize): libm cbrt via math.cbrt, which
+            # is bit-identical to DuckDB's cbrt - np.cbrt is numpy's own
+            # kernel and differs in the last ulp, breaking the SQL oracle.
+            x = float(value) / self._multiplier
+            exponent = math.floor(x)
+            frac = x - exponent
+            delta_1 = 2.0 * b**3 - 9.0 * a * b * c - 27.0 * a * a * frac
+            cardano = math.cbrt((delta_1 - math.sqrt(delta_1 * delta_1 - 4.0 * delta_0**3)) / 2.0)
+            significand_plus_one = -(b + cardano + delta_0 / cardano) / (3.0 * a) + 1.0
+            return math.ldexp(significand_plus_one / 2.0, int(exponent + 1))
         x = np.asarray(value, dtype=np.float64) / self._multiplier
         exponent = np.floor(x)
         frac = x - exponent
-        a, b, c = self._A, self._B, self._C
-        delta_0 = b * b - 3.0 * a * c
         delta_1 = 2.0 * b**3 - 9.0 * a * b * c - 27.0 * a * a * frac
         cardano = np.cbrt((delta_1 - np.sqrt(delta_1 * delta_1 - 4.0 * delta_0**3)) / 2.0)
         significand_plus_one = -(b + cardano + delta_0 / cardano) / (3.0 * a) + 1.0

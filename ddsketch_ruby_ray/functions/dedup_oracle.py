@@ -95,23 +95,53 @@ SELECT key AS {key}, {cols} FROM mh GROUP BY key
 """
 
 
+def _bucket_fold_ctes(num_hashes: int, bands: int, key: str = "key") -> str:
+    """CTE chain computing the LSH band bucket: acc_j = splitmix64(acc_{j-1}
+    + slot_j), acc_{-1} = 0 (mirrors pipelines/dedup.py::_band_buckets).
+
+    One CTE per fold step so each splitmix64 expands over a short column
+    name - NESTING splitmix64_sql calls would blow the expression up ~32x
+    per level.  Expects an upstream CTE ``sigs`` (key, m0..m{K-1}); produces
+    ``buckets`` (key, band, bucket HUGEINT in [0, 2^64)).  Bucket equality
+    classes match the Python int64 buckets exactly (uint64<->int64 is a
+    bijection, and only equality is ever used).
+    """
+    r = num_hashes // bands
+    ctes = []
+    slot_cols = ", ".join(
+        "CASE b.band "
+        + " ".join(f"WHEN {b} THEN m{b * r + j}" for b in range(bands))
+        + f" END AS s{j}"
+        for j in range(r)
+    )
+    ctes.append(
+        f"slots AS (SELECT {key} AS key, b.band AS band, {slot_cols} "
+        f"FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band) b)"
+    )
+    prev = "slots"
+    acc = None
+    for j in range(r):
+        # slots are int64 in [0, 2^63): s::HUGEINT is already the uint64 value
+        step_in = f"s{j}::HUGEINT" if acc is None else f"(({acc} + s{j}::HUGEINT) % {_TWO64})"
+        keep = ", ".join(f"s{jj}" for jj in range(j + 1, r))
+        keep = (", " + keep) if keep else ""
+        ctes.append(
+            f"fold{j} AS (SELECT key, band, "
+            f"{splitmix64_sql(step_in, normalize=False)} AS acc{j}{keep} FROM {prev})"
+        )
+        prev, acc = f"fold{j}", f"acc{j}"
+    ctes.append(f"buckets AS (SELECT key, band, {acc} AS bucket FROM {prev})")
+    return ",\n".join(ctes)
+
+
 def lsh_pairs_sql(
     *, table: str, key: str, text: str, num_hashes: int = 16, bands: int = 4, n: int = 3
 ) -> str:
     """Distinct (a, b) key pairs sharing >= 1 band bucket (a < b)."""
-    r = num_hashes // bands
-    band_cases = " ".join(
-        f"WHEN {b} THEN concat_ws('-', {', '.join(f'm{b * r + j}' for j in range(r))})"
-        for b in range(bands)
-    )
     sig_sql = minhash_signature_sql(table=table, key=key, text=text, num_hashes=num_hashes, n=n)
     return f"""
 WITH sigs AS ({sig_sql}),
-buckets AS (
-  SELECT {key} AS key, b.band,
-         CASE b.band {band_cases} END AS bucket
-  FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band) b
-)
+{_bucket_fold_ctes(num_hashes, bands, key)}
 SELECT DISTINCT x.key AS a, y.key AS b
 FROM buckets x JOIN buckets y
   ON x.band = y.band AND x.bucket = y.bucket AND x.key < y.key

@@ -32,22 +32,52 @@ def _consts(alpha: float, mapping: str = "log"):
     # literals are the very same doubles the Ray pipeline computes with
     # (computing e.g. ln2/ln(gamma) here instead of the mapping's
     # (1/log1p(gamma-1))*ln2 differs by ulps, amplified by the key magnitude).
-    from ..core.mapping import LinearlyInterpolatedKeyMapping, LogarithmicKeyMapping
+    from ..core.mapping import (
+        CubicallyInterpolatedKeyMapping,
+        LinearlyInterpolatedKeyMapping,
+        LogarithmicKeyMapping,
+    )
 
-    cls = {"log": LogarithmicKeyMapping, "linear": LinearlyInterpolatedKeyMapping}[mapping]
+    cls = {
+        "log": LogarithmicKeyMapping,
+        "linear": LinearlyInterpolatedKeyMapping,
+        "cubic": CubicallyInterpolatedKeyMapping,
+    }[mapping]
     mp = cls(alpha)
     coef = 2.0 / (1.0 + mp.gamma)
     return mp.gamma, mp._multiplier, coef, mp.min_possible
+
+
+# Cubic-mapping constants, computed HERE with the same Python float evaluation
+# order as CubicallyInterpolatedKeyMapping._pow_gamma so the SQL literals are
+# the very same doubles (see _consts note).
+_CUBIC_A = 6.0 / 35.0
+_CUBIC_B = -3.0 / 5.0
+_CUBIC_C = 10.0 / 7.0
+_CUBIC_D0 = _CUBIC_B * _CUBIC_B - 3.0 * _CUBIC_A * _CUBIC_C
+_CUBIC_D1C = 2.0 * _CUBIC_B**3 - 9.0 * _CUBIC_A * _CUBIC_B * _CUBIC_C
+_CUBIC_27AA = 27.0 * _CUBIC_A * _CUBIC_A
+_CUBIC_4D03 = 4.0 * _CUBIC_D0**3
+_CUBIC_3A = 3.0 * _CUBIC_A
 
 
 def _key_sql(v: str, m: float, mapping: str) -> str:
     """Bucket key of a POSITIVE double expression, per mapping variant."""
     if mapping == "log":
         return f"CAST(ceil(log2({v}) * {m:.17e}) AS BIGINT)"
-    # linear (frexp interpolation): v = mant * 2^e, mant in [0.5, 1)
+    # frexp in SQL: v = mant * 2^e, mant in [0.5, 1)
     e = f"(floor(log2({v})) + 1)"
     mant = f"({v} * power(2.0, -{e}))"
-    return f"CAST(ceil((2 * {mant} - 1 + ({e} - 1)) * {m:.17e}) AS BIGINT)"
+    if mapping == "linear":
+        return f"CAST(ceil((2 * {mant} - 1 + ({e} - 1)) * {m:.17e}) AS BIGINT)"
+    assert mapping == "cubic", mapping
+    # s = 2*mant - 1 in [0, 1); approx = ((A*s + B)*s + C)*s + (e - 1)
+    s = f"(2 * {mant} - 1)"
+    approx = (
+        f"((({_CUBIC_A:.17e} * {s} + {_CUBIC_B:.17e}) * {s} + {_CUBIC_C:.17e}) * {s}"
+        f" + ({e} - 1))"
+    )
+    return f"CAST(ceil({approx} * {m:.17e}) AS BIGINT)"
 
 
 def _value_sql(k: str, m: float, coef: float, mapping: str) -> str:
@@ -56,8 +86,19 @@ def _value_sql(k: str, m: float, coef: float, mapping: str) -> str:
         return f"power(2.0, {k} / {m:.17e}) * {coef:.17e}"
     x = f"(({k}) / {m:.17e})"
     fx = f"floor({x})"
-    mant = f"(({x} - {fx} + 1.0) / 2.0)"
-    return f"({mant} * power(2.0, {fx} + 1.0)) * {coef:.17e}"
+    if mapping == "linear":
+        mant = f"(({x} - {fx} + 1.0) / 2.0)"
+        return f"({mant} * power(2.0, {fx} + 1.0)) * {coef:.17e}"
+    assert mapping == "cubic", mapping
+    # Cardano inverse in the exact evaluation order of
+    # CubicallyInterpolatedKeyMapping._pow_gamma (every constant precomputed
+    # with the same Python float ops, embedded as 17-digit literals)
+    frac = f"({x} - {fx})"
+    d1 = f"({_CUBIC_D1C:.17e} - {_CUBIC_27AA:.17e} * {frac})"
+    sq = f"sqrt({d1} * {d1} - {_CUBIC_4D03:.17e})"
+    card = f"cbrt(({d1} - {sq}) / 2.0)"
+    splus1 = f"(-({_CUBIC_B:.17e} + {card} + {_CUBIC_D0:.17e} / {card}) / {_CUBIC_3A:.17e} + 1.0)"
+    return f"(({splus1} / 2.0) * power(2.0, {fx} + 1.0)) * {coef:.17e}"
 
 
 def ddsketch_quantile_sql(

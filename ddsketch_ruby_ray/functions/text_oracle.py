@@ -62,9 +62,78 @@ FROM m
 
 
 def winnow_sql(
-    *, table: str, key_col: str, text_col: str, k: int = 8, window: int = 4
+    *,
+    table: str,
+    key_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    gram_hash: str = "fold",
 ) -> str:
-    """(key, n_fp, fp_xor) winnowing fingerprints, mirroring winnow_fingerprints."""
+    """(key, n_fp, fp_xor) winnowing fingerprints, mirroring winnow_fingerprints.
+
+    ``gram_hash="fold"`` mirrors the vectorized codepoint-fold gram hash:
+    per char position, lead() pulls the next k-1 codepoints, then a CTE
+    chain applies acc = splitmix64(acc + cp) (one CTE per step - nesting
+    splitmix64_sql would blow the expression up ~32x per level).
+    ``gram_hash="sha256"`` mirrors the cryptographic verification variant.
+    """
+    if gram_hash == "fold":
+        from ..core.hashing import splitmix64_sql
+
+        _TWO64 = "18446744073709551616"
+        leads = ", ".join(f"lead(cp, {j}) OVER w AS c{j}" for j in range(1, k))
+        ctes = [
+            f"""chars AS (
+  SELECT {key_col} AS key, i.i AS pos, unicode(substr({text_col}, i.i, 1)) AS cp
+  FROM {table},
+       LATERAL (SELECT unnest(range(1, length({text_col}) + 1)) AS i) i
+)""",
+            f"""seq AS (
+  SELECT key, pos, cp AS c0, {leads}
+  FROM chars WINDOW w AS (PARTITION BY key ORDER BY pos)
+)""",
+        ]
+        prev, acc = "seq", None
+        for j in range(k):
+            step_in = (
+                f"c{j}::HUGEINT" if acc is None else f"(({acc} + c{j}::HUGEINT) % {_TWO64})"
+            )
+            keep = ", ".join(f"c{jj}" for jj in range(j + 1, k))
+            keep = (", " + keep) if keep else ""
+            guard = f" WHERE c{k - 1} IS NOT NULL" if j == 0 else ""
+            ctes.append(
+                f"f{j} AS (SELECT key, pos, "
+                f"{splitmix64_sql(step_in, normalize=False)} AS acc{j}{keep} FROM {prev}{guard})"
+            )
+            prev, acc = f"f{j}", f"acc{j}"
+        ctes.append(f"grams AS (SELECT key, pos, ({acc} // 2)::BIGINT AS h FROM {prev})")
+        gram_ctes = ",\n".join(ctes)
+        return f"""
+WITH {gram_ctes},
+wins AS (
+  SELECT key, pos,
+         min(h) OVER (
+           PARTITION BY key ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+         ) AS wmin,
+         lead(h, {window - 1}) OVER (PARTITION BY key ORDER BY pos) AS h_end
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT key, wmin::BIGINT AS fp
+  FROM wins WHERE h_end IS NOT NULL
+),
+agg AS (
+  SELECT key, count(*) AS n_fp, bit_xor(fp) AS fp_xor FROM fps GROUP BY key
+),
+alldocs AS (SELECT {key_col} AS key FROM {table})
+SELECT d.key AS {key_col},
+       coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+       coalesce(a.fp_xor, 0)::BIGINT AS fp_xor
+FROM alldocs d LEFT JOIN agg a ON a.key = d.key
+"""
+    assert gram_hash == "sha256", gram_hash
     return f"""
 WITH grams AS (
   SELECT {key_col} AS key, i.i AS pos,

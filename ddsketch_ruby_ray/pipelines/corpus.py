@@ -45,10 +45,10 @@ def sketch_states(
     actor); the default (None) uses stateless tasks, which Ray schedules
     more flexibly - both execute the identical vectorized kernel.
 
-    NULL group keys: the accumulator itself groups them correctly (their own
-    group, like SQL GROUP BY), but Ray's sort-shuffle cannot ORDER null
-    string keys when the downstream ``merge_sketch_states`` groupby runs -
-    use ``strategy="rows"`` for corpora whose key columns contain nulls.
+    NULL group keys: the accumulator groups them correctly (their own group,
+    like SQL GROUP BY), and ``merge_sketch_states`` encodes them to
+    (filled value, validity flag) pairs around the shuffle, since Ray's
+    sort-shuffle cannot ORDER null keys.
     """
     acc = SketchStateAccumulator(specs, group_keys, derive=derive)
     kwargs = {}
@@ -62,6 +62,66 @@ def sketch_states(
     )
 
 
+def _null_fill_value(ty):
+    import pyarrow as pa
+
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return ""
+    if pa.types.is_floating(ty):
+        return 0.0
+    if pa.types.is_integer(ty):
+        return 0
+    if pa.types.is_boolean(ty):
+        return False
+    return None  # unsupported type: leave nulls alone (Ray will raise as before)
+
+
+def _encode_null_keys(states, group_keys):
+    """Null group keys -> (filled value, validity flag) column pairs.
+
+    Ray's sort-based shuffle cannot order null keys; SQL GROUP BY treats null
+    as its own group.  Encoding each key as (fill_null(k, default),
+    ``_isnull_k`` in {0,1}) and grouping by BOTH preserves exact SQL
+    semantics (a null never collides with a real default value because the
+    flag differs) through a null-free shuffle; ``_decode_null_keys``
+    restores the nulls afterwards.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = list(group_keys)
+
+    def enc(t: pa.Table) -> pa.Table:
+        for k in keys:
+            col = t.column(k)
+            fill = _null_fill_value(col.type)
+            flag = pc.cast(pc.is_null(col), pa.int32())
+            if fill is not None:
+                idx = t.schema.get_field_index(k)
+                t = t.set_column(idx, k, pc.fill_null(col, fill))
+            t = t.append_column(f"_isnull_{k}", flag)
+        return t
+
+    return states.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decode_null_keys(out, group_keys):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = list(group_keys)
+
+    def dec(t: pa.Table) -> pa.Table:
+        for k in keys:
+            mask = pc.cast(t.column(f"_isnull_{k}"), pa.bool_())
+            col = t.column(k)
+            idx = t.schema.get_field_index(k)
+            t = t.set_column(idx, k, pc.if_else(mask, pa.scalar(None, type=col.type), col))
+        return t.drop_columns([f"_isnull_{k}" for k in keys])
+
+    return out.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def merge_sketch_states(
     states,
     specs: Sequence[SketchSpec],
@@ -73,12 +133,20 @@ def merge_sketch_states(
 
     Output: one struct column per spec (``spec.name``), flattened by callers
     via :func:`ddsketch_ruby_ray.stages.unnest`.
+
+    NULL group keys are supported: keys are encoded to (filled value,
+    validity flag) pairs around the shuffle - SQL GROUP BY semantics (null is
+    its own group) at the cost of one int32 per key on the KB-sized state
+    table.
     """
     if coalesce:
         states = coalesce_states(states, coalesce)
     aggs = [SketchStateMergeAgg(spec) for spec in specs]
     if group_keys:
-        return states.groupby(list(group_keys)).aggregate(*aggs)
+        states = _encode_null_keys(states, group_keys)
+        shuffle_keys = list(group_keys) + [f"_isnull_{k}" for k in group_keys]
+        out = states.groupby(shuffle_keys).aggregate(*aggs)
+        return _decode_null_keys(out, group_keys)
     return states.aggregate(*aggs)
 
 

@@ -91,28 +91,46 @@ def exact_dedup_pipeline(ds, *, key_col: str, text_col: str):
     )
 
 
-def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str):
+def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int = 64):
     """Full-row exact dedup: -> Dataset with one (min-key) row per distinct text.
 
-    Rows are co-located by 128-bit content hash and each hash group keeps its
-    min-key row - the standard one-shuffle dedup shape (content moves exactly
-    once; at petabyte scale prefer exact_dedup_pipeline + a broadcast keep-set
-    when the duplicate fraction is high and rows are wide).
+    Rows are co-located by a PARTITION of the 128-bit content hash (so the
+    shuffle fans into ``num_partitions`` reduce tasks, not one Python
+    map_groups call per distinct document) and each partition keeps its
+    min-key rows with ONE lexsort + boundary scan - no per-group Python at
+    any cardinality.  Content moves exactly once; at petabyte scale prefer
+    exact_dedup_pipeline + a broadcast keep-set when the duplicate fraction
+    is high and rows are wide.
     """
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         lanes = hash256_str(batch.column(text_col), lanes=2)
         batch = batch.append_column("_h_hi", pa.array(lanes[0].astype(np.int64)))
-        return batch.append_column("_h_lo", pa.array(lanes[1].astype(np.int64)))
+        batch = batch.append_column("_h_lo", pa.array(lanes[1].astype(np.int64)))
+        part = (lanes[0] % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        keys = group.column(key_col).to_numpy(zero_copy_only=False)
-        winner = int(np.argmin(keys))
-        return group.slice(winner, 1).drop_columns(["_h_hi", "_h_lo"])
+    def keep_min_per_hash(part_tbl: pa.Table) -> pa.Table:
+        hi = part_tbl.column("_h_hi").to_numpy(zero_copy_only=False)
+        lo = part_tbl.column("_h_lo").to_numpy(zero_copy_only=False)
+        keys = part_tbl.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.dtype == object:  # non-numeric keys: order via dense codes
+            import pandas as pd
 
-    return hashed.groupby(["_h_hi", "_h_lo"]).map_groups(keep_min, batch_format="pyarrow")
+            keys, _ = pd.factorize(pd.Series(keys), sort=True)
+        order = np.lexsort((keys, lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        winners = order[first]  # first row of each hash run = min key
+        return part_tbl.take(pa.array(np.sort(winners))).drop_columns(
+            ["_h_hi", "_h_lo", "_part"]
+        )
+
+    return hashed.groupby("_part").map_groups(keep_min_per_hash, batch_format="pyarrow")
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -134,6 +152,50 @@ def _doc_shingle_hashes(batch: pa.Table, text_col: str, n: int):
     return flat, np.asarray(boundaries, dtype=np.int64)
 
 
+MINHASH_SENTINEL = np.int64(2**63 - 1)  # empty-doc slot value (SQL: 9223372036854775807)
+
+
+def _minhash_matrix(flat: np.ndarray, bounds: np.ndarray, num_hashes: int) -> np.ndarray:
+    """(num_hashes, n_docs) int64 MinHash matrix from flat shingle hashes.
+
+    reduceat only over NON-EMPTY docs' starts: consecutive non-empty starts
+    delimit exact segments (empty docs have zero width), and a trailing empty
+    doc would otherwise need a start == flat.size, which reduceat rejects -
+    clamping it would truncate the previous doc's segment (silently dropping
+    its last shingle).  Empty docs get the sentinel in every slot.
+    """
+    n_docs = len(bounds) - 1
+    starts = bounds[:-1]
+    valid = bounds[1:] > starts
+    out = np.full((num_hashes, n_docs), MINHASH_SENTINEL, dtype=np.int64)
+    if flat.size and valid.any():
+        vstarts = starts[valid]
+        for i in range(num_hashes):
+            h = (hash64_int(flat.astype(np.int64), seed=i) >> np.uint64(1)).astype(np.int64)
+            out[i, valid] = np.minimum.reduceat(h, vstarts)
+    return out
+
+
+def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(bands, n_docs) int64 LSH bucket ids: splitmix64 fold of each band's
+    minhash slots (acc = splitmix64(acc + m_j), acc0 = 0) - fully vectorized,
+    mirrored by the CTE chain in functions/dedup_oracle.py::_bucket_fold_ctes.
+    """
+    num_hashes, n = sig.shape
+    r = num_hashes // bands
+    out = np.empty((bands, n), dtype=np.int64)
+    old = np.seterr(over="ignore")
+    try:
+        for b in range(bands):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(r):
+                acc = splitmix64(acc + sig[b * r + j].astype(np.uint64))
+            out[b] = acc.astype(np.int64)
+    finally:
+        np.seterr(**old)
+    return out
+
+
 def minhash_signatures(ds, *, key_col: str, text_col: str, num_hashes: int = 16, ngram: int = 3):
     """-> Dataset[(key_col, m0..m{K-1})]: MinHash signature per row.
 
@@ -141,25 +203,13 @@ def minhash_signatures(ds, *, key_col: str, text_col: str, num_hashes: int = 16,
     seeded splitmix64 re-hashes + np.minimum.reduceat over doc boundaries.
     Empty docs get sentinel 2^63-1 in every slot.
     """
-    sentinel = np.int64(2**63 - 1)
 
     def stage(batch: pa.Table) -> pa.Table:
         flat, bounds = _doc_shingle_hashes(batch, text_col, ngram)
-        n_docs = len(bounds) - 1
+        sig = _minhash_matrix(flat, bounds, num_hashes)
         cols = {key_col: batch.column(key_col)}
-        starts = bounds[:-1]
-        # reduceat only over NON-EMPTY docs' starts: consecutive non-empty
-        # starts delimit exact segments (empty docs have zero width), and a
-        # trailing empty doc would otherwise need a start == flat.size, which
-        # reduceat rejects — clamping it would truncate the previous doc's
-        # segment (silently dropping its last shingle).
-        valid = bounds[1:] > starts
         for i in range(num_hashes):
-            mins = np.full(n_docs, sentinel, dtype=np.int64)
-            if flat.size and valid.any():
-                h = (hash64_int(flat.astype(np.int64), seed=i) >> np.uint64(1)).astype(np.int64)
-                mins[valid] = np.minimum.reduceat(h, starts[valid])
-            cols[f"m{i}"] = pa.array(mins)
+            cols[f"m{i}"] = pa.array(sig[i])
         return pa.table(cols)
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -176,44 +226,41 @@ def lsh_candidate_pairs_pipeline(
 ):
     """-> Dataset[(a, b)]: distinct key pairs sharing >= 1 LSH band bucket.
 
-    Band bucket = the band's minhash values joined into one string (mirrored
-    by concat_ws in SQL).  Groups are tiny by construction, so emitting
-    pairs inside map_groups is bounded work.
+    Band bucket = splitmix64 fold of the band's minhash slots (int64, fully
+    vectorized; the SQL oracle mirrors the fold bit-for-bit via a CTE chain).
+    Groups are tiny by construction, so emitting pairs inside map_groups is
+    bounded work.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sigs = minhash_signatures(
         ds, key_col=key_col, text_col=text_col, num_hashes=num_hashes, ngram=ngram
     )
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col)
-        out_band, out_bucket, out_key = [], [], []
-        m = [batch.column(f"m{i}").to_numpy(zero_copy_only=False) for i in range(num_hashes)]
-        for b in range(bands):
-            parts = m[b * r : (b + 1) * r]
-            bucket = ["-".join(str(int(p[j])) for p in parts) for j in range(batch.num_rows)]
-            out_band.extend([b] * batch.num_rows)
-            out_bucket.extend(bucket)
-            out_key.extend(keys.to_pylist())
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        sig = np.stack(
+            [batch.column(f"m{i}").to_numpy(zero_copy_only=False) for i in range(num_hashes)]
+        )
+        buckets = _band_buckets(sig, bands)  # (bands, n)
+        tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.string()),
-                key_col: pa.array(out_key),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                key_col: pc.take(batch.column(key_col), tile_idx),
             }
         )
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(key_col).to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        ids = np.sort(group.column(key_col).to_numpy(zero_copy_only=False))
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}
+        )
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(
         pairs_of_group, batch_format="pyarrow"
@@ -236,57 +283,101 @@ def jaccard_pairs_pipeline(
     bands: int = 4,
     ngram: int = 3,
 ):
-    """LSH candidates verified by exact shingle-set Jaccard; emits
-    (a, b, jac1000) for pairs >= threshold (jac1000 = floor(jaccard*1000)).
+    """LSH candidates verified by exact shingle-set Jaccard; -> Dataset
+    [(a, b, jac1000)] for pairs >= threshold (jac1000 = floor(jaccard*1000)).
 
-    The candidate pair set and their shingle sets are tiny after LSH, so the
-    shingle lookup is a broadcast, not a shuffle.
+    Fully distributed (the 10^12-row shape): ONE map_batches pass computes,
+    per doc, the minhash signature AND the sorted shingle-HASH set (8
+    bytes/shingle - the text itself never shuffles), and explodes them into
+    (band, bucket) rows.  Verification happens INSIDE each (band, bucket)
+    map_groups call, where the candidate docs' shingle sets are already
+    co-located; a pair sharing several buckets gets the identical jac in each,
+    so a final (a, b) groupby collapses cross-band duplicates.  Nothing is
+    ever materialized on the driver.
+
+    Jaccard over shingle HASHES equals Jaccard over shingle strings absent a
+    sha256-lane collision (~n_shingles^2 / 2^64 per doc pair).  Two empty
+    docs (no shingles) share all sentinel buckets but have jac = 0, so they
+    only surface when threshold <= 0 (the SQL oracle's inner size-join drops
+    them entirely - keep threshold > 0 for oracle-compared runs).
     """
-    import ray
+    assert num_hashes % bands == 0
 
-    pairs_tbl = (
-        lsh_candidate_pairs_pipeline(
-            ds,
-            key_col=key_col,
-            text_col=text_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            ngram=ngram,
+    def sig_and_shingles(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, bounds = _doc_shingle_hashes(batch, text_col, ngram)
+        n = len(bounds) - 1
+        sig = _minhash_matrix(flat, bounds, num_hashes)
+        buckets = _band_buckets(sig, bands)
+        # per-doc SORTED shingle-hash runs (int64 domain) as one list column
+        fi = flat.astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(bounds))
+        order = np.lexsort((fi, doc_of))
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32)), pa.array(fi[order])
         )
-        .to_pandas()
-    )
-    needed = set(pairs_tbl["a"]) | set(pairs_tbl["b"])
-
-    def collect_shingles(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        rows = [(k, word_shingles(t, ngram)) for k, t in zip(keys, texts) if k in needed]
+        tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                key_col: pa.array([r[0] for r in rows], pa.int64()),
-                "shingles": pa.array([r[1] for r in rows], pa.list_(pa.string())),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                key_col: pc.take(batch.column(key_col), tile_idx),
+                "_sh": pc.take(sh_list, tile_idx),
             }
         )
 
-    sh_rows = ds.map_batches(collect_shingles, batch_format="pyarrow").take_all()
-    sh = {r[key_col]: set(r["shingles"]) for r in sh_rows}
+    bucketed = ds.map_batches(sig_and_shingles, batch_format="pyarrow", zero_copy_batch=True)
 
-    a_out, b_out, j_out = [], [], []
-    for _, row in pairs_tbl.iterrows():
-        A, B = sh[row["a"]], sh[row["b"]]
-        inter = len(A & B)
-        union = len(A | B)
-        jac = inter / union if union else 0.0
-        if jac >= threshold:
-            a_out.append(int(row["a"]))
-            b_out.append(int(row["b"]))
-            j_out.append(int(np.floor(jac * 1000)))
-    return pa.table(
+    empty = pa.table(
         {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "jac1000": pa.array(j_out, pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jac1000": pa.array([], pa.int64()),
         }
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        if len(keys) < 2:
+            return empty
+        sh = group.column("_sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        offs = sh.offsets.to_numpy(zero_copy_only=False)
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        ids = keys[order]
+        segs = [vals[offs[i] : offs[i + 1]] for i in order]
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(ids)):
+            A = segs[x]
+            for y in range(x + 1, len(ids)):
+                B = segs[y]
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                union = A.size + B.size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    a_out.append(int(ids[x]))
+                    b_out.append(int(ids[y]))
+                    j_out.append(int(np.floor(jac * 1000)))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jac1000": pa.array(j_out, pa.int64()),
+            }
+        )
+
+    per_bucket = bucketed.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    # cross-band duplicates carry the identical jac1000; collapse to one row
+    deduped = per_bucket.groupby(["a", "b"]).max("jac1000")
+    return deduped.map_batches(
+        lambda t: t.rename_columns(["a", "b", "jac1000"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

@@ -108,39 +108,100 @@ def lang_id(batch: pa.Table, *, text_col: str, out_col: str = "pred_lang") -> pa
 
 
 def winnow_fingerprints(
-    batch: pa.Table, *, key_col: str, text_col: str, k: int = 8, window: int = 4
+    batch: pa.Table,
+    *,
+    key_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    gram_hash: str = "fold",
 ) -> pa.Table:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
 
-    Char k-gram hashes (sha256 lane 0, the oracle-mirrorable choice; a
-    rolling polynomial hash is the scale substitution), then the min hash of
-    every full window of ``window`` consecutive k-grams; the DISTINCT set of
-    those minima is the fingerprint.  Emits (key, n_fp, fp_xor).
+    Char k-gram hashes, then the min hash of every full window of ``window``
+    consecutive k-grams; the DISTINCT set of those minima is the fingerprint.
+    Emits (key, n_fp, fp_xor).
+
+    ``gram_hash`` picks the k-gram hash:
+      * ``"fold"`` (default, the scale path): splitmix64 fold over the
+        gram's unicode CODEPOINTS - ONE vectorized pass over every gram of
+        every doc in the batch (sliding windows over the batch's
+        concatenated codepoint array; cross-doc windows masked out).  No
+        per-gram Python anywhere.  Mirrored in SQL by a lead()-window +
+        CTE-fold chain (functions/text_oracle.py).
+      * ``"sha256"`` - sha256 lane 0 of the gram's utf-8 bytes; one hashlib
+        call PER GRAM (O(doc_len) Python-level calls per doc), kept as the
+        cryptographic verification variant.  Mirrored by DuckDB sha256.
     """
-    keys = batch.column(key_col).to_pylist()
+    keys = batch.column(key_col)
     texts = batch.column(text_col).to_pylist()
-    out_n, out_x = [], []
-    for t in texts:
-        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
-        if len(grams) < window:
-            out_n.append(0)
-            out_x.append(0)
-            continue
-        h = np.array(
-            [
-                int.from_bytes(hashlib.sha256(g.encode("utf-8")).digest()[:8], "big") >> 1
-                for g in grams
-            ],
-            dtype=np.int64,
-        )
-        mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-        fps = np.unique(mins)
-        out_n.append(int(fps.size))
-        out_x.append(int(np.bitwise_xor.reduce(fps)) if fps.size else 0)
+    n_docs = len(texts)
+    n_fp = np.zeros(n_docs, dtype=np.int64)
+    fp_xor = np.zeros(n_docs, dtype=np.int64)
+
+    if gram_hash == "sha256":
+        for d, t in enumerate(texts):
+            t = t or ""
+            grams = [t[i : i + k] for i in range(len(t) - k + 1)]
+            if len(grams) < window:
+                continue
+            h = np.array(
+                [
+                    int.from_bytes(hashlib.sha256(g.encode("utf-8")).digest()[:8], "big") >> 1
+                    for g in grams
+                ],
+                dtype=np.int64,
+            )
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            fps = np.unique(mins)
+            n_fp[d] = fps.size
+            fp_xor[d] = int(np.bitwise_xor.reduce(fps)) if fps.size else 0
+    elif gram_hash == "fold":
+        from ..core.hashing import splitmix64
+
+        cps = [
+            np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32) for t in texts
+        ]
+        lens = np.fromiter((c.size for c in cps), dtype=np.int64, count=n_docs)
+        # full windows per doc: (len - k + 1) grams, window of `window` grams
+        w_cnt = np.maximum(lens - (k + window - 2), 0)
+        total_w = int(w_cnt.sum())
+        if total_w:
+            flat = np.concatenate(cps)
+            sw = np.lib.stride_tricks.sliding_window_view(flat, k)  # (N-k+1, k)
+            old = np.seterr(over="ignore")
+            try:
+                acc = np.zeros(sw.shape[0], dtype=np.uint64)
+                for j in range(k):
+                    acc = splitmix64(acc + sw[:, j].astype(np.uint64))
+            finally:
+                np.seterr(**old)
+            gram_h = (acc >> np.uint64(1)).astype(np.int64)  # int63, SQL BIGINT
+            wm_all = np.lib.stride_tricks.sliding_window_view(gram_h, window).min(axis=1)
+            # valid (within-one-doc) window start positions, per doc
+            char_starts = np.cumsum(lens) - lens
+            doc_of_w = np.repeat(np.arange(n_docs), w_cnt)
+            offs = np.arange(total_w) - np.repeat(np.cumsum(w_cnt) - w_cnt, w_cnt)
+            vals = wm_all[np.repeat(char_starts, w_cnt) + offs]
+            order = np.lexsort((vals, doc_of_w))
+            sv, sd = vals[order], doc_of_w[order]
+            newu = np.empty(total_w, dtype=bool)
+            newu[0] = True
+            newu[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+            uv, ud = sv[newu], sd[newu]  # distinct fingerprints per doc
+            n_fp = np.bincount(ud, minlength=n_docs).astype(np.int64)
+            seg = np.empty(uv.size, dtype=bool)
+            seg[0] = True
+            seg[1:] = ud[1:] != ud[:-1]
+            seg_starts = np.flatnonzero(seg)
+            fp_xor[ud[seg_starts]] = np.bitwise_xor.reduceat(uv, seg_starts)
+    else:
+        raise ValueError(f"unknown gram_hash {gram_hash!r}")
+
     return pa.table(
         {
-            key_col: pa.array(keys, pa.int64()),
-            "n_fp": pa.array(out_n, pa.int64()),
-            "fp_xor": pa.array(out_x, pa.int64()),
+            key_col: keys,
+            "n_fp": pa.array(n_fp),
+            "fp_xor": pa.array(fp_xor),
         }
     )

@@ -59,3 +59,60 @@ def test_quantile_accuracy_against_exact(sf_dir):
             est = out.loc[lang, est_col]
             true = true_quantile(vals, q)
             assert accuracy_ok(est, true, 0.01), (lang, est_col, est, true)
+
+
+def test_null_group_keys_through_states_strategy():
+    """NULL group keys survive the default (states) strategy's shuffle as
+    their own group, matching SQL GROUP BY semantics, and never collide with
+    the fill default ('' for strings)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+    from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, "b", "", None], pa.string()),
+            "v": pa.array([1.0, 10.0, 3.0, 30.0, 5.0, 7.0, 50.0]),
+        }
+    )
+    spec = DDSketchSpec(on="v", name="s", relative_accuracy=0.01, quantiles=(0.5,))
+    out = (
+        grouped_sketch_pipeline(rd.from_arrow(t).repartition(3), [spec], ("k",))
+        .to_pandas()
+        .set_index("k", drop=False)
+    )
+    assert len(out) == 4  # 'a', 'b', '', and the null group
+    counts = {
+        (None if k != k or k is None else k): c
+        for k, c in zip(out["k"], out["count"])
+    }
+    assert counts[None] == 3  # nulls form ONE group
+    assert counts["a"] == 2
+    assert counts[""] == 1  # empty string does NOT merge with null
+
+
+def test_null_group_keys_int_and_multi_key():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+    from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+    t = pa.table(
+        {
+            "g1": pa.array([1, None, 1, None, 0], pa.int64()),
+            "g2": pa.array(["x", "x", None, None, "x"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    spec = DDSketchSpec(on="v", name="s", relative_accuracy=0.01, quantiles=())
+    out = grouped_sketch_pipeline(rd.from_arrow(t).repartition(2), [spec], ("g1", "g2")).to_pandas()
+    assert len(out) == 5  # every (g1, g2) combination incl. null sides
+    # the (None, None) group exists with count 1 and the 0 fill didn't collide
+    mask = out["g1"].isna() & out["g2"].isna()
+    assert mask.sum() == 1 and out.loc[mask, "count"].iloc[0] == 1.0
+    zero = out[(out["g1"] == 0) & (out["g2"] == "x")]
+    assert len(zero) == 1 and zero["count"].iloc[0] == 1.0
