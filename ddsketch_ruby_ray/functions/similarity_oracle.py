@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-__all__ = ["knn_sql", "neardup_sql"]
+__all__ = ["knn_sql", "neardup_sql", "srp_neardup_sql", "ivf_knn_sql"]
 
 
 def _cos_expr(a: str, b: str) -> str:
@@ -40,6 +40,189 @@ scored AS (
   FROM q JOIN vecs t ON t.id <> q.id
 ),
 ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC
+  ) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos4 FROM ranked WHERE rn <= {k}
+"""
+
+
+def srp_neardup_sql(
+    *,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> str:
+    """SRP-LSH near-dup pairs: same-bucket candidates verified by cosine.
+
+    Mirrors pipelines/similarity.py::srp_neardup_pipeline bit-for-bit:
+    vectors and splitmix64-derived hyperplanes quantized to 1e-6 (exact
+    integers in float64), projections are sums of 64 products < 2^53 (exact
+    in any accumulation order), bucket = sign-bit integer; verification is
+    the floor(cos*1e4+0.5) rounding over the ORIGINAL double vectors.
+    """
+    from ..core.hashing import splitmix64_sql
+
+    thr4 = int(threshold * 10_000 + 0.5)
+    sm = splitmix64_sql("(p.p * {d} + d.d)".format(d=dim))
+    cos = _cos_expr("x.v", "y.v")
+    return f"""
+WITH vecs AS (
+  SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS v,
+         list_transform(({vec_col})::DOUBLE[], e -> floor(e * 1000000.0 + 0.5)) AS vq
+  FROM {table}
+),
+planes AS (
+  SELECT p.p AS p,
+         list(floor(((({sm})::DOUBLE / 18446744073709551616.0) * 2.0 - 1.0)
+                    * 1000000.0 + 0.5) ORDER BY d.d) AS w
+  FROM (SELECT unnest(range({n_planes})) AS p) p,
+       (SELECT unnest(range({dim})) AS d) d
+  GROUP BY p.p
+),
+proj AS (
+  SELECT v.id, pl.p, list_dot_product(v.vq, pl.w) AS s
+  FROM vecs v CROSS JOIN planes pl
+),
+bucket AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::HUGEINT << p) ELSE 0::HUGEINT END)::BIGINT AS bucket
+  FROM proj GROUP BY id
+),
+cand AS (
+  SELECT bx.id AS a, by.id AS b
+  FROM bucket bx JOIN bucket by ON bx.bucket = by.bucket AND by.id > bx.id
+),
+scored AS (
+  SELECT c.a, c.b,
+         CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS cos4
+  FROM cand c JOIN vecs x ON x.id = c.a JOIN vecs y ON y.id = c.b
+)
+SELECT a, b, cos4 FROM scored WHERE cos4 >= {thr4}
+"""
+
+
+def ivf_knn_sql(
+    *,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    kmeans_iters: int = 5,
+    sample_n: int = 256,
+) -> str:
+    """IVF approximate top-k, mirroring ivf_knn_pipeline bit-for-bit.
+
+    The entire quantizer is replayed in SQL: the (splitmix64(id), id) top-N
+    sample, splitmix64-seeded init, and ``kmeans_iters`` UNROLLED iterations
+    of integer-quantized spherical k-means.  Every order-dependent reduction
+    is exact (integer dots < 2^53; centroid-norm sums in HUGEINT, matching
+    the pipeline's Python-int arithmetic), so sample, centroids, list
+    assignment and probe sets agree exactly; candidate scoring reuses the
+    proven floor(cos*1e4+0.5) rounding.
+    """
+    from ..core.hashing import splitmix64_sql
+
+    ids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    cos = _cos_expr("q.v", "t.v")
+    sm_id = splitmix64_sql("id")
+    sm_c = splitmix64_sql("c.c")
+    Q = "1000000.0"
+
+    it_ctes = []
+    for i in range(1, kmeans_iters + 1):
+        prev = f"cent{i - 1}"
+        it_ctes.append(
+            f"""asg{i} AS MATERIALIZED (
+  SELECT s.rn, s.nq, ct.c
+  FROM sample s CROSS JOIN {prev} ct
+  QUALIFY row_number() OVER (
+    PARTITION BY s.rn ORDER BY list_dot_product(s.nq, ct.cq) DESC, ct.c ASC
+  ) = 1
+),
+sums{i} AS MATERIALIZED (
+  SELECT a.c, t.d, CAST(sum(t.e) AS BIGINT) AS s
+  FROM asg{i} a,
+       LATERAL (SELECT unnest(a.nq) AS e, generate_subscripts(a.nq, 1) AS d) t
+  GROUP BY a.c, t.d
+),
+ss{i} AS MATERIALIZED (
+  SELECT c, sum((s::HUGEINT) * (s::HUGEINT)) AS ss FROM sums{i} GROUP BY c
+),
+newc{i} AS MATERIALIZED (
+  SELECT m.c, list(floor(m.s::DOUBLE / sqrt(x.ss::DOUBLE) * {Q} + 0.5) ORDER BY m.d) AS cq
+  FROM sums{i} m JOIN ss{i} x ON x.c = m.c
+  WHERE x.ss > 0
+  GROUP BY m.c
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.c, coalesce(n.cq, p.cq) AS cq
+  FROM {prev} p LEFT JOIN newc{i} n ON n.c = p.c
+)"""
+        )
+    iters = ",\n".join(it_ctes)
+    final = f"cent{kmeans_iters}"
+
+    return f"""
+WITH vecs AS MATERIALIZED (
+  SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS v,
+         list_transform(({vec_col})::DOUBLE[], e -> floor(e * {Q} + 0.5)) AS vq
+  FROM {table}
+),
+norms AS MATERIALIZED (
+  SELECT id, v, vq,
+         CASE WHEN list_dot_product(vq, vq) = 0 THEN 1.0
+              ELSE list_dot_product(vq, vq) END AS ss
+  FROM vecs
+),
+nvecs AS MATERIALIZED (
+  SELECT id, v,
+         list_transform(vq, e -> floor(e / sqrt(ss) * {Q} + 0.5)) AS nq
+  FROM norms
+),
+sample AS MATERIALIZED (
+  SELECT id, nq, row_number() OVER (ORDER BY {sm_id}, id) AS rn
+  FROM nvecs
+  QUALIFY rn <= {sample_n}
+),
+cent0 AS MATERIALIZED (
+  SELECT c.c AS c, s.nq AS cq
+  FROM (SELECT unnest(range({n_lists})) AS c) c
+  JOIN sample s
+    ON s.rn - 1 = ({sm_c} % (SELECT count(*) FROM sample))
+),
+{iters},
+assigned AS MATERIALIZED (
+  SELECT nv.id, nv.v, ct.c AS list_id
+  FROM nvecs nv CROSS JOIN {final} ct
+  QUALIFY row_number() OVER (
+    PARTITION BY nv.id ORDER BY list_dot_product(nv.nq, ct.cq) DESC, ct.c ASC
+  ) = 1
+),
+q AS MATERIALIZED (SELECT id, v, nq FROM nvecs WHERE id IN ({ids})),
+qprobe AS MATERIALIZED (
+  SELECT q.id AS query_id, ct.c AS list_id
+  FROM q CROSS JOIN {final} ct
+  QUALIFY row_number() OVER (
+    PARTITION BY q.id ORDER BY list_dot_product(q.nq, ct.cq) DESC, ct.c ASC
+  ) <= {n_probe}
+),
+scored AS MATERIALIZED (
+  SELECT q.id AS query_id, t.id AS neighbor_id,
+         CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) AS cos4
+  FROM q
+  JOIN qprobe p ON p.query_id = q.id
+  JOIN assigned t ON t.list_id = p.list_id AND t.id <> q.id
+),
+ranked AS MATERIALIZED (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC
   ) AS rn

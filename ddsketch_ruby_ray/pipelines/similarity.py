@@ -19,6 +19,8 @@ are broken by neighbor id, so ranks are deterministic too.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -174,6 +176,50 @@ def cosine_neardup_pipeline(ds, *, id_col: str, vec_col: str, threshold: float =
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+IVF_QUANT = 1_000_000.0  # normalize-quantize scale shared with the SQL mirror
+
+
+def _normalize_quantize(m: np.ndarray) -> np.ndarray:
+    """float matrix -> int-valued float64 matrix: floor(v*1e6+.5), then each
+    row scaled to unit norm and re-quantized.  Every step is ELEMENTWISE over
+    exact quantities (the norm's sum of squares is a sum of integers < 2^53,
+    exact in any order), so the result is bit-deterministic and
+    SQL-mirrorable."""
+    vq = np.floor(m * IVF_QUANT + 0.5)
+    ss = (vq * vq).sum(axis=1)  # exact: integer-valued terms, sums < 2^53
+    ss = np.where(ss == 0.0, 1.0, ss)
+    return np.floor(vq / np.sqrt(ss)[:, None] * IVF_QUANT + 0.5)
+
+
+def _ivf_train_quantizer(
+    sample_nq: np.ndarray, n_lists: int, kmeans_iters: int
+) -> np.ndarray:
+    """Deterministic spherical k-means over normalize-quantized sample rows.
+
+    All order-dependent reductions are EXACT: assignment dots are sums of
+    integer products < 2^53 (exact float64); per-dim member sums are exact
+    integers; the centroid norm's sum of squares is computed in PYTHON ints
+    (it can exceed 2^63) then rounded once to float64 - the same rounding
+    HUGEINT::DOUBLE applies in the SQL mirror.  Ties (argmax, empty
+    clusters) resolve to the lowest centroid id / the previous centroid.
+    """
+    n = len(sample_nq)
+    seeds = (splitmix64(np.arange(n_lists, dtype=np.uint64)) % np.uint64(n)).astype(np.int64)
+    centroids = sample_nq[seeds].copy()
+    for _ in range(kmeans_iters):
+        assign = (sample_nq @ centroids.T).argmax(axis=1)  # ties -> lowest c
+        for c in range(n_lists):
+            members = sample_nq[assign == c]
+            if not len(members):
+                continue  # empty cluster keeps its previous centroid
+            s = members.sum(axis=0)  # exact ints (|s| <= n * 1e6 < 2^53)
+            ss_int = sum(int(x) ** 2 for x in s)  # Python ints: may exceed 2^63
+            if ss_int == 0:
+                continue
+            centroids[c] = np.floor(s / math.sqrt(float(ss_int)) * IVF_QUANT + 0.5)
+    return centroids
+
+
 def ivf_knn_pipeline(
     ds,
     *,
@@ -184,17 +230,25 @@ def ivf_knn_pipeline(
     n_lists: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 5,
+    sample_n: int = 256,
     queries_table: pa.Table | None = None,
 ):
     """IVF (inverted-file) approximate top-k cosine - the ANN scale path.
 
-    1. Train a coarse quantizer: k-means over a (deterministic) sample of the
-       normalized vectors, fixed iteration count, splitmix64-seeded init -
-       identical on every run/layout.
-    2. Assign every vector to its nearest centroid inside ``map_batches``
-       (the "inverted lists" are just a derived ``list_id`` column).
-    3. Each query scans only its ``n_probe`` closest lists: the per-batch
-       matmul masks rows whose list is probed by each query.
+    1. Draw a DETERMINISTIC, layout-independent sample: the ``sample_n`` rows
+       with the smallest (splitmix64(id), id) - a distributed top-N (each
+       batch emits its local winners; the driver keeps the global ones), so
+       the quantizer never depends on block order or Ray scheduling.
+    2. Train a coarse quantizer: integer-quantized spherical k-means
+       (:func:`_ivf_train_quantizer`), fixed iteration count - bit-identical
+       on every run/layout AND in the DuckDB SQL mirror
+       (functions/similarity_oracle.py::ivf_knn_sql).
+    3. Assign every vector to its nearest centroid inside ``map_batches``
+       (the "inverted lists" are just a derived ``list_id`` column); exact
+       integer dots, no fp-order sensitivity.
+    4. Each query scans only its ``n_probe`` closest lists; candidates are
+       scored with the proven floor(cos*1e4+0.5) rounding over the raw
+       doubles.
 
     Returns (query_id, neighbor_id, cos4) like the brute-force pipeline;
     recall vs brute force is pytest-checked.  At 10^12 rows the assignment
@@ -203,33 +257,47 @@ def ivf_knn_pipeline(
     """
     import ray
 
-    # ---- train quantizer on a bounded driver-side sample (deterministic)
-    sample_tbl = pa.concat_tables(
-        ds.limit(4096).iter_batches(batch_format="pyarrow")
-    )
-    sm = _cos_q(_embedding_matrix(sample_tbl, vec_col))
-    seeds = splitmix64(np.arange(n_lists, dtype=np.uint64))
-    centroids = sm[(seeds % np.uint64(len(sm))).astype(np.int64)]
-    for _ in range(kmeans_iters):
-        assign = (sm @ centroids.T).argmax(axis=1)
-        for c in range(n_lists):
-            members = sm[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _cos_q(centroids)
+    # ---- deterministic sample: global top-N by (splitmix64(id), id)
+    def local_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.astype(np.uint64)).astype(np.uint64)
+        sel = np.sort(np.lexsort((ids, h))[:sample_n])  # local winners, row order kept
+        out = batch.take(pa.array(sel))
+        return out.append_column("_h", pa.array(h[sel].astype(np.int64)))
 
-    # ---- query matrix + probed lists per query
+    partial = pa.concat_tables(
+        ds.map_batches(local_sample, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    p_ids = partial.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    p_h = partial.column("_h").to_numpy(zero_copy_only=False).astype(np.uint64)
+    # canonical (h, id) order: seed indices address sample POSITIONS, so the
+    # row order itself must be layout-independent, not just the row set
+    winners = np.lexsort((p_ids, p_h))[:sample_n]
+    sample_tbl = partial.take(pa.array(winners))
+    sample_nq = _normalize_quantize(_embedding_matrix(sample_tbl, vec_col))
+
+    centroids = _ivf_train_quantizer(sample_nq, n_lists, kmeans_iters)
+
+    # ---- query matrix + probed lists per query (exact integer dots)
     q_tbl = _fetch_query_rows(ds, id_col, query_ids, queries_table)
     q_ids = q_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    q_mat = _cos_q(_embedding_matrix(q_tbl, vec_col))
-    probed = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    q_raw = _embedding_matrix(q_tbl, vec_col)
+    q_mat = _cos_q(q_raw)
+    q_nq = _normalize_quantize(q_raw)
+    qdots = q_nq @ centroids.T  # exact
+    probed = np.stack(
+        [np.lexsort((np.arange(n_lists), -qdots[j]))[:n_probe] for j in range(len(q_ids))]
+    )  # ties -> lowest list id, matching the SQL row_number order
     ref = ray.put((q_ids, q_mat, centroids, probed))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qi, qm, cents, prob = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _cos_q(_embedding_matrix(batch, vec_col))
-        list_id = (m @ cents.T).argmax(axis=1)  # IVF assignment (fused)
+        raw = _embedding_matrix(batch, vec_col)
+        m = _cos_q(raw)
+        nq = _normalize_quantize(raw)
+        list_id = (nq @ cents.T).argmax(axis=1)  # IVF assignment (fused, exact)
         cos4 = _round4(m @ qm.T)
         out_q, out_n, out_c = [], [], []
         for j, qid in enumerate(qi):
@@ -282,9 +350,10 @@ def srp_neardup_pipeline(
     (small) bucket.  Only same-bucket pairs are ever scored, so the all-pairs
     matmul of ``cosine_neardup_pipeline`` never materializes - this is the
     10^12-row shape.  Recall misses pairs whose cosine < ~cos(pi/n_planes)
-    per plane; pytest pins recall against brute force.  Deterministic
-    (counter-seeded hyperplanes) but kept rows-only for the driver: the
-    matmul sign of near-zero projections is fp-summation-order sensitive.
+    per plane; pytest pins recall against brute force.  Fully deterministic
+    AND SQL-oracle-backed: bucket projections are exact-integer sums (see
+    signed_random_projection_buckets_table), and the in-bucket verify emits
+    the proven floor(cos*1e4+0.5) rounding.
     """
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -317,16 +386,29 @@ def srp_neardup_pipeline(
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
 
 
+SRP_QUANT = 1_000_000.0  # vector/plane quantization scale (SQL mirror uses the same)
+
+
 def signed_random_projection_buckets_table(
     batch: pa.Table, id_col: str, vec_col: str, n_planes: int
 ) -> pa.Table:
-    """Batch-level SRP bucket assignment (shared by the Dataset wrapper)."""
+    """Batch-level SRP bucket assignment (shared by the Dataset wrapper).
+
+    EXACT-integer projections: vectors and hyperplanes are quantized to
+    1e-6 resolution (elementwise floor(x*1e6 + 0.5) - no order-dependent
+    arithmetic), so each projection is a sum of 64 integer products bounded
+    by 64 * 1e12 < 2^53: float64 accumulates it EXACTLY in any order.  The
+    sign bit is therefore a deterministic function of the data - identical
+    across BLAS kernels, block layouts, and the DuckDB SQL mirror
+    (functions/similarity_oracle.py::srp_neardup_sql).
+    """
     m = _embedding_matrix(batch, vec_col)
     dim = m.shape[1]
+    vq = np.floor(m * SRP_QUANT + 0.5)
     idx = np.arange(n_planes * dim, dtype=np.uint64)
     u = splitmix64(idx).astype(np.float64) / float(2**64)
-    planes = (u * 2.0 - 1.0).reshape(n_planes, dim)
-    bits = (m @ planes.T) > 0
+    planes = np.floor((u * 2.0 - 1.0) * SRP_QUANT + 0.5).reshape(n_planes, dim)
+    bits = (vq @ planes.T) > 0
     bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
         axis=1, dtype=np.uint64
     )
@@ -340,9 +422,9 @@ def signed_random_projection_buckets(ds, *, id_col: str, vec_col: str, n_planes:
 
     Hyperplanes are deterministic: plane p, dim d gets a uniform in [-1, 1)
     from splitmix64(p * dim + d) - no RNG state, identical on every worker,
-    reproducible across runs and cluster layouts.  (No SQL oracle: the
-    hyperplane constants are implementation-defined; candidate quality is
-    tested against the brute-force pipeline in pytest.)
+    reproducible across runs and cluster layouts.  Projections are
+    exact-integer (see signed_random_projection_buckets_table), making the
+    buckets bit-for-bit SQL-mirrorable.
     """
 
     def stage(batch: pa.Table) -> pa.Table:

@@ -479,8 +479,9 @@ def knn_cosine_top5(sf_dir: str):
 
 
 def ivf_knn_top5(sf_dir: str):
-    """IVF approximate top-5 (scale path; rows-only - k-means quantizer is
-    not SQL-expressible; recall vs brute force is pytest-pinned)."""
+    """IVF approximate top-5 (scale path).  Oracle-backed: the hash-sampled,
+    integer-quantized k-means quantizer is deterministic and replayed in SQL
+    (unrolled iterations); recall vs brute force is pytest-pinned."""
     from .pipelines.similarity import ivf_knn_pipeline
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -492,7 +493,8 @@ def ivf_knn_top5(sf_dir: str):
 
 def srp_neardup(sf_dir: str):
     """SRP-LSH near-dup pairs (the 10^12-row scale path: only same-bucket
-    pairs are scored; rows-only - see pipeline docstring)."""
+    pairs are scored).  Oracle-backed: exact-integer projections make the
+    buckets bit-for-bit SQL-mirrorable (see pipeline docstring)."""
     from .pipelines.similarity import srp_neardup_pipeline
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -690,9 +692,9 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
-    "ivf_knn_top5": ivf_knn_top5,  # rows-only (no oracle_sql)
+    "ivf_knn_top5": ivf_knn_top5,
     "embedding_neardup_pairs": embedding_neardup_pairs,
-    "srp_neardup": srp_neardup,  # rows-only (no oracle_sql)
+    "srp_neardup": srp_neardup,
     "top_tokens": top_tokens,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
@@ -771,7 +773,12 @@ def _family_oracles() -> dict:
         minhash_signature_sql,
         simhash_sql,
     )
-    from .functions.similarity_oracle import knn_sql, neardup_sql
+    from .functions.similarity_oracle import (
+        ivf_knn_sql,
+        knn_sql,
+        neardup_sql,
+        srp_neardup_sql,
+    )
     from .functions.text_oracle import (
         lang_id_sql,
         quality_scores_sql,
@@ -922,11 +929,28 @@ def _family_oracles() -> dict:
             query_ids=KNN_QUERY_IDS,
             k=5,
         ),
+        "ivf_knn_top5": ivf_knn_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            query_ids=KNN_QUERY_IDS,
+            k=5,
+            n_lists=8,
+            n_probe=3,
+        ),
         "embedding_neardup_pairs": neardup_sql(
             table="embeddings",
             id_col="vec_id",
             vec_col="embedding",
             threshold=NEARDUP_COS_THRESHOLD,
+        ),
+        "srp_neardup": srp_neardup_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,  # the embeddings table's fixed dimension (TESTDATA.md)
+            threshold=NEARDUP_COS_THRESHOLD,
+            n_planes=6,
         ),
         "top_tokens": """
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
