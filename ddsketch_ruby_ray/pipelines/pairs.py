@@ -12,20 +12,26 @@ Plan (all group-cardinality-proportional work is numpy):
       carrying (w_sum, vw_sum, v_min, v_max); built with ONE
       lexsort + reduceat per block.  A partition id = splitmix64(group) % P
       rides along, so every group's pairs meet in exactly one partition.
+      The ORIGINAL group-key columns (native dtypes) ride along too - one
+      representative value per pair row - so the output schema matches the
+      states/rows strategies exactly.
   stage B: groupby("_part") -> P map_groups calls (P ~ cpus, NOT groups);
       inside each: lexsort + reduceat re-aggregation across blocks, then a
-      per-group quantile walk over its few sorted buckets (numpy slices,
-      no sketch objects).
+      BOUNDARY-VECTORIZED multi-quantile walk (global-cumsum searchsorted
+      per (metric, q) over all segments at once - no per-group Python).
+      Representative values for the selected bucket keys are computed once
+      per DISTINCT key through the mapping's scalar (libm) path, preserving
+      bit-parity with the SQL oracle.
 
-Results are bit-identical to the "states"/"rows" strategies for dense-store,
-unweighted DDSketchSpecs (same keys, same rank arithmetic - the per-group
-walk replicates base_sketch.rb:121-138 exactly; sums are exact for
-integer-valued metrics).
+Results are bit-identical to the "states"/"rows" strategies for
+DDSketchSpecs of ANY mapping (log / linear / cubic), dense or collapsing
+stores, weighted or not - same keys, same rank arithmetic (the walk
+replicates base_sketch.rb:121-138); sums are exact for integer-valued
+metrics.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import numpy as np
@@ -36,47 +42,27 @@ from ..functions.specs import DDSketchSpec, quantile_name
 
 __all__ = ["ddsketch_pairs_pipeline"]
 
+_NULL_SENTINEL = "\x00null\x00"  # composite-identity stand-in for null keys
+
 
 def _check_specs(specs: Sequence[DDSketchSpec]) -> None:
     for s in specs:
         if not isinstance(s, DDSketchSpec):
             raise TypeError("pairs strategy supports DDSketchSpec only")
-        if s.interpolation is not None:
-            raise ValueError("pairs strategy supports the logarithmic mapping only")
-        if s.alpha != specs[0].alpha:
-            raise ValueError("all specs must share alpha (one mapping per pipeline)")
-
-
-def _clamp_keys(ks: np.ndarray, ws: np.ndarray, store: str, bin_limit: int):
-    """Apply the collapsing-store clamp model to one side's sorted buckets.
-
-    The spec's order-independent model (collapsing_lowest_dense_store_spec.rb:
-    35-38 / highest :35-38): final bins == multiset of max(k, kmax-limit+1)
-    (lowest) or min(k, kmin+limit-1) (highest) over the side's FINAL extent -
-    which is exactly what collapse-during-accumulate + fold-merge produces.
-    """
-    if ks.size == 0 or store == "dense":
-        return ks, ws
-    if store == "collapse_lowest":
-        clamped = np.maximum(ks, ks[-1] - bin_limit + 1)  # ks sorted ascending
-    else:  # collapse_highest
-        clamped = np.minimum(ks, ks[0] + bin_limit - 1)
-    uniq, inv = np.unique(clamped, return_inverse=True)
-    wsum = np.zeros(uniq.size)
-    np.add.at(wsum, inv, ws)
-    return uniq, wsum
 
 
 def _group_composite(batch: pa.Table, group_keys: Sequence[str]):
-    """Composite group string per row (partition hashing + within-partition id)."""
+    """Composite group string per row (partition hashing + within-partition
+    identity ONLY - output key values come from the carried native columns).
+    Nulls map to a sentinel so they form their own group (SQL semantics)."""
+    import pyarrow.compute as pc
+
     parts = []
     for kcol in group_keys:
         col = batch.column(kcol)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        parts.append(col.cast(pa.string()))
-    import pyarrow.compute as pc
-
+        parts.append(pc.fill_null(col.cast(pa.string()), _NULL_SENTINEL))
     if len(parts) == 1:
         return parts[0]
     return pc.binary_join_element_wise(*parts, "\x1f")
@@ -95,15 +81,14 @@ def ddsketch_pairs_pipeline(
     """-> Dataset: one row per group with per-spec count/sum/avg/min/max/p*.
 
     See module docstring; ``prefixes`` as in grouped_sketch_pipeline.
+    Group-key columns keep their input dtypes (incl. nulls).
     """
     _check_specs(specs)
     group_keys = list(group_keys)
-    from ..core.mapping import LogarithmicKeyMapping
 
-    mp = LogarithmicKeyMapping(specs[0].alpha)
-    mult = mp.multiplier
-    min_possible = mp.min_possible
-    gamma = mp.gamma
+    from ..core.mapping import mapping_from_tag
+
+    mappings = [mapping_from_tag(s.interpolation, s.alpha) for s in specs]
     quantiles = {s.name: list(s.quantiles) for s in specs}
     include_sum_avg = {s.name: s.include_sum_avg for s in specs}
     metric_names = [s.name for s in specs]
@@ -111,25 +96,39 @@ def ddsketch_pairs_pipeline(
     weight_cols = [s.weight for s in specs]
     stores = [s.store for s in specs]
     bin_limits = [s.bin_limit for s in specs]
+    n_metrics = len(specs)
+
+    def _empty_pairs() -> pa.Table:
+        cols = {
+            "_part": pa.array([], pa.int32()),
+            "_g": pa.array([], pa.string()),
+        }
+        for kc in group_keys:
+            cols[kc] = pa.array([], pa.string())  # placeholder; typed below
+        cols.update(
+            {
+                "_m": pa.array([], pa.int8()),
+                "_side": pa.array([], pa.int8()),
+                "_k": pa.array([], pa.int64()),
+                "_w": pa.array([], pa.float64()),
+                "_vw": pa.array([], pa.float64()),
+                "_vmin": pa.array([], pa.float64()),
+                "_vmax": pa.array([], pa.float64()),
+            }
+        )
+        return pa.table(cols)
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         if derive is not None:
             batch = derive(batch)
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "_part": pa.array([], pa.int32()),
-                    "_g": pa.array([], pa.string()),
-                    "_m": pa.array([], pa.int8()),
-                    "_side": pa.array([], pa.int8()),
-                    "_k": pa.array([], pa.int64()),
-                    "_w": pa.array([], pa.float64()),
-                    "_vw": pa.array([], pa.float64()),
-                    "_vmin": pa.array([], pa.float64()),
-                    "_vmax": pa.array([], pa.float64()),
-                }
-            )
+            # typed empty table (keeps key dtypes stable across blocks)
+            t = _empty_pairs()
+            for kc in group_keys:
+                idx = t.schema.get_field_index(kc)
+                t = t.set_column(idx, kc, batch.column(kc).slice(0, 0))
+            return t
         gcomp = _group_composite(batch, group_keys)
         dict_arr = gcomp.dictionary_encode()
         gcodes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -150,8 +149,10 @@ def ddsketch_pairs_pipeline(
             "_vmin": [],
             "_vmax": [],
         }
+        rep_rows = []  # representative batch row per pair row (native key values)
         gdict_np = np.asarray(gdict.to_pylist(), dtype=object)
         for mi, col in enumerate(value_cols):
+            mp = mappings[mi]
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             if weight_cols[mi] is not None:
                 wt = (
@@ -164,15 +165,15 @@ def ddsketch_pairs_pipeline(
             else:
                 wt = np.ones(n)
             side = np.zeros(n, dtype=np.int8)
-            side[v > min_possible] = 1
-            side[v < -min_possible] = -1
+            side[v > mp.min_possible] = 1
+            side[v < -mp.min_possible] = -1
             k = np.zeros(n, dtype=np.int64)
             pos = side == 1
             neg = side == -1
             if pos.any():
-                k[pos] = np.ceil(np.log2(v[pos]) * mult).astype(np.int64)
+                k[pos] = mp.key(v[pos])
             if neg.any():
-                k[neg] = np.ceil(np.log2(-v[neg]) * mult).astype(np.int64)
+                k[neg] = mp.key(-v[neg])
             order = np.lexsort((k, side, gcodes))
             gs, ss, ks, vs, ws = gcodes[order], side[order], k[order], v[order], wt[order]
             newgrp = np.empty(n, dtype=bool)
@@ -193,11 +194,17 @@ def ddsketch_pairs_pipeline(
             out["_vw"].append(vw_sum)
             out["_vmin"].append(v_min)
             out["_vmax"].append(v_max)
+            rep_rows.append(order[starts])
 
-        return pa.table(
+        rep = pa.array(np.concatenate(rep_rows))
+        cols = {
+            "_part": pa.array(np.concatenate(out["_part"]), pa.int32()),
+            "_g": pa.array(np.concatenate(out["_g"]).tolist(), pa.string()),
+        }
+        for kc in group_keys:  # native-dtype key values (nulls preserved)
+            cols[kc] = batch.column(kc).take(rep)
+        cols.update(
             {
-                "_part": pa.array(np.concatenate(out["_part"]), pa.int32()),
-                "_g": pa.array(np.concatenate(out["_g"]).tolist(), pa.string()),
                 "_m": pa.array(np.concatenate(out["_m"]), pa.int8()),
                 "_side": pa.array(np.concatenate(out["_side"]), pa.int8()),
                 "_k": pa.array(np.concatenate(out["_k"]), pa.int64()),
@@ -207,12 +214,11 @@ def ddsketch_pairs_pipeline(
                 "_vmax": pa.array(np.concatenate(out["_vmax"]), pa.float64()),
             }
         )
+        return pa.table(cols)
 
     pairs = ds.map_batches(
         to_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
-
-    coef = 2.0 / (1.0 + gamma)
 
     def finalize_partition(pt: pa.Table) -> pa.Table:
         import pandas as pd
@@ -227,37 +233,114 @@ def ddsketch_pairs_pipeline(
         vmax = pt.column("_vmax").to_numpy(zero_copy_only=False)
 
         gid, guniques = pd.factorize(pd.Series(g), sort=True)
+        n_groups = len(guniques)
+        # representative input row per group (native key values)
+        _, grp_first = np.unique(gid, return_index=True)  # ordered by gid value
+
         order = np.lexsort((k, side, m, gid))
-        gid, m_, side_, k_ = gid[order], m[order], side[order], k[order]
+        gid_, m_, side_, k_ = gid[order], m[order], side[order], k[order]
         w_, vw_, vmin_, vmax_ = w[order], vw[order], vmin[order], vmax[order]
-        nrows = len(gid)
+        nrows = len(gid_)
         newb = np.empty(nrows, dtype=bool)
         newb[0] = True
         newb[1:] = (
-            (gid[1:] != gid[:-1])
+            (gid_[1:] != gid_[:-1])
             | (m_[1:] != m_[:-1])
             | (side_[1:] != side_[:-1])
             | (k_[1:] != k_[:-1])
         )
         starts = np.flatnonzero(newb)
-        # re-aggregated distinct buckets
-        bg, bm, bs, bk = gid[starts], m_[starts], side_[starts], k_[starts]
+        # re-aggregated distinct buckets, sorted by (gid, m, side, k)
+        bg, bm, bs, bk = gid_[starts], m_[starts], side_[starts], k_[starts]
         bw = np.add.reduceat(w_, starts)
         bvw = np.add.reduceat(vw_, starts)
         bvmin = np.minimum.reduceat(vmin_, starts)
         bvmax = np.maximum.reduceat(vmax_, starts)
+        nb = len(bg)
 
-        n_groups = len(guniques)
-        result_cols: dict[str, np.ndarray] = {}
-        # (group, metric) segment boundaries over the bucket arrays
-        seg_id = bg * len(metric_names) + bm
-        seg_new = np.empty(len(bg), dtype=bool)
+        # (group, metric) segments over the bucket arrays
+        seg_new = np.empty(nb, dtype=bool)
         seg_new[0] = True
-        seg_new[1:] = seg_id[1:] != seg_id[:-1]
+        seg_new[1:] = (bg[1:] != bg[:-1]) | (bm[1:] != bm[:-1])
         seg_starts = np.flatnonzero(seg_new)
-        seg_ends = np.append(seg_starts[1:], len(bg))
+        seg_of = np.cumsum(seg_new) - 1  # bucket -> segment index
+        n_segs = len(seg_starts)
+        seg_g = bg[seg_starts]
+        seg_m = bm[seg_starts]
 
-        # per-spec output arrays
+        # exact per-segment stats (reduceat over segment boundaries)
+        cnt_seg = np.add.reduceat(bw, seg_starts)
+        sum_seg = np.add.reduceat(bvw, seg_starts)
+        min_seg = np.minimum.reduceat(bvmin, seg_starts)
+        max_seg = np.maximum.reduceat(bvmax, seg_starts)
+
+        # ---- collapsing-store clamp, vectorized over (segment, side) runs.
+        # Order-independent model (collapsing_lowest_dense_store_spec.rb:35-38):
+        # final bins == multiset of max(k, kmax-limit+1) (lowest) or
+        # min(k, kmin+limit-1) (highest) over the side's final extent.
+        run_new = seg_new.copy()
+        run_new[1:] |= bs[1:] != bs[:-1]
+        run_starts = np.flatnonzero(run_new)
+        run_ends = np.append(run_starts[1:], nb)
+        run_of = np.cumsum(run_new) - 1
+        k_first = bk[run_starts][run_of]
+        k_last = bk[run_ends - 1][run_of]
+        store_code = np.array(
+            [0 if s == "dense" else (1 if s == "collapse_lowest" else 2) for s in stores],
+            dtype=np.int8,
+        )[bm]
+        limit_arr = np.array(bin_limits, dtype=np.int64)[bm]
+        ck = bk.copy()
+        low = (store_code == 1) & (bs != 0)
+        ck[low] = np.maximum(bk[low], (k_last - limit_arr + 1)[low])
+        high = (store_code == 2) & (bs != 0)
+        ck[high] = np.minimum(bk[high], (k_first + limit_arr - 1)[high])
+        # merge equal clamped keys within each run (clamp preserves order)
+        cb_new = run_new.copy()
+        cb_new[1:] |= ck[1:] != ck[:-1]
+        cstarts = np.flatnonzero(cb_new)
+        cbk = ck[cstarts]
+        cbw = np.add.reduceat(bw, cstarts)
+        cbs = bs[cstarts]
+        cseg = seg_of[cstarts]
+
+        # per-segment side totals
+        negm = cbs == -1
+        zerom = cbs == 0
+        posm = cbs == 1
+        neg_cnt = np.bincount(cseg[negm], weights=cbw[negm], minlength=n_segs)
+        zero_cnt = np.bincount(cseg[zerom], weights=cbw[zerom], minlength=n_segs)
+
+        def _side_cums(mask):
+            """Global (within-run monotone) cumsum machinery for one side.
+
+            Returns (keys, cum, seg_first, seg_len, base) where base[s] is
+            the global cumsum before segment s's run and seg_first[s] its
+            first index in the side arrays (-1 when the side is empty)."""
+            idx = np.flatnonzero(mask)
+            keys = cbk[idx]
+            segv = cseg[idx]
+            cum = np.cumsum(cbw[idx])
+            first_in_run = np.empty(len(idx), dtype=bool)
+            if len(idx):
+                first_in_run[0] = True
+                first_in_run[1:] = segv[1:] != segv[:-1]
+            rstarts = np.flatnonzero(first_in_run)
+            seg_first = np.full(n_segs, -1, dtype=np.int64)
+            seg_len = np.zeros(n_segs, dtype=np.int64)
+            if len(rstarts):
+                rends = np.append(rstarts[1:], len(idx))
+                seg_first[segv[rstarts]] = rstarts
+                seg_len[segv[rstarts]] = rends - rstarts
+            base = np.zeros(n_segs)
+            has = seg_first > 0
+            base[has] = cum[seg_first[has] - 1]
+            return keys, cum, seg_first, seg_len, base
+
+        pos_keys, pos_cum, pos_first, pos_len, pos_base = _side_cums(posm)
+        neg_keys, neg_cum, neg_first, neg_len, neg_base = _side_cums(negm)
+
+        # ---- boundary-vectorized quantile walk per (metric, q)
         outs = {
             name: {
                 "count": np.zeros(n_groups),
@@ -268,58 +351,74 @@ def ddsketch_pairs_pipeline(
             }
             for name in metric_names
         }
-
-        for si in range(len(seg_starts)):
-            a, b = seg_starts[si], seg_ends[si]
-            gix = bg[a]
-            name = metric_names[bm[a]]
-            ks, ss, ws = bk[a:b], bs[a:b], bw[a:b]
-            cnt = ws.sum()
+        for mi, name in enumerate(metric_names):
+            sel = np.flatnonzero(seg_m == mi)
+            if not len(sel):
+                continue
+            gixs = seg_g[sel]
             o = outs[name]
-            o["count"][gix] = cnt
-            o["sum"][gix] = bvw[a:b].sum()
-            o["min"][gix] = bvmin[a:b].min()
-            o["max"][gix] = bvmax[a:b].max()
-            negm = ss == -1
-            zerom = ss == 0
-            posm = ss == 1
-            mstore, mlimit = stores[bm[a]], bin_limits[bm[a]]
-            neg_k, neg_w = _clamp_keys(ks[negm], ws[negm], mstore, mlimit)
-            zero_cnt = ws[zerom].sum() if zerom.any() else 0.0
-            pos_k, pos_w = _clamp_keys(ks[posm], ws[posm], mstore, mlimit)
-            neg_cnt = neg_w.sum() if neg_k.size else 0.0
-            pos_cum = np.cumsum(pos_w) if pos_k.size else np.zeros(0)
-            # negative store: ascending key scan with UPPER rank semantics
-            # (dense_store.rb:123-135 lower=false: first running >= rank+1)
-            neg_cum = np.cumsum(neg_w) if neg_k.size else np.zeros(0)
+            o["count"][gixs] = cnt_seg[sel]
+            o["sum"][gixs] = sum_seg[sel]
+            o["min"][gixs] = min_seg[sel]
+            o["max"][gixs] = max_seg[sel]
+            if not quantiles[name]:
+                continue
+            nz = cnt_seg[sel] > 0
+            segs = sel[nz]
+            gix = seg_g[segs]
+            cnt = cnt_seg[segs]
+            nneg, nzero = neg_cnt[segs], zero_cnt[segs]
+            mp = mappings[mi]
             for q in quantiles[name]:
-                if cnt == 0:
-                    continue
                 rank = q * (cnt - 1)
-                if rank < neg_cnt:
-                    reversed_rank = neg_cnt - rank - 1
-                    idx = int(np.searchsorted(neg_cum, reversed_rank + 1, side="left"))
-                    idx = min(idx, neg_k.size - 1)
-                    key = float(neg_k[idx])
-                    o[quantile_name(q)][gix] = -math.pow(2.0, key / mult) * coef
-                elif rank < zero_cnt + neg_cnt:
-                    o[quantile_name(q)][gix] = 0.0
-                else:
-                    target = rank - zero_cnt - neg_cnt
-                    idx = int(np.searchsorted(pos_cum, target, side="right"))
-                    idx = min(idx, pos_k.size - 1)
-                    key = float(pos_k[idx])
-                    o[quantile_name(q)][gix] = math.pow(2.0, key / mult) * coef
+                est = np.zeros(len(segs))
+                in_neg = rank < nneg
+                in_zero = (~in_neg) & (rank < nneg + nzero)
+                in_pos = ~(in_neg | in_zero)
+                sel_keys = np.zeros(len(segs), dtype=np.int64)
+                sel_sign = np.zeros(len(segs), dtype=np.int8)
+                if in_neg.any():
+                    # ascending key scan, UPPER rank semantics
+                    # (dense_store.rb:123-135 lower=false): first running
+                    # count >= reversed_rank + 1
+                    rr = nneg[in_neg] - rank[in_neg] - 1.0
+                    target = neg_base[segs[in_neg]] + rr + 1.0
+                    idx = np.searchsorted(neg_cum, target, side="left")
+                    last = neg_first[segs[in_neg]] + neg_len[segs[in_neg]] - 1
+                    idx = np.minimum(idx, last)
+                    sel_keys[in_neg] = neg_keys[idx]
+                    sel_sign[in_neg] = -1
+                if in_pos.any():
+                    target = (
+                        pos_base[segs[in_pos]]
+                        + rank[in_pos]
+                        - nzero[in_pos]
+                        - nneg[in_pos]
+                    )
+                    idx = np.searchsorted(pos_cum, target, side="right")
+                    last = pos_first[segs[in_pos]] + pos_len[segs[in_pos]] - 1
+                    idx = np.minimum(idx, last)
+                    sel_keys[in_pos] = pos_keys[idx]
+                    sel_sign[in_pos] = 1
+                # representative values once per DISTINCT key through the
+                # mapping's SCALAR (libm) path - bit-parity with the oracle
+                used = sel_sign != 0
+                if used.any():
+                    uniq = np.unique(sel_keys[used])
+                    vals = np.array([mp.value(int(kk)) for kk in uniq])
+                    est[used] = sel_sign[used] * vals[
+                        np.searchsorted(uniq, sel_keys[used])
+                    ]
+                o[quantile_name(q)][gix] = est
 
-        # group key columns back from the composite
-        gstr = np.asarray(guniques, dtype=object)
+        # group key columns: native values from the representative rows
         cols: dict[str, pa.Array] = {}
-        if len(group_keys) == 1:
-            cols[group_keys[0]] = pa.array(gstr.tolist(), pa.string())
-        else:
-            split = [s.split("\x1f") for s in gstr]
-            for i, kcol in enumerate(group_keys):
-                cols[kcol] = pa.array([r[i] for r in split], pa.string())
+        rep_take = pa.array(grp_first)
+        for kcol in group_keys:
+            col = pt.column(kcol)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[kcol] = col.take(rep_take)
         for name in metric_names:
             p = (prefixes or {}).get(name, "")
             o = outs[name]

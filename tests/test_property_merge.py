@@ -180,3 +180,80 @@ class TestFamilyProperties:
         uniq, true = np.unique(arr, return_counts=True)
         est = merged.estimate_hash_pairs(*merged.hash_pair_ints(uniq))
         assert (est >= true - 1e-9).all()
+
+
+def test_pairs_plan_preserves_key_dtypes_and_nulls(ray_session):
+    """ADVICE fix: the pairs plan must emit group keys in their INPUT dtypes
+    (not stringified) and give null keys their own group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+    from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+    t = pa.table(
+        {
+            "ki": pa.array([1, 2, 1, None, 2, None], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    spec = DDSketchSpec(on="v", name="s", relative_accuracy=0.01, quantiles=(0.5,))
+    for strategy in ["pairs", "states"]:
+        out = grouped_sketch_pipeline(
+            rd.from_arrow(t).repartition(2), [spec], ("ki",), strategy=strategy
+        ).to_pandas()
+        assert len(out) == 3, strategy
+        # int64 dtype (nullable) preserved, not string
+        vals = {None if v != v else int(v): c for v, c in zip(out["ki"], out["count"])}
+        assert vals == {1: 2.0, 2: 2.0, None: 2.0}, strategy
+
+
+def test_pairs_plan_all_mappings_match_states(ray_session):
+    """The pairs plan supports linear/cubic mappings, weighted adds and
+    collapsing stores - bit-identical to the states strategy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.functions.specs import DDSketchSpec
+    from ddsketch_ruby_ray.pipelines import grouped_sketch_pipeline
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "v": pa.array(np.round(rng.normal(0, 100, n))),  # signed, int-valued
+            "w": pa.array(rng.integers(1, 5, n).astype(np.float64)),
+        }
+    )
+    cases = [
+        dict(interpolation="linear"),
+        dict(interpolation="cubic"),
+        dict(weight="w", include_sum_avg=False),
+        dict(store="collapse_lowest", bin_limit=32),
+        dict(store="collapse_highest", bin_limit=32),
+        dict(interpolation="cubic", store="collapse_lowest", bin_limit=32, weight="w",
+             include_sum_avg=False),
+    ]
+    for kw in cases:
+        spec = DDSketchSpec(on="v", name="s", relative_accuracy=0.02,
+                            quantiles=(0.1, 0.5, 0.9), **kw)
+        a = (
+            grouped_sketch_pipeline(rd.from_arrow(t).repartition(5), [spec], ("g",),
+                                    strategy="pairs")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        b = (
+            grouped_sketch_pipeline(rd.from_arrow(t).repartition(3), [spec], ("g",),
+                                    strategy="states")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert set(a.columns) == set(b.columns), kw  # order differs by design
+        a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+        for c in a.columns:
+            if a[c].dtype.kind == "f":
+                assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(), equal_nan=True), (kw, c)
+            else:
+                assert (a[c] == b[c]).all(), (kw, c)
