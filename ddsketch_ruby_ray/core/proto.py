@@ -31,8 +31,10 @@ from .mapping import mapping_from_tag
 
 __all__ = ["serialize_sketch", "deserialize_sketch"]
 
-_INTERP_TO_ENUM = {None: 0, "linear": 1, "cubic": 2}
-_ENUM_TO_INTERP = {0: None, 1: "linear", 2: "cubic"}
+# ddsketch.proto:45-50: NONE = 0, LINEAR = 1, QUADRATIC = 2, CUBIC = 3.
+# (QUADRATIC has no implementation in the reference gem or here.)
+_INTERP_TO_ENUM = {None: 0, "linear": 1, "cubic": 3}
+_ENUM_TO_INTERP = {0: None, 1: "linear", 3: "cubic"}
 
 
 # -- low-level wire helpers --------------------------------------------------
@@ -89,7 +91,8 @@ def _encode_store(bins: np.ndarray, offset: int) -> bytes:
     if bins.size:
         packed = struct.pack(f"<{bins.size}d", *bins.tolist())
         out += _len_delim(2, packed)  # contiguousBinCounts, packed doubles
-        out += _tag(3, 0) + _varint(_zigzag(int(offset)))  # sint32 offset
+        if offset:  # proto3 omits default-valued scalars (golden-bytes parity)
+            out += _tag(3, 0) + _varint(_zigzag(int(offset)))  # sint32 offset
     return out
 
 
@@ -186,6 +189,11 @@ def deserialize_sketch(
                 elif f2 == 2:
                     offset = v2
                 elif f2 == 3:
+                    if v2 not in _ENUM_TO_INTERP:
+                        raise ValueError(
+                            f"unsupported interpolation enum {v2}"
+                            " (QUADRATIC has no reference implementation)"
+                        )
                     interp = _ENUM_TO_INTERP[v2]
         elif field == 2:
             pos = _decode_store(v)

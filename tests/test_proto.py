@@ -119,3 +119,157 @@ class TestWireFormat:
         st = sk.store.to_state()
         bins = np.asarray(st["bins"])
         assert float(bins[5 - st["bin_offset"]]) == 5.0
+
+
+# -- golden bytes vs the REAL google-protobuf encoder ------------------------
+# The reference schema (/root/reference/lib/ddsketch/proto/ddsketch.proto) is
+# rebuilt as a dynamic descriptor, so the hand-rolled codec is checked against
+# an actual protobuf implementation's bytes - both directions, both store
+# encodings.
+
+def _golden_pool():
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "ddsketch_golden.proto"
+    fdp.package = "golden"
+    fdp.syntax = "proto3"
+
+    store = fdp.message_type.add()
+    store.name = "Store"
+    entry = store.nested_type.add()
+    entry.name = "BinCountsEntry"
+    entry.options.map_entry = True
+    kf = entry.field.add()
+    kf.name, kf.number, kf.type, kf.label = "key", 1, kf.TYPE_SINT32, kf.LABEL_OPTIONAL
+    vf = entry.field.add()
+    vf.name, vf.number, vf.type, vf.label = "value", 2, vf.TYPE_DOUBLE, vf.LABEL_OPTIONAL
+    f = store.field.add()
+    f.name, f.number, f.type, f.label = "binCounts", 1, f.TYPE_MESSAGE, f.LABEL_REPEATED
+    f.type_name = ".golden.Store.BinCountsEntry"
+    f = store.field.add()
+    f.name, f.number, f.type, f.label = "contiguousBinCounts", 2, f.TYPE_DOUBLE, f.LABEL_REPEATED
+    f = store.field.add()
+    f.name, f.number, f.type, f.label = (
+        "contiguousBinIndexOffset", 3, f.TYPE_SINT32, f.LABEL_OPTIONAL,
+    )
+
+    im = fdp.message_type.add()
+    im.name = "IndexMapping"
+    en = im.enum_type.add()
+    en.name = "Interpolation"
+    for i, nm in enumerate(["NONE", "LINEAR", "QUADRATIC", "CUBIC"]):
+        v = en.value.add()
+        v.name, v.number = nm, i
+    f = im.field.add()
+    f.name, f.number, f.type, f.label = "gamma", 1, f.TYPE_DOUBLE, f.LABEL_OPTIONAL
+    f = im.field.add()
+    f.name, f.number, f.type, f.label = "indexOffset", 2, f.TYPE_DOUBLE, f.LABEL_OPTIONAL
+    f = im.field.add()
+    f.name, f.number, f.type, f.label = "interpolation", 3, f.TYPE_ENUM, f.LABEL_OPTIONAL
+    f.type_name = ".golden.IndexMapping.Interpolation"
+
+    dd = fdp.message_type.add()
+    dd.name = "DDSketch"
+    for nm, num, tn in [
+        ("mapping", 1, ".golden.IndexMapping"),
+        ("positiveValues", 2, ".golden.Store"),
+        ("negativeValues", 3, ".golden.Store"),
+    ]:
+        f = dd.field.add()
+        f.name, f.number, f.type, f.label, f.type_name = nm, num, f.TYPE_MESSAGE, f.LABEL_OPTIONAL, tn
+    f = dd.field.add()
+    f.name, f.number, f.type, f.label = "zeroCount", 4, f.TYPE_DOUBLE, f.LABEL_OPTIONAL
+
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+
+    def cls(name):
+        return message_factory.GetMessageClass(pool.FindMessageTypeByName(f"golden.{name}"))
+
+    return cls("DDSketch")
+
+
+class TestGoldenBytes:
+    def _pb_of(self, sk):
+        """Build the protobuf message carrying exactly what serialize_sketch writes."""
+        DDM = _golden_pool()
+        msg = DDM()
+        msg.mapping.gamma = sk.mapping.gamma
+        if sk.mapping.offset:
+            msg.mapping.indexOffset = sk.mapping.offset
+        interp = {None: 0, "linear": 1, "cubic": 3}[sk.mapping.interpolation]
+        if interp:
+            msg.mapping.interpolation = interp
+        for store, field in ((sk.store, msg.positiveValues), (sk.negative_store, msg.negativeValues)):
+            st = store.to_state()
+            bins = list(map(float, st["bins"]))
+            if bins:
+                field.contiguousBinCounts.extend(bins)
+                field.contiguousBinIndexOffset = int(st["bin_offset"])
+        if sk.zero_count:
+            msg.zeroCount = float(sk.zero_count)
+        return msg
+
+    @pytest.mark.parametrize("interp", [None, "linear", "cubic"])
+    def test_serialize_bytes_match_google_protobuf(self, interp):
+        from ddsketch_ruby_ray.core.mapping import mapping_from_tag
+
+        sk = DDSketch(mapping=mapping_from_tag(interp, 0.01))
+        sk.add_batch(np.array([1.0, 2.5, 100.0, -3.0, -0.5, 0.0, 7.0]))
+        mine = serialize_sketch(sk)
+        theirs = self._pb_of(sk).SerializeToString(deterministic=True)
+        assert mine == theirs, (mine.hex(), theirs.hex())
+
+    def test_serialize_bytes_match_empty_and_positive_only(self):
+        sk = DDSketch(0.02)
+        assert serialize_sketch(sk) == self._pb_of(sk).SerializeToString(deterministic=True)
+        sk.add(42.0)
+        assert serialize_sketch(sk) == self._pb_of(sk).SerializeToString(deterministic=True)
+
+    def test_decode_google_protobuf_bytes(self):
+        """Protobuf-produced bytes (incl. the SPARSE map encoding and both
+        encodings summed) decode to the right bin multiset."""
+        DDM = _golden_pool()
+        msg = DDM()
+        msg.mapping.gamma = 1.02020202020202
+        msg.mapping.interpolation = 3  # CUBIC
+        msg.positiveValues.binCounts[7] = 2.0
+        msg.positiveValues.binCounts[-3] = 1.5
+        msg.positiveValues.contiguousBinCounts.extend([4.0, 0.0, 1.0])
+        msg.positiveValues.contiguousBinIndexOffset = 7
+        msg.negativeValues.binCounts[2] = 3.0
+        msg.zeroCount = 2.5
+        sk = deserialize_sketch(msg.SerializeToString(deterministic=True))
+        assert sk.mapping.interpolation == "cubic"
+        assert sk.mapping.gamma == 1.02020202020202
+        st = sk.store.to_state()
+        bins = {st["bin_offset"] + i: c for i, c in enumerate(st["bins"]) if c}
+        assert bins == {7: 6.0, -3: 1.5, 9: 1.0}  # sparse + contiguous summed at key 7
+        nst = sk.negative_store.to_state()
+        nbins = {nst["bin_offset"] + i: c for i, c in enumerate(nst["bins"]) if c}
+        assert nbins == {2: 3.0}
+        assert sk.zero_count == 2.5
+
+    def test_quadratic_interpolation_rejected(self):
+        DDM = _golden_pool()
+        msg = DDM()
+        msg.mapping.gamma = 1.02
+        msg.mapping.interpolation = 2  # QUADRATIC: no reference implementation
+        with pytest.raises(ValueError, match="QUADRATIC"):
+            deserialize_sketch(msg.SerializeToString())
+
+    @pytest.mark.parametrize("interp", [None, "linear", "cubic"])
+    def test_protobuf_roundtrip_through_both_codecs(self, interp):
+        """our bytes -> protobuf parse -> protobuf bytes -> our decode."""
+        from ddsketch_ruby_ray.core.mapping import mapping_from_tag
+
+        sk = DDSketch(mapping=mapping_from_tag(interp, 0.005))
+        sk.add_batch(np.geomspace(0.1, 1e6, 200))
+        DDM = _golden_pool()
+        parsed = DDM.FromString(serialize_sketch(sk))
+        back = deserialize_sketch(parsed.SerializeToString(deterministic=True))
+        assert back.mapping == sk.mapping
+        a, b = sk.store.to_state(), back.store.to_state()
+        assert a["bin_offset"] == b["bin_offset"]
+        assert np.array_equal(np.asarray(a["bins"]), np.asarray(b["bins"]))
