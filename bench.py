@@ -219,6 +219,101 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def _dedup_job_rows(job: str) -> int:
+    # LSH shingles+hashes every token window (heavier per row); exact dedup is
+    # one sha256 per row - size each job to a few minutes of wall time
+    return 16_000_000 if job == "exact" else 4_000_000
+
+
+def _scaling_dedup_child(num_cpus: int, job: str) -> None:
+    """Fresh-process dedup scaling job over the synthesized corpus.
+
+    ``job="exact"``: 128-bit exact dedup (hash in the read tasks, 24 B/row
+    shuffle, per-partition vectorized min-key).  ``job="lsh"``: MinHash
+    signatures -> splitmix64 band buckets -> candidate pairs.
+    """
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+
+    from ddsketch_ruby_ray.core.hashing import hash256_str
+    from ddsketch_ruby_ray.pipelines import read_corpus
+    from ddsketch_ruby_ray.pipelines.dedup import (
+        exact_dedup_pipeline,
+        exact_dedup_rows_pipeline,
+        lsh_candidate_pairs_pipeline,
+    )
+
+    rows = _dedup_job_rows(job)
+    path = f"/tmp/graft_scaling_corpus_{rows}"
+    _warm_up("/root/testdata/sf0.001")
+    _warm_page_cache(path)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = (hash256_str(t.column("path"), lanes=1)[0] >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(key), "text": t.column("content")})
+
+    t0 = time.perf_counter()
+    ds = read_corpus(path, ["path", "content"]).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if job == "exact":
+        n = exact_dedup_pipeline(ds, key_col="doc_id", text_col="text").count()
+    else:
+        # the production near-dup shape: collapse exact duplicates first
+        # (identical texts share every bucket and square the pair count),
+        # then LSH with the bucket-size skew guard
+        distinct = exact_dedup_rows_pipeline(ds, key_col="doc_id", text_col="text")
+        n = lsh_candidate_pairs_pipeline(
+            distinct, key_col="doc_id", text_col="text", max_bucket=512
+        ).count()
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
+
+
+def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
+    """Second scaling table (BASELINE.md): exact dedup + LSH at lo vs hi cpus."""
+
+    def _child(args: list[str]) -> str:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"child {args} failed:\n{proc.stderr[-2000:]}")
+        lines = proc.stdout.strip().splitlines()
+        return lines[-1] if lines else ""
+
+    out = {}
+    for job in ("exact", "lsh"):
+        os.environ["GRAFT_SCALING_ROWS"] = str(_dedup_job_rows(job))
+        _child(["--_prepare-scaling"])
+        res = {}
+        for n in (lo, hi):
+            secs = [
+                json.loads(_child(["--_scaling-dedup-child", str(n), job]))["sec"]
+                for _ in range(2)
+            ]
+            sec = min(secs)
+            res[n] = {"sec": sec, "rows_per_sec": _dedup_job_rows(job) / sec}
+        eff = res[hi]["rows_per_sec"] / ((hi / lo) * res[lo]["rows_per_sec"])
+        out[job] = {
+            "input_rows": _dedup_job_rows(job),
+            "seconds": {str(n): round(res[n]["sec"], 3) for n in (lo, hi)},
+            "throughput": {str(n): round(res[n]["rows_per_sec"], 1) for n in (lo, hi)},
+            "efficiency": round(eff, 3),
+        }
+    return {"metric": f"dedup scaling num_cpus {lo} -> {hi}", "jobs": out}
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     if "--_prepare-scaling" in sys.argv:
@@ -226,6 +321,13 @@ def main() -> None:
         return
     if "--_scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--_scaling-child") + 1]))
+        return
+    if "--_scaling-dedup-child" in sys.argv:
+        i = sys.argv.index("--_scaling-dedup-child")
+        _scaling_dedup_child(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
+    if "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))

@@ -65,30 +65,62 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 # -- exact dedup -------------------------------------------------------------
 
 
-def exact_dedup_pipeline(ds, *, key_col: str, text_col: str):
+def exact_dedup_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int = 64):
     """Keep the first (min key) row per exact text: -> Dataset[key_col].
 
     128-bit content identity (two sha256 lanes) so the shuffle never carries
-    text and collisions are impossible at any realistic scale.
+    text and collisions are impossible at any realistic scale.  The map side
+    PRE-DEDUPES each block (one lexsort+reduceat) so the shuffle moves at most
+    one 24-byte row per (block, distinct text); the reduce side is one
+    vectorized min-key scan per hash PARTITION (~cpus partitions) - Ray's
+    built-in per-group aggregate would cost ~250us of Python per distinct
+    document, which at 10^8+ distinct texts dominates everything.
     """
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         lanes = hash256_str(batch.column(text_col), lanes=2)
+        hi = lanes[0].astype(np.int64)
+        lo = lanes[1].astype(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        # block-local pre-dedup: min key per (hi, lo) within this block
+        order = np.lexsort((keys, lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        win = order[first]
+        part = (lanes[0][win] % np.uint64(num_partitions)).astype(np.int32)
         return pa.table(
             {
-                "h_hi": pa.array(lanes[0].astype(np.int64)),  # same bits, int64 domain
-                "h_lo": pa.array(lanes[1].astype(np.int64)),
-                key_col: batch.column(key_col),
+                "_part": pa.array(part),
+                "h_hi": pa.array(hi[win]),
+                "h_lo": pa.array(lo[win]),
+                key_col: batch.column(key_col).take(pa.array(win)),
             }
         )
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-    kept = hashed.groupby(["h_hi", "h_lo"]).min(key_col)
-    return kept.map_batches(
-        lambda t: pa.table({key_col: t.column(f"min({key_col})")}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def keep_min(part_tbl: pa.Table) -> pa.Table:
+        hi = part_tbl.column("h_hi").to_numpy(zero_copy_only=False)
+        lo = part_tbl.column("h_lo").to_numpy(zero_copy_only=False)
+        keys = part_tbl.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.dtype == object:
+            import pandas as pd
+
+            codes, _ = pd.factorize(pd.Series(keys), sort=True)
+        else:
+            codes = keys
+        order = np.lexsort((codes, lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        win = order[first]
+        return pa.table({key_col: part_tbl.column(key_col).take(pa.array(win))})
+
+    return hashed.groupby("_part").map_groups(keep_min, batch_format="pyarrow")
 
 
 def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int = 64):
@@ -105,9 +137,27 @@ def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         lanes = hash256_str(batch.column(text_col), lanes=2)
-        batch = batch.append_column("_h_hi", pa.array(lanes[0].astype(np.int64)))
-        batch = batch.append_column("_h_lo", pa.array(lanes[1].astype(np.int64)))
-        part = (lanes[0] % np.uint64(num_partitions)).astype(np.int32)
+        hi = lanes[0].astype(np.int64)
+        lo = lanes[1].astype(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        # block-local pre-dedup (same trick as exact_dedup_pipeline): only the
+        # block's min-key row per distinct text enters the shuffle
+        kcodes = keys
+        if keys.dtype == object:
+            import pandas as pd
+
+            kcodes, _ = pd.factorize(pd.Series(keys), sort=True)
+        order = np.lexsort((kcodes, lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        win = np.sort(order[first])
+        batch = batch.take(pa.array(win))
+        batch = batch.append_column("_h_hi", pa.array(hi[win]))
+        batch = batch.append_column("_h_lo", pa.array(lo[win]))
+        part = (lanes[0][win] % np.uint64(num_partitions)).astype(np.int32)
         return batch.append_column("_part", pa.array(part))
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -223,13 +273,21 @@ def lsh_candidate_pairs_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    max_bucket: int | None = None,
 ):
     """-> Dataset[(a, b)]: distinct key pairs sharing >= 1 LSH band bucket.
 
     Band bucket = splitmix64 fold of the band's minhash slots (int64, fully
     vectorized; the SQL oracle mirrors the fold bit-for-bit via a CTE chain).
-    Groups are tiny by construction, so emitting pairs inside map_groups is
-    bounded work.
+
+    ``max_bucket`` is the standard LSH skew guard for real corpora: a bucket
+    with B members emits B^2/2 pairs, so one template-spammed bucket of 10^5
+    docs would emit 5*10^9 candidates and dominate the run.  Buckets larger
+    than the cap are SKIPPED (their members are, by construction, captured
+    through exact dedup or other bands; deterministic either way).  The
+    oracle-compared driver query runs uncapped.  EXACT-DEDUP FIRST: on
+    duplicate-heavy corpora, collapse identical texts before LSH - identical
+    docs share every bucket and square the pair count for no information.
     """
     assert num_hashes % bands == 0
     sigs = minhash_signatures(
@@ -255,21 +313,92 @@ def lsh_candidate_pairs_pipeline(
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column(key_col).to_numpy(zero_copy_only=False))
-        ii, jj = np.triu_indices(len(ids), k=1)
+    # (band, bucket) groups are co-located by a PARTITION of the bucket hash,
+    # so the reduce side is ~num_partitions vectorized map_groups calls - not
+    # one Python call per bucket (Ray's per-group overhead is ~250us, which
+    # at 10^5+ buckets would dominate the whole pipeline).
+    num_partitions = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkt = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            part = (splitmix64(bkt + splitmix64(band)) % np.uint64(num_partitions)).astype(
+                np.int32
+            )
+        finally:
+            np.seterr(**old)
+        return t.append_column("_part", pa.array(part))
+
+    parted = buckets.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_of_partition(pt: pa.Table) -> pa.Table:
+        band = pt.column("band").to_numpy(zero_copy_only=False)
+        bkt = pt.column("bucket").to_numpy(zero_copy_only=False)
+        ids = pt.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bkt, band))
+        band_s, bkt_s, ids_s = band[order], bkt[order], ids[order]
+        n = len(order)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band_s[1:] != band_s[:-1]) | (bkt_s[1:] != bkt_s[:-1])
+        seg_start = np.repeat(np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), n)))
+        t = np.arange(n) - seg_start  # within-bucket position (0-based)
+        if max_bucket is not None:
+            seg_len = np.diff(np.append(np.flatnonzero(new), n))
+            keep = np.repeat(seg_len <= max_bucket, seg_len)  # skew guard
+            band_s, bkt_s, ids_s = band_s[keep], bkt_s[keep], ids_s[keep]
+            seg_start, t = seg_start[keep], t[keep]
+            # re-base seg_start to the filtered array's coordinates
+            if len(t):
+                new2 = t == 0
+                seg_start = np.repeat(
+                    np.flatnonzero(new2), np.diff(np.append(np.flatnonzero(new2), len(t)))
+                )
+        # vectorized pair expansion: element j (position t_j in its bucket)
+        # pairs as 'b' with every earlier element of the bucket as 'a'
+        total = int(t.sum())
+        if not total:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        b_out = np.repeat(ids_s, t)
+        csum = np.cumsum(t) - t
+        a_idx = np.arange(total) - np.repeat(csum, t) + np.repeat(seg_start, t)
+        a_out = ids_s[a_idx]
+        # ids are sorted within bucket, so a_out < b_out by construction;
+        # local (within-partition) distinct before the cross-band dedup
+        pairs = np.stack([a_out, b_out], axis=1)
+        pairs = np.unique(pairs, axis=0)
         return pa.table(
-            {"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}
+            {"a": pa.array(pairs[:, 0], pa.int64()), "b": pa.array(pairs[:, 1], pa.int64())}
         )
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
-        pairs_of_group, batch_format="pyarrow"
-    )
-    # distinct (a, b) across bands
+    pairs = parted.groupby("_part").map_groups(pairs_of_partition, batch_format="pyarrow")
+
+    # distinct (a, b) across bands: same partition+vectorize shape (Ray's
+    # groupby().count() would iterate pairs in Python)
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        old = np.seterr(over="ignore")
+        try:
+            part = (splitmix64(a + splitmix64(b)) % np.uint64(num_partitions)).astype(np.int32)
+        finally:
+            np.seterr(**old)
+        return t.append_column("_part", pa.array(part))
+
+    def distinct_pairs(pt: pa.Table) -> pa.Table:
+        a = pt.column("a").to_numpy(zero_copy_only=False)
+        b = pt.column("b").to_numpy(zero_copy_only=False)
+        pairs_arr = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(pairs_arr[:, 0], pa.int64()), "b": pa.array(pairs_arr[:, 1], pa.int64())}
+        )
+
     return (
-        pairs.groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
     )
 
 

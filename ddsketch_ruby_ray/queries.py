@@ -379,24 +379,35 @@ def cms_weighted_part_quantities(sf_dir: str):
 
 
 def tdigest_chars_by_lang(sf_dir: str):
-    """t-digest quantiles of doc length by lang (rows-only driver check)."""
+    """t-digest quantiles of doc length by lang, built through the CANONICAL
+    merge tree (pipelines/canonical.py): layout-independent, bit-reproducible
+    results.  Still rows-only for the driver - the t-digest clustering
+    algorithm is sequential and not SQL-expressible - but rows-only over a
+    deterministic value (pytest pins layout invariance + accuracy)."""
     from .functions.family_specs import TDigestSpec
-    from .pipelines import grouped_sketch_pipeline
+    from .pipelines.canonical import canonical_sketch_pipeline
 
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return grouped_sketch_pipeline(
-        ds, [TDigestSpec(on="n_chars", name="t", quantiles=QUANTILES)], ("lang",)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return canonical_sketch_pipeline(
+        ds,
+        TDigestSpec(on="n_chars", name="t", quantiles=QUANTILES),
+        ("lang",),
+        id_col="doc_id",
     )
 
 
 def kll_chars_by_lang(sf_dir: str):
-    """KLL quantiles of doc length by lang (rows-only driver check)."""
+    """KLL quantiles of doc length by lang via the canonical merge tree
+    (layout-independent; see tdigest_chars_by_lang)."""
     from .functions.family_specs import KLLSpec
-    from .pipelines import grouped_sketch_pipeline
+    from .pipelines.canonical import canonical_sketch_pipeline
 
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return grouped_sketch_pipeline(
-        ds, [KLLSpec(on="n_chars", name="k", quantiles=QUANTILES)], ("lang",)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return canonical_sketch_pipeline(
+        ds,
+        KLLSpec(on="n_chars", name="k", quantiles=QUANTILES),
+        ("lang",),
+        id_col="doc_id",
     )
 
 

@@ -397,3 +397,69 @@ class TestKLL:
             KLL(64).merge(KLL(128))
         with pytest.raises(ValueError):
             KLL(4)
+
+
+class TestCanonicalLayoutInvariance:
+    """tdigest/KLL through the canonical merge tree are bit-identical across
+    block layouts (pipelines/canonical.py)."""
+
+    def _run(self, spec_cls, blocks, ray_ok, **kw):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.canonical import canonical_sketch_pipeline
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "g": pa.array(rng.choice(["x", "y", "z"], n)),
+                "v": pa.array(rng.lognormal(3, 1, n)),
+            }
+        )
+        spec = spec_cls(on="v", name="s", quantiles=(0.5, 0.9, 0.99), **kw)
+        return (
+            canonical_sketch_pipeline(
+                rd.from_arrow(t).repartition(blocks), spec, ("g",), id_col="id"
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize("spec_name", ["TDigestSpec", "KLLSpec"])
+    def test_layout_invariant_and_accurate(self, ray_session, spec_name):
+        import numpy as np
+
+        from ddsketch_ruby_ray.functions import family_specs
+
+        spec_cls = getattr(family_specs, spec_name)
+        a = self._run(spec_cls, 2, ray_session)
+        b = self._run(spec_cls, 13, ray_session)
+        c = self._run(spec_cls, 1, ray_session)
+        for col in a.columns:
+            av = a[col].to_numpy()
+            for other in (b, c):
+                ov = other[col].to_numpy()
+                if av.dtype.kind == "f":
+                    assert np.array_equal(av, ov, equal_nan=True), (spec_name, col)
+                else:
+                    assert (av == ov).all(), (spec_name, col)
+        # rank accuracy vs exact quantiles (loose: both are rank sketches)
+        import pyarrow as pa
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        g = rng.choice(["x", "y", "z"], n)
+        v = rng.lognormal(3, 1, n)
+        for grp in ["x", "y", "z"]:
+            vals = np.sort(v[g == grp])
+            row = a[a["g"] == grp].iloc[0]
+            for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                est = row[col]
+                # rank error tolerance: position within +-2.5% of n
+                lo = vals[max(0, int((q - 0.025) * len(vals)) - 1)]
+                hi = vals[min(len(vals) - 1, int((q + 0.025) * len(vals)))]
+                assert lo <= est <= hi, (spec_name, grp, col, est, lo, hi)
