@@ -8,10 +8,11 @@ recipe these are expressed as batch transforms:
 * sliding windows   - each row is REPLICATED into the windows it belongs to
   inside ``map_batches`` (vectorized np.repeat), then the usual grouped
   sketch pipeline;
-* session windows   - ``groupby(key).map_groups``: each group arrives
-  complete, is sorted by ts, and gap-based session ids are a cumsum over
-  (delta > gap).  Ordering assumption: within one call we sort; ACROSS
-  calls nothing is needed because grouping is by user.
+* session windows   - hash-PARTITIONED ``groupby("_part").map_groups``
+  (~num_partitions reduce calls, never one per key); inside a partition
+  one lexsort(ts, key) + boundary reduceat yields every key's gap-based
+  session stats.  Ordering assumption: within one call we sort; ACROSS
+  calls nothing is needed because partitioning is by key hash.
 
 All are deterministic and SQL-mirrorable (lag/cumsum window functions).
 """
@@ -57,40 +58,57 @@ def sessionize_pipeline(
     key_col: str,
     ts_col: str,
     gap_s: int = 1800,
+    num_partitions: int = 64,
 ):
     """-> Dataset[(key, n_sessions, longest_s, total_events)].
 
     Gap-based sessions per key: events sorted by ts; a new session starts
     when the gap to the previous event exceeds ``gap_s`` seconds.
-    """
 
-    def per_key(group: pa.Table) -> pa.Table:
-        key = group.column(key_col)[0].as_py()
-        us = np.sort(group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False))
-        sec = us / 1_000_000.0
-        if sec.size == 0:
-            return pa.table(
-                {
-                    key_col: pa.array([], pa.int64()),
-                    "n_sessions": pa.array([], pa.int64()),
-                    "longest_s": pa.array([], pa.float64()),
-                    "total_events": pa.array([], pa.int64()),
-                }
-            )
-        new_session = np.empty(sec.size, dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (sec[1:] - sec[:-1]) > gap_s
-        session_id = np.cumsum(new_session) - 1
-        starts = np.flatnonzero(new_session)
-        ends = np.append(starts[1:], sec.size)
-        lengths = sec[ends - 1] - sec[starts]
+    Keys are co-located by a hash PARTITION (~cpus reduce calls, not one
+    Python map_groups call per key - at 10^9 users Ray's ~250us/group
+    overhead would dominate); inside each partition ONE lexsort + boundary
+    reduceat computes every key's session stats.
+    """
+    from ..core.hashing import hash64_int
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        keys = pt.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pt.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, keys))
+        k_s = keys[order]
+        sec = us[order] / 1_000_000.0
+        n = len(order)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (sec[1:] - sec[:-1]) > gap_s
+        sess_starts = np.flatnonzero(new_sess)
+        sess_ends = np.append(sess_starts[1:], n)
+        sess_len = sec[sess_ends - 1] - sec[sess_starts]
+        key_starts = np.flatnonzero(new_key)
+        uk = k_s[key_starts]
+        total = np.diff(np.append(key_starts, n))
+        sess_new_key = new_key[sess_starts]  # session opens a new key run
+        n_sessions = np.diff(
+            np.append(np.flatnonzero(sess_new_key), len(sess_starts))
+        )
+        longest = np.maximum.reduceat(sess_len, np.flatnonzero(sess_new_key))
         return pa.table(
             {
-                key_col: pa.array([key], pa.int64()),
-                "n_sessions": pa.array([int(session_id[-1] + 1)], pa.int64()),
-                "longest_s": pa.array([float(lengths.max())], pa.float64()),
-                "total_events": pa.array([int(sec.size)], pa.int64()),
+                key_col: pa.array(uk, pa.int64()),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "longest_s": pa.array(longest, pa.float64()),
+                "total_events": pa.array(total.astype(np.int64)),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

@@ -411,6 +411,41 @@ def kll_chars_by_lang(sf_dir: str):
     )
 
 
+def tdigest_exact_fields_by_lang(sf_dir: str):
+    """The SAME canonical t-digest build as tdigest_chars_by_lang, projected
+    onto the sketch's exactly-maintained fields (count/min/max).  Those are
+    SQL-expressible, so this gives the t-digest pipeline an oracle-backed
+    end-to-end driver row (distributed accumulate + canonical merge tree all
+    execute; only the finalize projection differs), per VERDICT.md item 5's
+    'oracle the exact fields' guidance.  Estimate accuracy stays pytest-pinned
+    (alpha-band sweeps in tests/test_sketch_family.py)."""
+    from .functions.family_specs import TDigestSpec
+    from .pipelines.canonical import canonical_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return canonical_sketch_pipeline(
+        ds,
+        TDigestSpec(on="n_chars", name="t", quantiles=()),
+        ("lang",),
+        id_col="doc_id",
+    )
+
+
+def kll_exact_fields_by_lang(sf_dir: str):
+    """KLL twin of tdigest_exact_fields_by_lang: oracle-backed count/min/max
+    through the full distributed KLL build (compaction included)."""
+    from .functions.family_specs import KLLSpec
+    from .pipelines.canonical import canonical_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return canonical_sketch_pipeline(
+        ds,
+        KLLSpec(on="n_chars", name="k", quantiles=()),
+        ("lang",),
+        id_col="doc_id",
+    )
+
+
 # -- dedup suite -------------------------------------------------------------
 
 def _docs(sf_dir):
@@ -696,6 +731,8 @@ QUERIES = {
     "cms_weighted_part_quantities": cms_weighted_part_quantities,
     "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
     "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
+    "tdigest_exact_fields_by_lang": tdigest_exact_fields_by_lang,
+    "kll_exact_fields_by_lang": kll_exact_fields_by_lang,
     "exact_dedup_docs": exact_dedup_docs,
     "exact_dedup_rows": exact_dedup_rows,
     "minhash_signatures_docs": minhash_signatures_docs,
@@ -798,7 +835,19 @@ def _family_oracles() -> dict:
     )
 
     dedup_kw = dict(table="documents", key="doc_id", text="text")
+    # t-digest / KLL exactly-maintained fields: plain SQL aggregates.  The
+    # estimates themselves stay rows-only (sequential compaction schedules).
+    exact_fields_sql = """
+        SELECT lang,
+               CAST(count(n_chars) AS DOUBLE) AS "count",
+               CAST(min(n_chars) AS DOUBLE) AS "min",
+               CAST(max(n_chars) AS DOUBLE) AS "max"
+        FROM documents
+        GROUP BY lang
+    """
     return {
+        "tdigest_exact_fields_by_lang": exact_fields_sql,
+        "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(
             table="lineitem",
             group_col="l_returnflag",

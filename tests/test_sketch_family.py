@@ -457,6 +457,11 @@ class TestCanonicalLayoutInvariance:
         for grp in ["x", "y", "z"]:
             vals = np.sort(v[g == grp])
             row = a[a["g"] == grp].iloc[0]
+            # count/min/max are exactly maintained through accumulate+merge
+            # (these back the oracle-checked *_exact_fields_by_lang queries)
+            assert row["count"] == len(vals)
+            assert row["min"] == vals[0]
+            assert row["max"] == vals[-1]
             for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
                 est = row[col]
                 # rank error tolerance: position within +-2.5% of n
