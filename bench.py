@@ -222,7 +222,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def _dedup_job_rows(job: str) -> int:
     # LSH shingles+hashes every token window (heavier per row); exact dedup is
     # one sha256 per row - size each job to a few minutes of wall time
-    return 16_000_000 if job == "exact" else 4_000_000
+    default = 16_000_000 if job == "exact" else 4_000_000
+    return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
 
 
 def _scaling_dedup_child(num_cpus: int, job: str) -> None:
@@ -293,7 +294,8 @@ def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
         return lines[-1] if lines else ""
 
     out = {}
-    for job in ("exact", "lsh"):
+    jobs = tuple(os.environ.get("GRAFT_DEDUP_JOBS", "exact,lsh").split(","))
+    for job in jobs:
         os.environ["GRAFT_SCALING_ROWS"] = str(_dedup_job_rows(job))
         _child(["--_prepare-scaling"])
         res = {}

@@ -1,0 +1,253 @@
+"""Temporal joins Ray Data lacks: as-of join and range (interval) join.
+
+Neither exists in the reference (DataDog/ddsketch-ruby is a sketch library)
+nor in Ray Data's Dataset API; both are staples of a training-data /
+telemetry pipeline ("most recent config/order/model-version at event time",
+"events within the preceding window").  Per the engine's custom-operator
+policy they are expressed as a composition of map_batches + one keyed
+shuffle, with the partitioning assumption documented:
+
+  1. both sides are normalized to a shared schema (side tag, int64 key,
+     int64 microsecond timestamp, int64 tie-break, payload columns padded
+     with nulls crosswise) inside ``map_batches``;
+  2. rows co-locate by ``hash(key) % num_partitions`` - ONE all-to-all
+     shuffle of only the carried columns;
+  3. inside each partition a single lexsort + merge-rank computation
+     resolves every left row's match(es) - no per-key Python, no per-row
+     Python; work is O((n+m) log(n+m)) vectorized numpy per partition.
+
+Partitioning assumption: a partition must hold ALL rows of the keys hashed
+to it (guaranteed by the hash co-partition); partition count bounds peak
+memory (size num_partitions ~ total_rows / target_partition_rows at scale).
+Skewed keys cost only sort time, never quadratic blowup (as-of emits one
+row per left row; range join emits only true interval matches).
+
+Determinism: as-of ties on (key, ts) resolve to the MAX tie-break column
+(sorted last, accumulated last), mirroring the SQL oracle's
+``row_number() OVER (... ORDER BY ts DESC, tiebreak DESC) = 1``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.hashing import hash64_int
+
+__all__ = ["asof_join_pipeline", "range_join_pipeline"]
+
+_SIDE_RIGHT = 0
+_SIDE_LEFT = 1
+
+
+def _merge_rank(rk, rt, qk, qt, *, inclusive: bool) -> np.ndarray:
+    """For each query (qk[i], qt[i]): the number of build rows (rk, rt) that
+    are lexicographically < (qk[i], qt[i]) (or <= when ``inclusive``).
+
+    ``(rk, rt)`` must be lexsorted.  One concatenated lexsort - the classic
+    merge-path trick - instead of a per-key searchsorted loop.
+    """
+    n, m = rk.size, qk.size
+    k = np.concatenate([rk, qk])
+    t = np.concatenate([rt, qt])
+    # ties on (key, ts): build rows sort before queries when inclusive
+    # (counted), after when exclusive (not counted)
+    side = np.empty(n + m, dtype=np.int8)
+    side[:n] = 0 if inclusive else 1
+    side[n:] = 1 if inclusive else 0
+    order = np.lexsort((side, t, k))
+    inv = np.empty(n + m, dtype=np.int64)
+    inv[order] = np.arange(n + m)
+    prefix = np.cumsum((order < n).astype(np.int64))
+    qpos = inv[n:]
+    # queries occupy their own sorted slots, so prefix[qpos] counts exactly
+    # the build rows at earlier slots
+    return prefix[qpos]
+
+
+def _normalize_side(
+    ds,
+    *,
+    side: int,
+    key_col: str,
+    ts_col: str,
+    tb_col: str | None,
+    own_cols: Sequence[str],
+    other_schema: pa.Schema,
+    other_cols: Sequence[str],
+    num_partitions: int,
+):
+    """-> Dataset with schema [_part,_side,_key,_ts,_tb, own..., other(null)...]."""
+    other_types = {f.name: f.type for f in other_schema}
+
+    def norm(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "_part": pa.array(
+                (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+            ),
+            "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            "_key": pa.array(keys),
+            "_ts": t.column(ts_col).cast(pa.int64()),
+            "_tb": (
+                t.column(tb_col).cast(pa.int64())
+                if tb_col is not None
+                else pa.array(np.zeros(n, dtype=np.int64))
+            ),
+        }
+        for c in own_cols:
+            cols[c] = t.column(c)
+        for c in other_cols:
+            cols[c] = pa.nulls(n, type=other_types[c])
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _union_partitions(left_norm, right_norm):
+    return left_norm.union(right_norm).groupby("_part")
+
+
+def asof_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    tiebreak: str,
+    num_partitions: int = 64,
+):
+    """LEFT as-of join -> Dataset[left_cols..., right_payload...(nullable)].
+
+    For each left row, the right row with the same key and the greatest
+    ``right_ts <= left_ts``; ties on the timestamp resolve to the greatest
+    ``tiebreak``.  Unmatched left rows keep null payload (LEFT semantics).
+    """
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+
+    ln = _normalize_side(
+        left, side=_SIDE_LEFT, key_col=left_key, ts_col=left_ts, tb_col=None,
+        own_cols=left_cols, other_schema=rschema, other_cols=right_payload,
+        num_partitions=num_partitions,
+    )
+    rn = _normalize_side(
+        right, side=_SIDE_RIGHT, key_col=right_key, ts_col=right_ts,
+        tb_col=tiebreak, own_cols=right_payload, other_schema=lschema,
+        other_cols=left_cols, num_partitions=num_partitions,
+    )
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        side = pt.column("_side").to_numpy(zero_copy_only=False)
+        key = pt.column("_key").to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        tb = pt.column("_tb").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == _SIDE_LEFT)
+        r_idx = np.flatnonzero(side == _SIDE_RIGHT)
+        out_cols = {}
+        if l_idx.size == 0:
+            return pa.table(
+                {c: pa.array([], type=lschema.field(c).type) for c in left_cols}
+                | {c: pa.array([], type=rschema.field(c).type) for c in right_payload}
+            )
+        if r_idx.size == 0:
+            for c in left_cols:
+                out_cols[c] = pc.take(pt.column(c), pa.array(l_idx))
+            for c in right_payload:
+                out_cols[c] = pa.nulls(l_idx.size, type=rschema.field(c).type)
+            return pa.table(out_cols)
+        r_order = r_idx[np.lexsort((tb[r_idx], ts[r_idx], key[r_idx]))]
+        pos = _merge_rank(
+            key[r_order], ts[r_order], key[l_idx], ts[l_idx], inclusive=True
+        )
+        cand = pos - 1  # last right row with (key, ts) <= (lk, lt)
+        matched = (cand >= 0) & (key[r_order[np.maximum(cand, 0)]] == key[l_idx])
+        take_r = r_order[np.maximum(cand, 0)]
+        r_indices = pa.array(take_r, mask=~matched)  # null index -> null value
+        for c in left_cols:
+            out_cols[c] = pc.take(pt.column(c), pa.array(l_idx))
+        for c in right_payload:
+            out_cols[c] = pc.take(pt.column(c), r_indices)
+        return pa.table(out_cols)
+
+    return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
+
+
+def range_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    window_s: float,
+    num_partitions: int = 64,
+):
+    """INNER range join -> one row per (left, right) pair with the same key
+    and ``left_ts - window_s <= right_ts <= left_ts`` (both ends inclusive).
+
+    Matches per left row are a contiguous rank interval of the
+    (key, ts)-sorted right side: two merge-rank passes (inclusive upper,
+    exclusive lower) and a vectorized repeat/arange pair expansion.
+    """
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    window_us = int(round(window_s * 1_000_000))
+
+    ln = _normalize_side(
+        left, side=_SIDE_LEFT, key_col=left_key, ts_col=left_ts, tb_col=None,
+        own_cols=left_cols, other_schema=rschema, other_cols=right_payload,
+        num_partitions=num_partitions,
+    )
+    rn = _normalize_side(
+        right, side=_SIDE_RIGHT, key_col=right_key, ts_col=right_ts, tb_col=None,
+        own_cols=right_payload, other_schema=lschema, other_cols=left_cols,
+        num_partitions=num_partitions,
+    )
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        side = pt.column("_side").to_numpy(zero_copy_only=False)
+        key = pt.column("_key").to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == _SIDE_LEFT)
+        r_idx = np.flatnonzero(side == _SIDE_RIGHT)
+        empty = pa.table(
+            {c: pa.array([], type=lschema.field(c).type) for c in left_cols}
+            | {c: pa.array([], type=rschema.field(c).type) for c in right_payload}
+        )
+        if l_idx.size == 0 or r_idx.size == 0:
+            return empty
+        r_order = r_idx[np.lexsort((ts[r_idx], key[r_idx]))]
+        rk, rt = key[r_order], ts[r_order]
+        lk, lt = key[l_idx], ts[l_idx]
+        hi = _merge_rank(rk, rt, lk, lt, inclusive=True)
+        lo = _merge_rank(rk, rt, lk, lt - window_us, inclusive=False)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(l_idx.size), counts)
+        starts = np.cumsum(counts) - counts
+        ri = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        l_take = pa.array(l_idx[li])
+        r_take = pa.array(r_order[ri])
+        out = {c: pc.take(pt.column(c), l_take) for c in left_cols}
+        out |= {c: pc.take(pt.column(c), r_take) for c in right_payload}
+        return pa.table(out)
+
+    return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")

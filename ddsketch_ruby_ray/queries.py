@@ -296,6 +296,63 @@ def user_sessions(sf_dir: str):
     return sessionize_pipeline(ds, key_col="user_id", ts_col="ts", gap_s=1800)
 
 
+def asof_last_urgent_order(sf_dir: str):
+    """LEFT as-of join: for each event, the user's most recent URGENT order
+    at/before the event time (ties on o_orderdate -> max o_orderkey, matching
+    the oracle's row_number ordering); events whose user has no urgent order
+    keep null payload.  Urgency is filtered AT THE READ (parquet row-group
+    pushdown) - the join shuffles only 5 int64 columns per side."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import asof_join_pipeline
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return asof_join_pipeline(
+        events,
+        urgent,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
+def events_within_hour_pairs(sf_dir: str):
+    """INNER range join (self): all (event a, event b) pairs of the SAME user
+    with b.ts in [a.ts - 1h, a.ts] - the 'recent context per event' shape of
+    a session-feature pipeline.  Includes the self pair (a, a) by definition
+    of the closed interval."""
+    from .pipelines.joins import range_join_pipeline
+
+    a = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    b = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rename(t):
+        return t.rename_columns(["b_event_id", "b_user_id", "b_ts"])
+
+    b = b.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return range_join_pipeline(
+        a,
+        b,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="b_user_id",
+        right_ts="b_ts",
+        left_cols=["event_id", "user_id"],
+        right_payload=["b_event_id"],
+        window_s=3600,
+    )
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -723,6 +780,8 @@ QUERIES = {
     "dd_windowed_quantiles": dd_windowed_quantiles,
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "user_sessions": user_sessions,
+    "asof_last_urgent_order": asof_last_urgent_order,
+    "events_within_hour_pairs": events_within_hour_pairs,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -769,6 +828,37 @@ SCALING_QUERIES = ["flagship_docs_metrics"]
 
 
 ORACLE_SQL = {
+    "asof_last_urgent_order": """
+        WITH urgent AS (
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), j AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN urgent o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id,
+               CAST(NULL AS BIGINT) AS o_orderkey,
+               CAST(NULL AS DOUBLE) AS o_totalprice
+        FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM urgent o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+    """,
+    "events_within_hour_pairs": """
+        SELECT a.event_id, a.user_id, b.event_id AS b_event_id
+        FROM events a
+        JOIN events b
+          ON b.user_id = a.user_id
+         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
     "dd_stats_by_lang": """
         SELECT lang,
                CAST(count(*) AS DOUBLE) AS "count",
