@@ -4,9 +4,11 @@
   so it is broadcast (``ray.put``) and every batch does ONE float64 matmul
   against it; per-batch top-k partials then reduce per query.  This is the
   baseline and the verification oracle for ANN variants.
-* ``cosine_neardup_pipeline`` - all pairs >= threshold via the same broadcast
-  matmul (the probe side is the whole table, blocked; at 10^12 rows you'd
-  first LSH-bucket - see ``signed_random_projection_buckets``).
+* ``cosine_neardup_pipeline`` - exact all pairs >= threshold as a
+  storage-backed chunk-pair join (actor pool scores one chunk x chunk block
+  matmul per task; per-task memory is two chunks, no driver
+  materialization).  Exact is O(n^2) work by nature; at 10^12 rows you'd
+  first LSH-bucket - see ``signed_random_projection_buckets``.
 * ``signed_random_projection_buckets`` - the scale path: SimHash-style LSH
   for cosine similarity with deterministic hyperplanes drawn from
   counter-based splitmix64 uniforms; near-dup candidates share a bucket.
@@ -136,44 +138,116 @@ def knn_bruteforce_pipeline(
     return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
 
 
-def cosine_neardup_pipeline(ds, *, id_col: str, vec_col: str, threshold: float = 0.95):
+def cosine_neardup_pipeline(
+    ds,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_chunks: int = 8,
+    spill_dir: str | None = None,
+):
     """-> Dataset[(a, b, cos4)]: all pairs with cosine >= threshold, a < b.
 
-    Probe side = whole table blocked against a broadcast of the (normalized)
-    full matrix.  O(n^2) by nature - the documented scale path is
-    ``signed_random_projection_buckets`` first, then this check per bucket.
-    """
-    import ray
+    Exact all-pairs as a storage-backed CHUNK-PAIR join - the out-of-core
+    block matmul, never a driver-side materialization:
 
-    full = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_format="pyarrow")]
-    )
-    all_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    all_m = _cos_q(_embedding_matrix(full, vec_col))
-    ref = ray.put((all_ids, all_m))
+      1. rows hash into ``num_chunks`` chunks by id; one keyed shuffle
+         (``groupby.map_groups``) writes each chunk to its own parquet file
+         (resumable spill; at scale this is the shared filesystem / object
+         store, one file per chunk);
+      2. a Dataset of the C*(C+1)/2 unordered chunk pairs fans out over an
+         ACTOR POOL; each actor LRU-caches loaded chunks and scores one
+         (chunk_i, chunk_j) block matmul per task, emitting only the
+         over-threshold pairs (vectorized nonzero - no per-row Python).
+
+    Per-task memory is TWO chunks, independent of n: pick
+    ``num_chunks ~ n * dim * 8B / target_chunk_bytes``.  Work is O(n^2/C^2)
+    per task by nature of all-pairs; when the threshold is high the cheaper
+    route is ``srp_neardup_pipeline`` (bucketed, subquadratic), which this
+    pipeline verifies at test scale.
+
+    Determinism: a pair's cosine is a dot over the dim axis of the same two
+    normalized rows regardless of chunking; cos4 rounding absorbs BLAS-vs-SQL
+    ulps (module docstring).
+    """
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..core.hashing import hash64_int
+
+    spill = spill_dir or tempfile.mkdtemp(prefix="neardup_chunks_", dir="/tmp")
     thr4 = int(np.floor(threshold * 10_000 + 0.5))
 
-    def stage(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(ref)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _cos_q(_embedding_matrix(batch, vec_col))
-        cos4 = _round4(m @ m_all.T)
-        rows_a, rows_b, rows_c = [], [], []
-        for i in range(len(ids)):
-            mask = (cos4[i] >= thr4) & (ids_all > ids[i])
-            js = np.nonzero(mask)[0]
-            rows_a.extend([ids[i]] * len(js))
-            rows_b.extend(ids_all[js].tolist())
-            rows_c.extend(cos4[i][js].tolist())
-        return pa.table(
-            {
-                "a": pa.array(rows_a, pa.int64()),
-                "b": pa.array(rows_b, pa.int64()),
-                "cos4": pa.array(rows_c, pa.int64()),
-            }
-        )
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = (hash64_int(ids) % np.uint64(num_chunks)).astype(np.int32)
+        return t.append_column("_chunk", pa.array(cid))
 
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    def write_chunk(g: pa.Table) -> pa.Table:
+        cid = g.column("_chunk")[0].as_py()
+        pq.write_table(g.drop_columns(["_chunk"]), f"{spill}/chunk_{cid}.parquet")
+        return pa.table({"chunk": pa.array([cid], pa.int32())})
+
+    markers = (
+        ds.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_chunk")
+        .map_groups(write_chunk, batch_format="pyarrow")
+        .take_all()  # C tiny marker rows - forces the spill, nothing else
+    )
+    present = sorted(r["chunk"] for r in markers)
+    pairs = [
+        {"i": ci, "j": cj} for x, ci in enumerate(present) for cj in present[x:]
+    ]
+
+    class PairScorer:
+        """One actor caches up to 4 loaded chunks; each task scores one
+        chunk-pair block matmul."""
+
+        def __init__(self):
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _load(self, cid: int):
+            if cid not in self._cache:
+                while len(self._cache) >= 4:
+                    self._cache.pop(next(iter(self._cache)))
+                t = pq.read_table(f"{spill}/chunk_{cid}.parquet")
+                ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                self._cache[cid] = (ids, _cos_q(_embedding_matrix(t, vec_col)))
+            return self._cache[cid]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for ci, cj in zip(
+                batch.column("i").to_pylist(), batch.column("j").to_pylist()
+            ):
+                ids_i, m_i = self._load(ci)
+                ids_j, m_j = self._load(cj)
+                cos4 = _round4(m_i @ m_j.T)
+                ai, bj = np.nonzero(cos4 >= thr4)
+                ia, jb = ids_i[ai], ids_j[bj]
+                # same chunk: each unordered pair appears twice -> keep a<b;
+                # distinct chunks: appears once -> orient with min/max
+                keep = (ia < jb) if ci == cj else (ia != jb)
+                outs.append(
+                    pa.table(
+                        {
+                            "a": pa.array(np.minimum(ia, jb)[keep]),
+                            "b": pa.array(np.maximum(ia, jb)[keep]),
+                            "cos4": pa.array(cos4[ai, bj][keep]),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+    return rd.from_items(pairs).map_batches(
+        PairScorer,
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 8),
+    )
 
 
 IVF_QUANT = 1_000_000.0  # normalize-quantize scale shared with the SQL mirror

@@ -608,8 +608,8 @@ def srp_neardup(sf_dir: str):
 
 
 def embedding_neardup_pairs(sf_dir: str):
-    """All vector pairs with cosine >= 0.4 (brute force; LSH variant is the
-    scale path, tested in pytest)."""
+    """All vector pairs with cosine >= 0.4: exact chunk-pair block join (no
+    driver materialization; srp_neardup is the subquadratic scale path)."""
     from .pipelines.similarity import cosine_neardup_pipeline
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

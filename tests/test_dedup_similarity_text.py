@@ -269,6 +269,42 @@ class TestSimilarity:
         b = iv2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
         assert len(a) == len(b) and (a.values == b.values).all()
 
+    def test_cosine_neardup_chunk_join_matches_numpy(self, ray_session):
+        """The chunk-pair block join equals a single-matrix numpy all-pairs,
+        for any chunk count (incl. chunks larger than the block layout)."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import cosine_neardup_pipeline
+
+        rng = np.random.default_rng(21)
+        vecs = rng.normal(0, 1, (200, 16))
+        vecs[50:60] = vecs[0:10] + rng.normal(0, 0.01, (10, 16))  # near-dups
+        ids = rng.permutation(10_000)[:200].astype(np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        m = vecs.astype(np.float32).astype(np.float64)
+        m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cos4 = np.floor(m @ m.T * 10_000 + 0.5).astype(np.int64)
+        want = sorted(
+            (min(ids[i], ids[j]), max(ids[i], ids[j]), cos4[i, j])
+            for i in range(200)
+            for j in range(i + 1, 200)
+            if cos4[i, j] >= 9_500
+        )
+        for chunks in (1, 3, 16):
+            got = cosine_neardup_pipeline(
+                rd.from_arrow(tbl).repartition(4),
+                id_col="vec_id", vec_col="embedding",
+                threshold=0.95, num_chunks=chunks,
+            ).to_pandas()
+            assert sorted(zip(got.a, got.b, got.cos4)) == want, chunks
+
     def test_srp_neardup_recall_and_precision(self, ray_session):
         """SRP bucket+verify finds most true near-dup pairs (recall), and
         never emits a pair below threshold (exact verify => full precision)."""
