@@ -222,7 +222,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def _dedup_job_rows(job: str) -> int:
     # LSH shingles+hashes every token window (heavier per row); exact dedup is
     # one sha256 per row - size each job to a few minutes of wall time
-    default = 16_000_000 if job == "exact" else 4_000_000
+    default = 4_000_000 if job == "lsh" else 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
 
 
@@ -258,6 +258,54 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     def add_key(t: pa.Table) -> pa.Table:
         key = (hash256_str(t.column("path"), lanes=1)[0] >> np.uint64(1)).astype(np.int64)
         return pa.table({"doc_id": pa.array(key), "text": t.column("content")})
+
+    if job == "asof":
+        # temporal-join throughput: 16M synthetic events as-of-joined to a
+        # 1/16 "orders" subset on 100k keys (columns derived in the read
+        # tasks - the shuffle carries only int64 columns)
+        from ddsketch_ruby_ray.pipelines.joins import asof_join_pipeline
+
+        _TSMOD = np.uint64(3_000_000_000_000_000)
+
+        def to_left(t: pa.Table) -> pa.Table:
+            h = hash256_str(t.column("path"), lanes=1)[0]
+            return pa.table(
+                {
+                    "event_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
+                    "user_id": pa.array((h % np.uint64(100_000)).astype(np.int64)),
+                    "ts": pa.array(((h >> np.uint64(16)) % _TSMOD).astype(np.int64)),
+                }
+            )
+
+        def to_right(t: pa.Table) -> pa.Table:
+            h = hash256_str(t.column("path"), lanes=1)[0]
+            h = h[(h % np.uint64(16)) == 0]
+            return pa.table(
+                {
+                    "o_key": pa.array((h % np.uint64(100_000)).astype(np.int64)),
+                    "o_id": pa.array((h >> np.uint64(2)).astype(np.int64)),
+                    "o_ts": pa.array(((h >> np.uint64(20)) % _TSMOD).astype(np.int64)),
+                }
+            )
+
+        t0 = time.perf_counter()
+        left = read_corpus(path, ["path"]).map_batches(
+            to_left, batch_format="pyarrow", zero_copy_batch=True
+        )
+        right = read_corpus(path, ["path"]).map_batches(
+            to_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+        n = asof_join_pipeline(
+            left, right,
+            left_key="user_id", left_ts="ts",
+            right_key="o_key", right_ts="o_ts",
+            left_cols=["event_id"], right_payload=["o_id"],
+            tiebreak="o_id",
+        ).count()
+        sec = time.perf_counter() - t0
+        ray.shutdown()
+        print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
+        return
 
     t0 = time.perf_counter()
     ds = read_corpus(path, ["path", "content"]).map_batches(

@@ -618,6 +618,84 @@ def embedding_neardup_pairs(sf_dir: str):
     )
 
 
+# -- deterministic splitting / sampling --------------------------------------
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRAT_RATES = {"en": 0.25, "zh": 1.0}  # keep all rare zh, 1/4 of en
+STRAT_DEFAULT = 0.5
+
+
+def split_counts_by_lang(sf_dir: str):
+    """Deterministic train/val/test routing (hash64(doc_id) vs exact integer
+    thresholds - reproducible across any layout/run/cluster size), counted
+    per (lang, split).  Per-block pre-agg -> tiny (lang, split, n) shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+
+    def preagg(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        split = t.column("split").to_numpy(zero_copy_only=False)
+        combo = np.char.add(np.char.add(lang.astype(str), "\x1f"), split.astype(str))
+        uniq, counts = np.unique(combo, return_counts=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].tolist(), pa.string()),
+                "split": pa.array(parts[:, 2].tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "split"])
+        .sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t.column("lang"), "split": t.column("split"), "n": t.column("sum(n)")}
+        )
+
+    return counted.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PACK_MAX_TOKENS = 4096
+PACK_PARTITIONS = 16
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Concat-and-split sequence packing of documents into 4096-token
+    training sequences (n_chars as the token proxy), packed in deterministic
+    doc-id order inside 16 hash partitions.  The per-partition prefix sum is
+    a SQL window cumsum, so the full packing is verified row-for-row."""
+    from .pipelines.packing import pack_sequences_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_sequences_pipeline(
+        ds, id_col="doc_id", tokens_col="n_chars",
+        max_tokens=PACK_MAX_TOKENS, num_partitions=PACK_PARTITIONS,
+    )
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Per-lang deterministic sampling (25% of en, 100% of zh, 50% default):
+    the exact row subset is a pure function of doc_id - verified row-for-row
+    against the SQL mirror of the same integer thresholds."""
+    from .stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, id_col="doc_id", group_col="lang",
+        rates=STRAT_RATES, default_rate=STRAT_DEFAULT, seed=7,
+    )
+
+
 # -- text analysis -----------------------------------------------------------
 
 def token_stats_by_lang(sf_dir: str):
@@ -782,6 +860,9 @@ QUERIES = {
     "user_sessions": user_sessions,
     "asof_last_urgent_order": asof_last_urgent_order,
     "events_within_hour_pairs": events_within_hour_pairs,
+    "split_counts_by_lang": split_counts_by_lang,
+    "stratified_sample_docs": stratified_sample_docs,
+    "pack_sequences_docs": pack_sequences_docs,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -924,6 +1005,48 @@ def _family_oracles() -> dict:
         winnow_sql,
     )
 
+    from .core.hashing import splitmix64_sql
+    from .stages.sampling import split_thresholds
+
+    _TWO64 = 1 << 64
+    h0 = splitmix64_sql("doc_id", 0)
+    names = list(SPLITS.keys())
+    ths = split_thresholds(SPLITS.values())
+    split_case = "CASE " + " ".join(
+        f"WHEN {h0} < {t}::HUGEINT THEN '{n}'" for n, t in zip(names[:-1], ths[:-1])
+    ) + f" ELSE '{names[-1]}' END"
+    split_counts_sql = f"""
+        SELECT lang, {split_case} AS split, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    """
+    h7 = splitmix64_sql("doc_id", 7)
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {min(int(r * _TWO64), _TWO64 - 1)}::HUGEINT"
+        for g, r in STRAT_RATES.items()
+    ) + f" ELSE {min(int(STRAT_DEFAULT * _TWO64), _TWO64 - 1)}::HUGEINT END"
+    stratified_sql = f"""
+        SELECT doc_id, lang FROM documents WHERE {h7} < {rate_case}
+    """
+    pack_sql = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST({splitmix64_sql('doc_id', 0)} % {PACK_PARTITIONS} AS INTEGER) AS part,
+                   greatest(n_chars, 1) AS tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, part, tokens,
+                   coalesce(sum(tokens) OVER (
+                       PARTITION BY part ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM p
+        )
+        SELECT doc_id, part, CAST(tokens AS BIGINT) AS tokens,
+               CAST(cum_before // {PACK_MAX_TOKENS} AS BIGINT) AS seq_first,
+               CAST((cum_before + tokens - 1) // {PACK_MAX_TOKENS} AS BIGINT) AS seq_last
+        FROM c
+    """
+
     dedup_kw = dict(table="documents", key="doc_id", text="text")
     # t-digest / KLL exactly-maintained fields: plain SQL aggregates.  The
     # estimates themselves stay rows-only (sequential compaction schedules).
@@ -936,6 +1059,9 @@ def _family_oracles() -> dict:
         GROUP BY lang
     """
     return {
+        "split_counts_by_lang": split_counts_sql,
+        "stratified_sample_docs": stratified_sql,
+        "pack_sequences_docs": pack_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(

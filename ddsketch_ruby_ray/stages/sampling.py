@@ -1,0 +1,100 @@
+"""Deterministic hash-based splitting / sampling stages.
+
+The training-data staples Ray Data's ``random_sample``/``split_proportionately``
+cannot give you at 100 TB: REPRODUCIBLE row routing that is a pure function
+of the row id - independent of block layout, run count, cluster size, or
+resume point, and exactly mirrorable in SQL.
+
+* ``assign_split``     - train/val/test (any named fractions) per row;
+* ``stratified_sample``- keep a per-group fraction of rows (per-lang rates);
+* both route on ``hash64_int(id, seed) < floor(frac * 2^64)`` - splitmix64
+  (`core/hashing.py`) has a bit-exact DuckDB mirror (``splitmix64_sql``),
+  so every sampled subset is oracle-verifiable row-for-row.
+
+Pure ``map_batches`` stages: no shuffle, no state, embarrassingly parallel,
+and a resumed/re-run job routes every row identically (the checkpointing
+story in `state/checkpoint.py` depends on exactly this determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.hashing import hash64_int
+
+__all__ = ["assign_split", "stratified_sample", "split_thresholds"]
+
+_TWO64 = 1 << 64
+
+
+def split_thresholds(fractions) -> list[int]:
+    """Cumulative uint64 thresholds for named fractions (must sum to ~1).
+
+    Exposed so the SQL oracle can embed the SAME integer literals - both
+    sides compare against identical thresholds, never against floats.
+    """
+    fracs = list(fractions)
+    if not fracs or any(f <= 0 for f in fracs):
+        raise ValueError(f"fractions must be positive: {fracs}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fracs}")
+    cum, acc = [], 0.0
+    for f in fracs[:-1]:
+        acc += f
+        cum.append(min(int(acc * _TWO64), _TWO64 - 1))
+    cum.append(_TWO64)  # last split takes the remainder exactly
+    return cum
+
+
+def assign_split(ds, *, id_col: str, splits: dict[str, float], seed: int = 0,
+                 out_col: str = "split"):
+    """Append ``out_col``: the split name routed by ``hash(id, seed)``.
+
+    Expected sizes follow the fractions; actual membership is exact and
+    reproducible (a row is in 'val' in every run, every layout, forever).
+    """
+    names = list(splits.keys())
+    cum = np.array(split_thresholds(splits.values()), dtype=np.float64)
+    # thresholds fit uint64; compare in uint64 domain via searchsorted on
+    # the exact integer values
+    cum_u = np.array(
+        [min(t, _TWO64 - 1) for t in split_thresholds(splits.values())],
+        dtype=np.uint64,
+    )
+    del cum
+    name_arr = np.array(names)
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64_int(ids, seed)
+        idx = np.searchsorted(cum_u, h, side="right")
+        # h == 2^64-1 lands past the clamped last threshold; it belongs to
+        # the final split
+        idx = np.minimum(idx, len(names) - 1)
+        return t.append_column(out_col, pa.array(name_arr[idx]))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, *, id_col: str, group_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: int = 7):
+    """Keep each row with its group's rate: ``hash(id, seed) < rate * 2^64``.
+
+    Per-group sampling rates (e.g. keep 100% of rare langs, 5% of English)
+    without a shuffle; unlisted groups fall back to ``default_rate``.
+    """
+    thr = {g: min(int(r * _TWO64), _TWO64 - 1) for g, r in rates.items()}
+    dflt = min(int(default_rate * _TWO64), _TWO64 - 1)
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64_int(ids, seed)
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        limit = np.full(len(ids), np.uint64(dflt), dtype=np.uint64)
+        for g, tv in thr.items():
+            limit[groups == g] = np.uint64(tv)
+        return t.filter(pa.array(h < limit))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
