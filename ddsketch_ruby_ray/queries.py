@@ -618,6 +618,54 @@ def embedding_neardup_pairs(sf_dir: str):
     )
 
 
+def top_tokens_by_lang(sf_dir: str):
+    """Per-LANGUAGE top-10 tokens: vectorized explode + per-block pre-agg ->
+    groupby(lang, token) sum (the wide step moves (lang, token, n) partials)
+    -> per-group top-k via one lexsort + boundary rank per hash partition
+    (pipelines/topk.py) - no global sort, no per-group Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.topk import per_group_topk
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(t.column("lang").to_numpy(zero_copy_only=False), counts)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        ok = flat != ""
+        combo = np.char.add(np.char.add(lang[ok].astype(str), "\x1f"), flat[ok].astype(str))
+        uniq, n = np.unique(combo, return_counts=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].tolist(), pa.string()),
+                "token": pa.array(parts[:, 2].tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "token"])
+        .sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t.column("lang"), "token": t.column("token"), "n": t.column("sum(n)")}
+        )
+
+    counted = counted.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return per_group_topk(
+        counted, group_col="lang", value_col="n", tiebreak_col="token", k=10,
+    )
+
+
 # -- deterministic splitting / sampling --------------------------------------
 
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -805,6 +853,44 @@ def curation_counts_by_lang(sf_dir: str):
     )
 
 
+def curation_split_counts(sf_dir: str):
+    """The FULL curation composition a pretraining-data job runs: quality
+    filter -> full-row exact dedup -> deterministic train/val/test routing ->
+    counts per (lang, split).  Every stage is the scale-shaped operator the
+    individual queries verify; this query verifies their composition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.dedup import exact_dedup_rows_pipeline
+    from .stages.sampling import assign_split
+    from .stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def filter_quality(t: pa.Table) -> pa.Table:
+        t = quality_scores(t, text_col="text")
+        keep = pc.and_(
+            pc.greater_equal(t.column("alpha_ratio"), 0.5),
+            pc.greater_equal(t.column("n_tokens"), 20),
+        )
+        return t.filter(keep).select(["doc_id", "lang", "text"])
+
+    filtered = ds.map_batches(filter_quality, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = exact_dedup_rows_pipeline(filtered, key_col="doc_id", text_col="text")
+    split = assign_split(deduped, id_col="doc_id", splits=SPLITS, seed=0)
+    counted = split.groupby(["lang", "split"]).count()
+    return counted.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "split": t.column("split"),
+                "kept": pc.cast(t.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def quality_scores_docs(sf_dir: str):
     """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
     from .stages.text import quality_scores
@@ -863,6 +949,7 @@ QUERIES = {
     "split_counts_by_lang": split_counts_by_lang,
     "stratified_sample_docs": stratified_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
+    "top_tokens_by_lang": top_tokens_by_lang,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -887,6 +974,7 @@ QUERIES = {
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
     "curation_counts_by_lang": curation_counts_by_lang,
+    "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
@@ -1236,12 +1324,50 @@ def _family_oracles() -> dict:
             ORDER BY n DESC, token ASC
             LIMIT 20
         """,
+        "top_tokens_by_lang": """
+            WITH c AS (
+                SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS n
+                FROM (
+                    SELECT lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                )
+                WHERE tok <> ''
+                GROUP BY lang, tok
+            )
+            SELECT lang, token, n FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang ORDER BY n DESC, token ASC
+                ) AS rn FROM c
+            ) WHERE rn <= 10
+        """,
         "token_stats_by_lang": token_stats_by_group_sql(
             table="documents", group_col="lang", text_col="text"
         ),
         "quality_scores_docs": quality_scores_sql(
             table="documents", key_col="doc_id", text_col="text"
         ),
+        "curation_split_counts": f"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     len(regexp_extract_all(text, '[a-zA-Z]'))
+                       / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                     len(regexp_extract_all(text, '[^ ]+')) AS n_tokens
+              FROM documents
+            ),
+            filtered AS (
+              SELECT doc_id, lang, text FROM q
+              WHERE alpha_ratio >= 0.5 AND n_tokens >= 20
+            ),
+            deduped AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM filtered
+              ) WHERE rn = 1
+            )
+            SELECT lang, {split_case} AS split, CAST(count(*) AS BIGINT) AS kept
+            FROM deduped GROUP BY 1, 2
+        """,
         "curation_counts_by_lang": """
             WITH q AS (
               SELECT doc_id, lang, text,
