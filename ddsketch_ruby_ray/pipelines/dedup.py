@@ -467,34 +467,64 @@ def jaccard_pairs_pipeline(
     )
 
     def verify(group: pa.Table) -> pa.Table:
+        """All in-bucket pairwise Jaccards, fully vectorized: one value sort
+        + co-occurrence pair expansion + dense m x m scatter-add (m bounded
+        by the bucket-skew guard), instead of a per-pair intersect1d loop."""
         keys = group.column(key_col).to_numpy(zero_copy_only=False)
-        if len(keys) < 2:
+        m = len(keys)
+        if m < 2:
             return empty
         sh = group.column("_sh")
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
         offs = sh.offsets.to_numpy(zero_copy_only=False)
         vals = sh.values.to_numpy(zero_copy_only=False)
-        order = np.argsort(keys)
-        ids = keys[order]
-        segs = [vals[offs[i] : offs[i + 1]] for i in order]
-        a_out, b_out, j_out = [], [], []
-        for x in range(len(ids)):
-            A = segs[x]
-            for y in range(x + 1, len(ids)):
-                B = segs[y]
-                inter = np.intersect1d(A, B, assume_unique=True).size
-                union = A.size + B.size - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    a_out.append(int(ids[x]))
-                    b_out.append(int(ids[y]))
-                    j_out.append(int(np.floor(jac * 1000)))
+        lens = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+        # sort all (value, doc) by value; stable keeps docs ascending within
+        # a run, and a doc appears at most once per run (unique per doc)
+        order = np.argsort(vals, kind="stable")
+        sv, sd = vals[order], doc_of[order]
+        n = sv.size
+        d1 = d2 = np.zeros(0, dtype=np.int64)
+        if n:
+            new_run = np.empty(n, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = sv[1:] != sv[:-1]
+            pos = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+            starts_idx = np.flatnonzero(new_run)
+            run_len = np.diff(np.append(starts_idx, n))
+            run_end = run_start + run_len[np.cumsum(new_run) - 1]
+            cf = run_end - pos - 1  # co-occurring docs after this slot
+            total = int(cf.sum())
+            if total:
+                first = np.repeat(pos, cf)
+                seg0 = np.cumsum(cf) - cf
+                second = first + 1 + (np.arange(total, dtype=np.int64) - np.repeat(seg0, cf))
+                d1, d2 = sd[first], sd[second]
+        if m <= 2048:
+            # dense m x m scatter: evaluates ALL pairs (incl. intersection 0,
+            # so threshold <= 0 keeps its everything-pairs semantics)
+            inter_mat = np.zeros((m, m), dtype=np.int64)
+            if d1.size:
+                np.add.at(inter_mat, (d1, d2), 1)
+            iu0, iu1 = np.triu_indices(m, 1)
+            inter = inter_mat[iu0, iu1]
+        else:
+            # huge-bucket fallback: only co-occurring pairs can reach a
+            # positive threshold - O(pairs) memory instead of O(m^2)
+            codes, inter = np.unique(d1 * np.int64(m) + d2, return_counts=True)
+            iu0, iu1 = codes // m, codes % m
+        union = lens[iu0] + lens[iu1] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        ka, kb = keys[iu0[keep]], keys[iu1[keep]]
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "jac1000": pa.array(j_out, pa.int64()),
+                "a": pa.array(np.minimum(ka, kb), pa.int64()),
+                "b": pa.array(np.maximum(ka, kb), pa.int64()),
+                "jac1000": pa.array(np.floor(jac[keep] * 1000).astype(np.int64)),
             }
         )
 

@@ -55,14 +55,13 @@ def assign_split(ds, *, id_col: str, splits: dict[str, float], seed: int = 0,
     reproducible (a row is in 'val' in every run, every layout, forever).
     """
     names = list(splits.keys())
-    cum = np.array(split_thresholds(splits.values()), dtype=np.float64)
-    # thresholds fit uint64; compare in uint64 domain via searchsorted on
-    # the exact integer values
+    # compare in the uint64 domain against the exact integer thresholds
+    # (the last one, 2^64, clamps to 2^64-1; the h == 2^64-1 row is routed
+    # to the final split by the min() below)
     cum_u = np.array(
         [min(t, _TWO64 - 1) for t in split_thresholds(splits.values())],
         dtype=np.uint64,
     )
-    del cum
     name_arr = np.array(names)
 
     def stage(t: pa.Table) -> pa.Table:
