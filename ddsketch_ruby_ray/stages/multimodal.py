@@ -1,18 +1,22 @@
 """Multimodal (image/audio/video) stages: opaque binary columns + typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The Ray-side plumbing is real and tested: schemas, actor lifecycle (decoder
-"model" built once per actor in ``__init__``), batch sizing for large binary
-payloads, and the output layout.  The actual codec calls are STUBBED - this
-container ships no PIL/libsndfile/ffmpeg - behind ``_import_decoder``:
-each stage tries the real library first and otherwise uses a deterministic
-fake decoder driven by the payload header + sha256, raising
-``NotImplementedError`` only when ``strict=True``.
+Decode support is split by what pure numpy can actually do:
+
+* REAL decoders (no codec library needed, implemented here from the public
+  format specs): Netpbm **PPM (P6) / PGM (P5)** images, RIFF **WAV PCM-16**
+  audio, and **YUV4MPEG2 (Y4M)** video frame streams.  Features computed
+  from these are real pixel/sample math (block-mean pooling, windowed RMS),
+  deterministic to the bit (integer sums, exact float64 divisions).
+* COMPRESSED formats (png/jpeg/flac/mp4) need PIL/ffmpeg, which this
+  container does not ship: they fall back to a deterministic content-hash
+  stub, or raise ``NotImplementedError`` under ``strict=True``.  The try
+  -import hook (`_try_pil`) picks PIL up automatically when present.
 
 Scale notes: binary payloads are big, so these stages want SMALL batch
 sizes (``batch_size=32-256``) and actor pools (``concurrency=(n, m)``) so
-decode state is built once per actor; outputs drop the payload column so the
-downstream pipeline never re-ships bytes.
+decode state is built once per actor; outputs drop the payload column so
+the downstream pipeline never re-ships bytes.
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ __all__ = [
     "ImageDecodeStage",
     "AudioFeatureStage",
     "FrameSampleStage",
+    "decode_netpbm",
+    "decode_wav_pcm16",
+    "parse_y4m",
     "synthesize_media_batch",
 ]
 
@@ -41,21 +48,148 @@ IMAGE_META_TYPE = pa.struct(
 )
 
 
-def synthesize_media_batch(batch: dict) -> pa.Table:
-    """Deterministic fake media rows: 16-byte header (magic, w, h, c) + noise.
+# -- real pure-numpy decoders -------------------------------------------------
 
-    Stands in for real image bytes so the stage plumbing is testable without
-    codecs; the "decoder" below parses exactly this header.
+def decode_netpbm(payload: bytes):
+    """P6 (RGB) / P5 (gray) binary Netpbm -> (w, h, c, uint8[h, w, c]).
+
+    Header per the spec: magic, whitespace/comment-separated width, height,
+    maxval (<=255 supported), ONE whitespace byte, then raw samples.
+    """
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # tokenize header: skip comments (# .. \n) and whitespace
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    return w, h, channels, body.reshape(h, w, channels)
+
+
+def decode_wav_pcm16(payload: bytes):
+    """RIFF/WAVE, PCM 16-bit -> (sample_rate, n_channels, int16[frames, ch])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    rate = channels = None
+    data = None
+    while i + 8 <= n:
+        cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM-16 supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * channels)) * channels)
+    return rate, channels, samples.reshape(-1, channels)
+
+
+def parse_y4m(payload: bytes):
+    """YUV4MPEG2 stream -> (w, h, [frame Y-plane uint8[h, w], ...]) (4:2:0)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    hdr_end = payload.index(b"\n")
+    w = h = None
+    for tok in payload[9:hdr_end].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    frame_size = w * h + 2 * ((w // 2) * (h // 2))  # 4:2:0
+    frames, i, n = [], hdr_end + 1, len(payload)
+    while i < n and payload[i : i + 5] == b"FRAME":
+        i = payload.index(b"\n", i) + 1
+        y = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)
+        frames.append(y)
+        i += frame_size
+    return w, h, frames
+
+
+def _try_pil():
+    try:  # pragma: no cover - not installed in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# -- deterministic test-data synthesis ---------------------------------------
+
+def _noise(seed: int, count: int) -> np.ndarray:
+    d = hashlib.sha256(str(int(seed)).encode()).digest()
+    reps = count // len(d) + 1
+    return np.frombuffer((d * reps)[:count], dtype=np.uint8)
+
+
+def synthesize_media_batch(batch: dict) -> pa.Table:
+    """Deterministic media rows in REAL uncompressed formats (+ a stub row).
+
+    id % 4 == 0 -> P6 PPM image; 1 -> P5 PGM; 2 -> WAV PCM-16 audio;
+    3 -> Y4M video (3 frames).  Every 8th row instead carries a fake
+    "jpeg" blob so the compressed-format stub path stays exercised.
     """
     idx = np.asarray(batch["id"], dtype=np.int64)
     payloads, fmts = [], []
     for i in idx:
-        w = 32 + int(i) % 7 * 16
-        h = 32 + int(i) % 5 * 16
-        c = 3 if i % 4 else 1
-        body = hashlib.sha256(str(int(i)).encode()).digest() * 4
-        payloads.append(struct.pack("<4sIII", b"FAKE", w, h, c) + body)
-        fmts.append("png" if i % 2 else "jpeg")
+        i = int(i)
+        w = 16 + i % 7 * 8
+        h = 16 + i % 5 * 8
+        if i % 8 == 7:
+            payloads.append(b"JUNK" + _noise(i, 128).tobytes())
+            fmts.append("jpeg")
+        elif i % 4 == 0:
+            payloads.append(
+                b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
+                + _noise(i, w * h * 3).tobytes()
+            )
+            fmts.append("ppm")
+        elif i % 4 == 1:
+            payloads.append(b"P5\n%d %d\n255\n" % (w, h) + _noise(i, w * h).tobytes())
+            fmts.append("pgm")
+        elif i % 4 == 2:
+            rate, nsamp = 8000, 800 + (i % 5) * 80
+            pcm = ((_noise(i, 2 * nsamp).astype(np.int16) - 128) * 200).astype("<i2")
+            data = pcm[:nsamp].tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+            fmts.append("wav")
+        else:
+            frame = w * h + 2 * ((w // 2) * (h // 2))
+            body = b"".join(
+                b"FRAME\n" + _noise(i * 10 + f, frame).tobytes() for f in range(3)
+            )
+            payloads.append(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h) + body)
+            fmts.append("y4m")
     return pa.table(
         {
             "media_id": pa.array(idx, pa.int64()),
@@ -65,54 +199,79 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
     )
 
 
-def _import_decoder(strict: bool):
-    """Try the real imaging stack; fall back to the deterministic stub."""
-    try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
-
-        return "pil"
-    except ImportError:
-        if strict:
-            raise NotImplementedError(
-                "image decoding requires PIL; install it or run with strict=False "
-                "to use the deterministic stub decoder"
-            )
-        return "stub"
-
+# -- actor-pool stages --------------------------------------------------------
 
 class ImageDecodeStage:
     """Actor-pool stage: (media_id, payload, format) -> (media_id, meta, embedding).
 
     Use as ``ds.map_batches(ImageDecodeStage, fn_constructor_kwargs=...,
-    concurrency=N, batch_size=64)``.  The decoder handle is built ONCE per
-    actor here in ``__init__`` (the input_hint actor-pool contract).
+    concurrency=N, batch_size=64)``.  Decoder state is built ONCE per actor
+    in ``__init__`` (the actor-pool contract).  PPM/PGM rows decode for
+    real; compressed rows use PIL when importable, else the hash stub
+    (``strict=True`` raises for them instead).
     """
 
     def __init__(self, *, embedding_dim: int = 16, strict: bool = False):
-        self.backend = _import_decoder(strict)
+        self.has_pil = _try_pil()
+        self.strict = bool(strict)
         self.embedding_dim = int(embedding_dim)
 
-    def _decode_meta(self, payload: bytes, fmt: str):
-        if self.backend == "pil":  # pragma: no cover
-            raise NotImplementedError("real PIL decode path not exercised here")
-        if len(payload) >= 16 and payload[:4] == b"FAKE":
-            _, w, h, c = struct.unpack("<4sIII", payload[:16])
-        else:  # unknown blob: metadata only from size
-            w = h = 0
-            c = 0
-        return {"width": w, "height": h, "channels": c, "format": fmt}
-
-    def _embed(self, payload: bytes) -> np.ndarray:
-        # deterministic pseudo-embedding from the content hash
+    def _hash_embed(self, payload: bytes) -> np.ndarray:
         d = hashlib.sha256(payload).digest()
-        raw = np.frombuffer((d * ((self.embedding_dim * 8) // len(d) + 1))[: self.embedding_dim * 8], dtype=np.uint64)
+        raw = np.frombuffer(
+            (d * ((self.embedding_dim * 8) // len(d) + 1))[: self.embedding_dim * 8],
+            dtype=np.uint64,
+        )
         return (raw >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    def _pixel_embed(self, img: np.ndarray) -> np.ndarray:
+        """Block-mean pooled grid, flattened/cycled to embedding_dim.
+
+        Integer sums -> one exact float64 division: bit-deterministic."""
+        h, w, c = img.shape
+        g = 4
+        ys = (np.arange(g + 1) * h) // g
+        xs = (np.arange(g + 1) * w) // g
+        feats = np.empty(g * g * c, dtype=np.float64)
+        k = 0
+        acc = img.astype(np.int64)
+        for yi in range(g):
+            for xi in range(g):
+                block = acc[ys[yi] : ys[yi + 1], xs[xi] : xs[xi + 1]]
+                cnt = max(block.shape[0] * block.shape[1], 1)
+                for ch in range(c):
+                    feats[k] = block[:, :, ch].sum() / (cnt * 255.0)
+                    k += 1
+        reps = self.embedding_dim // feats.size + 1
+        return np.tile(feats, reps)[: self.embedding_dim]
+
+    def _decode_one(self, payload: bytes, fmt: str):
+        if payload[:2] in (b"P6", b"P5"):
+            w, h, c, img = decode_netpbm(payload)
+            return (
+                {"width": w, "height": h, "channels": c, "format": fmt},
+                self._pixel_embed(img),
+            )
+        if self.has_pil:  # pragma: no cover
+            raise NotImplementedError("PIL decode path untested in this container")
+        if self.strict:
+            raise NotImplementedError(
+                f"no decoder for compressed format {fmt!r} (PIL not installed); "
+                "run with strict=False for the deterministic stub"
+            )
+        return (
+            {"width": 0, "height": 0, "channels": 0, "format": fmt},
+            self._hash_embed(payload),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         fmts = batch.column("format").to_pylist()
-        metas = [self._decode_meta(p, f) for p, f in zip(payloads, fmts)]
-        embs = [self._embed(p).tolist() for p in payloads]
+        metas, embs = [], []
+        for p, f in zip(payloads, fmts):
+            meta, emb = self._decode_one(p, f)
+            metas.append(meta)
+            embs.append(emb.tolist())
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -123,27 +282,54 @@ class ImageDecodeStage:
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: audio payload -> fixed-size feature vector (stub).
+    """Actor-pool stage: audio payload -> fixed-size loudness features.
 
-    Real path would load an audio frontend once per actor; the stub derives
-    deterministic "loudness curve" features from payload bytes.
+    WAV PCM-16 rows decode for real: features are windowed RMS over the
+    actual samples (exact int64 square sums -> one float64 sqrt), in [0, 1].
+    Other formats: deterministic byte stub, or raise under ``strict=True``.
     """
 
     def __init__(self, *, n_features: int = 8, strict: bool = False):
-        if strict:
-            raise NotImplementedError("audio decoding requires an audio stack")
         self.n_features = int(n_features)
+        self.strict = bool(strict)
+
+    def _wav_features(self, payload: bytes) -> list[float]:
+        _, _, samples = decode_wav_pcm16(payload)
+        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+        if mono.size == 0:
+            return [0.0] * self.n_features
+        bounds = (np.arange(self.n_features + 1) * mono.size) // self.n_features
+        out = []
+        for k in range(self.n_features):
+            seg = mono[bounds[k] : bounds[k + 1]]
+            if seg.size == 0:
+                out.append(0.0)
+            else:
+                out.append(float(np.sqrt((seg * seg).sum() / seg.size)) / 32768.0)
+        return out
+
+    def _stub_features(self, payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload[: (len(payload) // 8) * 8], dtype=np.uint64)
+        if arr.size == 0:
+            return [0.0] * self.n_features
+        chunks = np.array_split(arr, self.n_features)
+        return [
+            float(c.astype(np.float64).mean() / 2**64) if c.size else 0.0
+            for c in chunks
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         feats = []
         for p in payloads:
-            arr = np.frombuffer(p[: (len(p) // 8) * 8], dtype=np.uint64)
-            if arr.size == 0:
-                feats.append([0.0] * self.n_features)
-                continue
-            chunks = np.array_split(arr, self.n_features)
-            feats.append([float(c.astype(np.float64).mean() / 2**64) if c.size else 0.0 for c in chunks])
+            if p[:4] == b"RIFF":
+                feats.append(self._wav_features(p))
+            elif self.strict:
+                raise NotImplementedError(
+                    "no decoder for non-WAV audio (no audio stack installed)"
+                )
+            else:
+                feats.append(self._stub_features(p))
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -153,33 +339,45 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: video payload -> k evenly-spaced "frame" digests (stub).
+    """Actor-pool stage: video payload -> k evenly-spaced frame digests
+    (flat_map-style fan-out, one row per sampled frame).
 
-    Output is one row per sampled frame (flat_map-style fan-out), the layout
-    a real frame sampler would produce.
+    Y4M rows sample REAL frames (digest of the actual Y plane); other
+    formats fall back to evenly-spaced byte-range digests, or raise under
+    ``strict=True``.
     """
 
     def __init__(self, *, frames: int = 4, strict: bool = False):
-        if strict:
-            raise NotImplementedError("video decoding requires ffmpeg")
         self.frames = int(frames)
+        self.strict = bool(strict)
+
+    def _rows(self, mid: int, p: bytes):
+        if p.startswith(b"YUV4MPEG2"):
+            _, _, ys = parse_y4m(p)
+            if ys:
+                picks = [(len(ys) - 1) * f // max(self.frames - 1, 1) for f in range(self.frames)]
+                return [
+                    (mid, f, hashlib.sha256(ys[k].tobytes()).hexdigest()[:16])
+                    for f, k in enumerate(picks)
+                ]
+        if self.strict:
+            raise NotImplementedError("no decoder for non-Y4M video (no ffmpeg)")
+        n = max(len(p), 1)
+        out = []
+        for f in range(self.frames):
+            lo = (n * f) // self.frames
+            hi = max((n * (f + 1)) // self.frames, lo + 1)
+            out.append((mid, f, hashlib.sha256(p[lo:hi]).hexdigest()[:16]))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        out_id, out_idx, out_digest = [], [], []
-        for mid, p in zip(ids, payloads):
-            n = max(len(p), 1)
-            for f in range(self.frames):
-                lo = (n * f) // self.frames
-                hi = max((n * (f + 1)) // self.frames, lo + 1)
-                out_id.append(mid)
-                out_idx.append(f)
-                out_digest.append(hashlib.sha256(p[lo:hi]).hexdigest()[:16])
+        rows = [r for mid, p in zip(ids, payloads) for r in self._rows(mid, p)]
         return pa.table(
             {
-                "media_id": pa.array(out_id, pa.int64()),
-                "frame": pa.array(out_idx, pa.int32()),
-                "digest": pa.array(out_digest, pa.string()),
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "frame": pa.array([r[1] for r in rows], pa.int32()),
+                "digest": pa.array([r[2] for r in rows], pa.string()),
             }
         )

@@ -1,9 +1,10 @@
-"""Multimodal stage plumbing tests: schemas, actor-pool lifecycle, fan-out
-layout, strict-mode stubs.  Decoders are stubbed (no codec libs in this
-container); the Ray-side contracts are the real thing under test."""
+"""Multimodal stage tests: REAL pure-numpy decoders for uncompressed formats
+(PPM/PGM, WAV PCM-16, Y4M) + the deterministic stub for compressed blobs,
+plus the Ray-side contracts (schemas, actor-pool lifecycle, fan-out)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -12,8 +13,15 @@ from ddsketch_ruby_ray.stages.multimodal import (
     FrameSampleStage,
     ImageDecodeStage,
     IMAGE_META_TYPE,
+    decode_netpbm,
+    decode_wav_pcm16,
+    parse_y4m,
     synthesize_media_batch,
 )
+
+
+def _media_tbl(n=64):
+    return synthesize_media_batch({"id": np.arange(n)})
 
 
 def _media_ds(n=64, blocks=4):
@@ -22,6 +30,53 @@ def _media_ds(n=64, blocks=4):
     return rd.range(n, override_num_blocks=blocks).map_batches(
         synthesize_media_batch, batch_format="numpy", batch_size=None
     )
+
+
+class TestRealDecoders:
+    def test_ppm_round_trip(self):
+        img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        payload = b"P6\n# c\n5 4\n255\n" + img.tobytes()
+        w, h, c, out = decode_netpbm(payload)
+        assert (w, h, c) == (5, 4, 3) and (out == img).all()
+
+    def test_pgm_round_trip(self):
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+        w, h, c, out = decode_netpbm(b"P5\n4 3\n255\n" + img.tobytes())
+        assert (w, h, c) == (4, 3, 1) and (out == img).all()
+
+    def test_wav_round_trip(self):
+        import struct
+
+        pcm = (np.arange(100, dtype=np.int16) - 50).astype("<i2")
+        data = pcm.tobytes()
+        payload = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        rate, ch, samples = decode_wav_pcm16(payload)
+        assert (rate, ch) == (8000, 1) and (samples[:, 0] == pcm).all()
+
+    def test_y4m_frames(self):
+        w, h = 4, 2
+        frame = w * h + 2 * ((w // 2) * (h // 2))
+        f0 = np.arange(frame, dtype=np.uint8)
+        f1 = f0[::-1].copy()
+        payload = (
+            b"YUV4MPEG2 W4 H2 F25:1 C420\n"
+            + b"FRAME\n" + f0.tobytes() + b"FRAME\n" + f1.tobytes()
+        )
+        ww, hh, ys = parse_y4m(payload)
+        assert (ww, hh) == (4, 2) and len(ys) == 2
+        assert (ys[0] == f0[: w * h].reshape(h, w)).all()
+
+    def test_bad_magic_raises(self):
+        with pytest.raises(ValueError):
+            decode_netpbm(b"XXnope")
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(b"nope")
+        with pytest.raises(ValueError):
+            parse_y4m(b"nope")
 
 
 class TestImageDecode:
@@ -38,10 +93,15 @@ class TestImageDecode:
         assert t.schema.field("meta").type == IMAGE_META_TYPE
         assert t.num_rows == 64
         df = t.to_pandas().set_index("media_id").sort_index()
-        # header round-trip: width derives from id
-        assert df.loc[3, "meta"]["width"] == 32 + 3 % 7 * 16
+        # REAL decode: header dims round-trip for the P6 row id=4
+        assert df.loc[4, "meta"]["width"] == 16 + 4 % 7 * 8
+        assert df.loc[4, "meta"]["height"] == 16 + 4 % 5 * 8
+        assert df.loc[4, "meta"]["channels"] == 3
+        assert df.loc[1, "meta"]["channels"] == 1  # P5 gray
+        assert df.loc[7, "meta"]["width"] == 0  # compressed stub row
         assert len(df.loc[0, "embedding"]) == 8
-        # determinism across runs / layouts
+        assert all(0.0 <= x <= 1.0 for x in df.loc[0, "embedding"])
+        # determinism across block layouts
         t2 = pa.concat_tables(
             _media_ds(blocks=7)
             .map_batches(
@@ -56,22 +116,60 @@ class TestImageDecode:
         df2 = t2.to_pandas().set_index("media_id").sort_index()
         assert (df["embedding"].apply(tuple) == df2["embedding"].apply(tuple)).all()
 
-    def test_strict_mode_raises_without_codec(self, ray_session):
+    def test_pixel_embedding_reflects_content(self, ray_session):
+        dark = b"P5\n4 4\n255\n" + bytes(16)
+        bright = b"P5\n4 4\n255\n" + bytes([255] * 16)
+        stage = ImageDecodeStage(embedding_dim=4)
+        _, e_dark = stage._decode_one(dark, "pgm")
+        _, e_bright = stage._decode_one(bright, "pgm")
+        assert all(x == 0.0 for x in e_dark)
+        assert all(x == 1.0 for x in e_bright)
+
+    def test_strict_raises_only_for_compressed(self, ray_session):
+        stage = ImageDecodeStage(strict=True)
+        meta, _ = stage._decode_one(b"P5\n2 2\n255\n" + bytes(4), "pgm")
+        assert meta["width"] == 2
         with pytest.raises(NotImplementedError):
-            ImageDecodeStage(strict=True)
+            stage._decode_one(b"JUNKxxxx", "jpeg")
 
 
 class TestAudioAndFrames:
-    def test_audio_features_shape(self, ray_session):
-        out = _media_ds(n=16).map_batches(
-            AudioFeatureStage, concurrency=2, batch_size=8, batch_format="pyarrow"
-        )
+    def test_wav_features_real_rms(self, ray_session):
+        t = _media_tbl(64)
+        wav_rows = t.filter(pa.compute.equal(t.column("format"), "wav"))
+        out = AudioFeatureStage(n_features=8)(wav_rows)
         df = out.to_pandas()
-        assert len(df) == 16
+        assert len(df) == wav_rows.num_rows
         assert all(len(f) == 8 for f in df["features"])
         assert all(0.0 <= x <= 1.0 for f in df["features"] for x in f)
+        # strict mode is fine on real WAV
+        AudioFeatureStage(n_features=4, strict=True)(wav_rows)
 
-    def test_frame_sampling_fanout(self, ray_session):
+    def test_audio_strict_raises_on_non_wav(self, ray_session):
+        t = _media_tbl(16)
+        jpeg = t.filter(pa.compute.equal(t.column("format"), "jpeg"))
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(strict=True)(jpeg)
+
+    def test_frame_sampling_fanout_real_y4m(self, ray_session):
+        t = _media_tbl(64)
+        vids = t.filter(pa.compute.equal(t.column("format"), "y4m"))
+        out = FrameSampleStage(frames=3, strict=True)(vids)  # real frames
+        df = out.to_pandas()
+        assert len(df) == 3 * vids.num_rows
+        assert set(df["frame"]) == {0, 1, 2}
+        assert df["digest"].str.len().eq(16).all()
+        # first and last sampled frames differ (distinct noise per frame)
+        one = df[df.media_id == df.media_id.iloc[0]]
+        assert one.iloc[0]["digest"] != one.iloc[2]["digest"]
+
+    def test_video_strict_raises_on_unknown(self, ray_session):
+        t = _media_tbl(16)
+        jpeg = t.filter(pa.compute.equal(t.column("format"), "jpeg"))
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(strict=True)(jpeg)
+
+    def test_stage_fanout_through_ray(self, ray_session):
         out = _media_ds(n=10).map_batches(
             FrameSampleStage,
             fn_constructor_kwargs={"frames": 3},
@@ -80,11 +178,3 @@ class TestAudioAndFrames:
         )
         df = out.to_pandas()
         assert len(df) == 30  # one row per (media, frame)
-        assert set(df["frame"]) == {0, 1, 2}
-        assert df["digest"].str.len().eq(16).all()
-
-    def test_strict_modes(self, ray_session):
-        with pytest.raises(NotImplementedError):
-            AudioFeatureStage(strict=True)
-        with pytest.raises(NotImplementedError):
-            FrameSampleStage(strict=True)
