@@ -432,6 +432,9 @@ def cms_weighted_part_quantities(sf_dir: str):
         ds,
         spec=CMSSpec(on="l_partkey", weight="l_quantity", w=4096, d=4, kind="int"),
         out_key="l_partkey",
+        # 20k distinct parts at sf0.1 (200k at sf1, ...): the per-group
+        # Python of the native aggregate is the wrong regime here
+        exact_strategy="partition",
     )
 
 
