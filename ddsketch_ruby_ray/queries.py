@@ -669,6 +669,23 @@ def top_tokens_by_lang(sf_dir: str):
     )
 
 
+LM_TOP_K = 1000
+
+
+def bigram_lm_scores(sf_dir: str):
+    """LM-proxy quality score per document: global top-1000 bigram table
+    (one groupby-sum shuffle + sort-limit, broadcast once) -> per-doc sum of
+    floor(log2(1+count)*1000) over its bigrams.  Integer weights make the
+    sums exact in any order; numpy log2 == DuckDB log2 on this platform, so
+    the whole scorer is oracle-verified bit-for-bit."""
+    from .pipelines.lmscore import bigram_lm_score_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_score_pipeline(
+        ds, id_col="doc_id", text_col="text", top_k=LM_TOP_K
+    )
+
+
 # -- deterministic splitting / sampling --------------------------------------
 
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -953,6 +970,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "top_tokens_by_lang": top_tokens_by_lang,
+    "bigram_lm_scores": bigram_lm_scores,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -1118,6 +1136,35 @@ def _family_oracles() -> dict:
     stratified_sql = f"""
         SELECT doc_id, lang FROM documents WHERE {h7} < {rate_case}
     """
+    lm_sql = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+            FROM documents
+        ), bi AS (
+            SELECT doc_id,
+                   unnest(list_zip(tokens[1:length(tokens)-1],
+                                   tokens[2:length(tokens)])) AS z
+            FROM toks WHERE length(tokens) >= 2
+        ), occ AS (
+            SELECT doc_id, z[1] || ' ' || z[2] AS bigram FROM bi
+        ), cnt AS (
+            SELECT bigram, count(*) AS n FROM occ GROUP BY bigram
+        ), topk AS (
+            SELECT bigram, CAST(floor(log2(1 + n) * 1000) AS BIGINT) AS w
+            FROM cnt ORDER BY n DESC, bigram ASC LIMIT {LM_TOP_K}
+        ), per_doc AS (
+            SELECT o.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(sum(t.w), 0) AS BIGINT) AS score_milli
+            FROM occ o LEFT JOIN topk t USING (bigram)
+            GROUP BY o.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               coalesce(p.score_milli, 0) AS score_milli
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
     pack_sql = f"""
         WITH p AS (
             SELECT doc_id,
@@ -1153,6 +1200,7 @@ def _family_oracles() -> dict:
         "split_counts_by_lang": split_counts_sql,
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
+        "bigram_lm_scores": lm_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(
