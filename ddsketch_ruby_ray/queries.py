@@ -549,6 +549,18 @@ def jaccard_dedup_pairs(sf_dir: str):
     return jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: the verified Jaccard pairs are edges of
+    a similarity graph; every clustered doc maps to its component's minimum
+    doc id via distributed min-label propagation (pipelines/cc.py) - the
+    step that turns pairwise dedup output into keep/drop decisions."""
+    from .pipelines.cc import connected_components_pipeline
+    from .pipelines.dedup import jaccard_pairs_pipeline
+
+    pairs = jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+    return connected_components_pipeline(pairs, a_col="a", b_col="b")
+
+
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (emitted as two 32-bit halves)."""
     from .pipelines.dedup import simhash_pipeline
@@ -986,6 +998,7 @@ QUERIES = {
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
+    "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
     "ivf_knn_top5": ivf_knn_top5,
@@ -1336,6 +1349,19 @@ def _family_oracles() -> dict:
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({jaccard_pairs_sql(**dedup_kw)}),
+            und(x, y) AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            nodes(node) AS (SELECT DISTINCT x FROM und),
+            reach(node, anc) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.node, u.y FROM reach r JOIN und u ON u.x = r.anc
+            )
+            SELECT node, min(anc) AS cluster FROM reach GROUP BY node
+        """,
         "simhash_docs": simhash_sql(**dedup_kw),
         "knn_cosine_top5": knn_sql(
             table="embeddings",
