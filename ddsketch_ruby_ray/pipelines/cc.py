@@ -203,7 +203,9 @@ def connected_components_pipeline(
             .materialize()
         )
         changed = folded.sum("changed")
-        return folded.drop_columns(["changed"]).materialize(), changed
+        # every consumer of labels projects (node, label, _part) explicitly,
+        # so the changed column rides along without a second materialize
+        return folded, changed
 
     edge_rel = edges.map_batches(
         lambda t: pa.table(
