@@ -681,6 +681,26 @@ def top_tokens_by_lang(sf_dir: str):
     )
 
 
+def dd_rank_transform_prices(sf_dir: str):
+    """Quantile normalization via DDSketch: every lineitem row maps to
+    rank_lt = how many same-returnflag prices landed in strictly lower
+    sketch buckets.  The build is the flagship two-level state merge; the
+    transform is a broadcast probe; the output is exact integers over
+    bucket counts - bit-exact against the SQL bucket mirror."""
+    from .pipelines.rank import ddsketch_rank_pipeline
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
+    )
+    return ddsketch_rank_pipeline(
+        ds,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        carry_cols=["l_orderkey", "l_linenumber"],
+        alpha=ALPHA,
+    )
+
+
 LM_TOP_K = 1000
 
 
@@ -983,6 +1003,7 @@ QUERIES = {
     "pack_sequences_docs": pack_sequences_docs,
     "top_tokens_by_lang": top_tokens_by_lang,
     "bigram_lm_scores": bigram_lm_scores,
+    "dd_rank_transform_prices": dd_rank_transform_prices,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
@@ -1149,6 +1170,27 @@ def _family_oracles() -> dict:
     stratified_sql = f"""
         SELECT doc_id, lang FROM documents WHERE {h7} < {rate_case}
     """
+    from .functions.oracle import _consts
+
+    _, _m_log, _, _ = _consts(ALPHA, "log")
+    rank_sql = f"""
+        WITH keyed AS (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(ceil(log2(CAST(l_extendedprice AS DOUBLE)) * {_m_log:.17e}) AS BIGINT) AS k
+            FROM lineitem
+        ), binned AS (
+            SELECT l_returnflag, k, CAST(count(*) AS DOUBLE) AS c
+            FROM keyed GROUP BY 1, 2
+        ), cum AS (
+            SELECT l_returnflag, k, c,
+                   sum(c) OVER (PARTITION BY l_returnflag ORDER BY k) AS running
+            FROM binned
+        )
+        SELECT x.l_orderkey, x.l_linenumber, x.l_returnflag,
+               CAST(cu.running - cu.c AS BIGINT) AS rank_lt
+        FROM keyed x
+        JOIN cum cu ON cu.l_returnflag = x.l_returnflag AND cu.k = x.k
+    """
     lm_sql = f"""
         WITH toks AS (
             SELECT doc_id,
@@ -1214,6 +1256,7 @@ def _family_oracles() -> dict:
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
         "bigram_lm_scores": lm_sql,
+        "dd_rank_transform_prices": rank_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(
