@@ -4,11 +4,13 @@ metadata, processed by actor-pool ``map_batches`` stages.
 Decode support is split by what pure numpy can actually do:
 
 * REAL decoders (no codec library needed, implemented here from the public
-  format specs): Netpbm **PPM (P6) / PGM (P5)** images, RIFF **WAV PCM-16**
-  audio, and **YUV4MPEG2 (Y4M)** video frame streams.  Features computed
-  from these are real pixel/sample math (block-mean pooling, windowed RMS),
-  deterministic to the bit (integer sums, exact float64 divisions).
-* COMPRESSED formats (png/jpeg/flac/mp4) need PIL/ffmpeg, which this
+  format specs): Netpbm **PPM (P6) / PGM (P5)** images, **PNG** (stdlib
+  zlib inflate + numpy scanline unfiltering, all five filter types, 8-bit
+  gray/RGB/gray-alpha/RGBA), RIFF **WAV PCM-16** audio, and **YUV4MPEG2
+  (Y4M)** video frame streams.  Features computed from these are real
+  pixel/sample math (block-mean pooling, windowed RMS), deterministic to
+  the bit (integer sums, exact float64 divisions).
+* REMAINING COMPRESSED formats (jpeg/flac/mp4) need PIL/ffmpeg, which this
   container does not ship: they fall back to a deterministic content-hash
   stub, or raise ``NotImplementedError`` under ``strict=True``.  The try
   -import hook (`_try_pil`) picks PIL up automatically when present.
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -33,10 +36,14 @@ __all__ = [
     "AudioFeatureStage",
     "FrameSampleStage",
     "decode_netpbm",
+    "decode_png",
+    "encode_png",
     "decode_wav_pcm16",
     "parse_y4m",
     "synthesize_media_batch",
 ]
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 IMAGE_META_TYPE = pa.struct(
     [
@@ -81,6 +88,133 @@ def decode_netpbm(payload: bytes):
         raise ValueError("16-bit netpbm not supported")
     body = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
     return w, h, channels, body.reshape(h, w, channels)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def decode_png(payload: bytes):
+    """PNG -> (w, h, c, uint8[h, w, c]); stdlib zlib + numpy unfiltering.
+
+    Real decode per the PNG spec (RFC 2083): chunk walk, IDAT concat +
+    inflate, then per-scanline reversal of filters 0-4.  Supports 8-bit
+    depth, color types 0/2/4/6, non-interlaced (Adam7 raises).  ``Up`` and
+    ``Sub`` reverse vectorized (Sub is a mod-256 prefix sum per channel
+    lane); ``Average``/``Paeth`` need the left-neighbour recurrence, so
+    those scanlines walk pixels in Python — bounded by image width, and
+    this whole decoder runs inside an actor-pool stage, never on the
+    driver.
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, n = 8, len(payload)
+    w = h = depth = color = interlace = None
+    idat = []
+    while i + 8 <= n:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth/color ({depth}/{color})")
+    if interlace:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    c = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * c
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256 — exactly the spec
+        elif f == 1:  # Sub: mod-256 prefix sum along each channel lane
+            cur = np.cumsum(
+                line.reshape(w, c).astype(np.uint64), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
+        else:  # Average (3) / Paeth (4): left-neighbour recurrence
+            cur = np.empty(stride, dtype=np.uint8)
+            up = prev.astype(np.int64)
+            ln = line.astype(np.int64)
+            left = np.zeros(c, dtype=np.int64)
+            if f == 3:
+                for x in range(w):
+                    s = slice(x * c, (x + 1) * c)
+                    left = (ln[s] + ((left + up[s]) >> 1)) & 0xFF
+                    cur[s] = left
+            elif f == 4:
+                ul = np.zeros(c, dtype=np.int64)
+                for x in range(w):
+                    s = slice(x * c, (x + 1) * c)
+                    b = up[s]
+                    p = left + b - ul
+                    pa_, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, b, ul)
+                    )
+                    left = (ln[s] + pred) & 0xFF
+                    cur[s] = left
+                    ul = b
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return w, h, c, out.reshape(h, w, c)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8[h, w, c] -> PNG bytes (single IDAT, one filter for all rows).
+
+    Deterministic: fixed zlib level 6, no ancillary chunks.  Supports the
+    same 8-bit color types as :func:`decode_png`; ``filter_type`` 0 (None)
+    or 2 (Up) keeps encoding fully vectorized (used by the test synthesizer
+    to exercise both unfilter paths)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+    flat = img.reshape(h, w * c)
+    if filter_type == 0:
+        body = flat
+    elif filter_type == 2:
+        body = flat.copy()
+        body[1:] -= flat[:-1]  # uint8 wraps mod 256
+    else:
+        raise ValueError("encoder supports filter types 0 and 2 only")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), body], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav_pcm16(payload: bytes):
@@ -151,8 +285,11 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
     """Deterministic media rows in REAL uncompressed formats (+ a stub row).
 
     id % 4 == 0 -> P6 PPM image; 1 -> P5 PGM; 2 -> WAV PCM-16 audio;
-    3 -> Y4M video (3 frames).  Every 8th row instead carries a fake
-    "jpeg" blob so the compressed-format stub path stays exercised.
+    3 -> Y4M video (3 frames).  Every 8th row (id % 8 == 7) instead
+    carries a fake "jpeg" blob so the compressed-format stub path stays
+    exercised, and id % 8 == 5 carries a REAL zlib-compressed PNG
+    (alternating RGB/None-filter and gray/Up-filter) so the inflate +
+    unfilter decode path is exercised end-to-end.
     """
     idx = np.asarray(batch["id"], dtype=np.int64)
     payloads, fmts = [], []
@@ -163,6 +300,11 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
         if i % 8 == 7:
             payloads.append(b"JUNK" + _noise(i, 128).tobytes())
             fmts.append("jpeg")
+        elif i % 8 == 5:
+            c = 3 if i % 16 == 5 else 1
+            img = _noise(i, w * h * c).reshape(h, w, c)
+            payloads.append(encode_png(img, filter_type=0 if c == 3 else 2))
+            fmts.append("png")
         elif i % 4 == 0:
             payloads.append(
                 b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
@@ -248,6 +390,12 @@ class ImageDecodeStage:
     def _decode_one(self, payload: bytes, fmt: str):
         if payload[:2] in (b"P6", b"P5"):
             w, h, c, img = decode_netpbm(payload)
+            return (
+                {"width": w, "height": h, "channels": c, "format": fmt},
+                self._pixel_embed(img),
+            )
+        if payload[:8] == PNG_SIG:
+            w, h, c, img = decode_png(payload)
             return (
                 {"width": w, "height": h, "channels": c, "format": fmt},
                 self._pixel_embed(img),

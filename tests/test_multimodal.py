@@ -13,8 +13,11 @@ from ddsketch_ruby_ray.stages.multimodal import (
     FrameSampleStage,
     ImageDecodeStage,
     IMAGE_META_TYPE,
+    PNG_SIG,
     decode_netpbm,
+    decode_png,
     decode_wav_pcm16,
+    encode_png,
     parse_y4m,
     synthesize_media_batch,
 )
@@ -77,6 +80,78 @@ class TestRealDecoders:
             decode_wav_pcm16(b"nope")
         with pytest.raises(ValueError):
             parse_y4m(b"nope")
+        with pytest.raises(ValueError):
+            decode_png(b"nope")
+
+    @pytest.mark.parametrize("c", [1, 2, 3, 4])
+    @pytest.mark.parametrize("ftype", [0, 2])
+    def test_png_round_trip_color_types(self, c, ftype):
+        rng = np.random.default_rng(7 * c + ftype)
+        img = rng.integers(0, 256, size=(9, 7, c), dtype=np.uint8)
+        w, h, cc, out = decode_png(encode_png(img, filter_type=ftype))
+        assert (w, h, cc) == (7, 9, c) and (out == img).all()
+
+    @pytest.mark.parametrize("ftype", [1, 3, 4])
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_png_unfilters_sub_average_paeth(self, ftype, c):
+        """Forward-filter scanlines per the spec in the test, assert the
+        decoder inverts them (covers the filters encode_png doesn't emit)."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(13 * ftype + c)
+        h, w = 6, 5
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        flat = img.reshape(h, w * c).astype(np.int64)
+        scan = bytearray()
+        prev = np.zeros(w * c, dtype=np.int64)
+        for y in range(h):
+            raw = flat[y]
+            filt = np.empty(w * c, dtype=np.int64)
+            for x in range(w * c):
+                a = raw[x - c] if x >= c else 0  # left (recon == raw here)
+                b = prev[x]
+                cc_ = prev[x - c] if x >= c else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - cc_
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc_)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else cc_)
+                filt[x] = (raw[x] - pred) & 0xFF
+            scan += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+            prev = raw
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        color = {1: 0, 3: 2}[c]
+        payload = (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+        ww, hh, cc2, out = decode_png(payload)
+        assert (ww, hh, cc2) == (w, h, c) and (out == img).all()
+
+    def test_png_rejects_unsupported(self):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        good = encode_png(img)
+        # flip IHDR depth byte 8 -> 16 (offset: 8 sig + 8 len/type + 8 w/h)
+        bad_depth = bytearray(good)
+        bad_depth[24] = 16
+        with pytest.raises(ValueError):
+            decode_png(bytes(bad_depth))
+        bad_interlace = bytearray(good)
+        bad_interlace[28] = 1
+        with pytest.raises(ValueError):
+            decode_png(bytes(bad_interlace))
 
 
 class TestImageDecode:
@@ -99,6 +174,10 @@ class TestImageDecode:
         assert df.loc[4, "meta"]["channels"] == 3
         assert df.loc[1, "meta"]["channels"] == 1  # P5 gray
         assert df.loc[7, "meta"]["width"] == 0  # compressed stub row
+        # REAL PNG decode: id=5 is a zlib-compressed RGB PNG
+        assert df.loc[5, "meta"]["width"] == 16 + 5 % 7 * 8
+        assert df.loc[5, "meta"]["channels"] == 3
+        assert df.loc[13, "meta"]["channels"] == 1  # gray / Up-filter PNG
         assert len(df.loc[0, "embedding"]) == 8
         assert all(0.0 <= x <= 1.0 for x in df.loc[0, "embedding"])
         # determinism across block layouts
@@ -129,6 +208,10 @@ class TestImageDecode:
         stage = ImageDecodeStage(strict=True)
         meta, _ = stage._decode_one(b"P5\n2 2\n255\n" + bytes(4), "pgm")
         assert meta["width"] == 2
+        # PNG is a REAL decode path now — strict mode accepts it
+        png = encode_png(np.zeros((2, 3, 1), dtype=np.uint8))
+        meta, _ = stage._decode_one(png, "png")
+        assert (meta["width"], meta["height"]) == (3, 2)
         with pytest.raises(NotImplementedError):
             stage._decode_one(b"JUNKxxxx", "jpeg")
 
