@@ -15,6 +15,7 @@ __all__ = [
     "minhash_signature_sql",
     "lsh_pairs_sql",
     "jaccard_pairs_sql",
+    "ngram_jaccard_sql",
     "simhash_sql",
 ]
 
@@ -182,6 +183,44 @@ jac AS (
 )
 SELECT a, b, CAST(floor(j * 1000) AS BIGINT) AS jac1000
 FROM jac WHERE j >= {threshold:.17e}
+"""
+
+
+def ngram_jaccard_sql(
+    *,
+    table: str,
+    key: str,
+    text: str,
+    n: int = 3,
+    df_cap: int = 5,
+    thr_milli: int = 500,
+) -> str:
+    """(a, b, jac1000): postings-based df-capped shingle Jaccard, a < b.
+
+    Mirrors pipelines/postings.py::ngram_jaccard_pairs_pipeline bit-for-bit:
+    the intersection counts only shingles with document frequency <= df_cap
+    (the stop-shingle guard), the union uses full per-doc distinct-shingle
+    counts, and both the threshold test and jac1000 are exact integer
+    arithmetic (inter*1000 >= thr_milli*union; (inter*1000)//union).
+    """
+    shingles = _shingles_cte(table, key, text, n)
+    return f"""
+WITH sh AS ({shingles}),
+sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {df_cap}),
+co AS (
+  SELECT sa.key AS a, sb.key AS b, count(*) AS i
+  FROM sh sa
+  JOIN sh sb ON sb.shingle = sa.shingle AND sa.key < sb.key
+  JOIN rare r ON r.shingle = sa.shingle
+  GROUP BY sa.key, sb.key
+)
+SELECT co.a, co.b,
+       CAST((co.i * 1000) // (za.sz + zb.sz - co.i) AS BIGINT) AS jac1000
+FROM co
+JOIN sizes za ON za.key = co.a
+JOIN sizes zb ON zb.key = co.b
+WHERE co.i * 1000 >= {thr_milli} * (za.sz + zb.sz - co.i)
 """
 
 

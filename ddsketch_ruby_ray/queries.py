@@ -561,6 +561,17 @@ def dedup_clusters(sf_dir: str):
     return connected_components_pipeline(pairs, a_col="a", b_col="b")
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Postings-based exact n-gram Jaccard pairs (inverted-index candidate
+    generation, df_cap=5 stop-shingle guard, threshold 0.5) - the third
+    near-dup family next to MinHash-LSH and SimHash; the Jaccard comes
+    straight out of co-occurrence counts, so neither text nor shingle sets
+    ever reship."""
+    from .pipelines.postings import ngram_jaccard_pairs_pipeline
+
+    return ngram_jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (emitted as two 32-bit halves)."""
     from .pipelines.dedup import simhash_pipeline
@@ -1019,6 +1030,7 @@ QUERIES = {
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
@@ -1133,6 +1145,7 @@ def _family_oracles() -> dict:
         jaccard_pairs_sql,
         lsh_pairs_sql,
         minhash_signature_sql,
+        ngram_jaccard_sql,
         simhash_sql,
     )
     from .functions.similarity_oracle import (
@@ -1392,6 +1405,7 @@ def _family_oracles() -> dict:
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
+        "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({jaccard_pairs_sql(**dedup_kw)}),
             und(x, y) AS (

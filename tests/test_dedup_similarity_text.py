@@ -542,3 +542,93 @@ class TestTextAnalysis:
         assert out.loc[0, "n_fp"] == out.loc[1, "n_fp"]
         assert out.loc[0, "fp_xor"] == out.loc[1, "fp_xor"]
         assert out.loc[2, "n_fp"] == 0  # shorter than k+window
+
+
+class TestNgramJaccardPostings:
+    """Postings-based exact n-gram Jaccard (pipelines/postings.py)."""
+
+    @staticmethod
+    def _ds(texts, blocks=None):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        return ds.repartition(blocks) if blocks else ds
+
+    def test_matches_brute_force(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import word_shingles
+        from ddsketch_ruby_ray.pipelines.postings import ngram_jaccard_pairs_pipeline
+
+        texts = [
+            "a b c d e f g h",
+            "a b c d e f g x",          # near-dup of 0
+            "p q r s t u v w",
+            "a b c d e f g h",          # exact dup of 0
+            "zz yy xx ww vv uu",
+            "",                          # empty doc: no postings, no pairs
+        ]
+        out = (
+            ngram_jaccard_pairs_pipeline(
+                self._ds(texts), key_col="doc_id", text_col="text",
+                df_cap=10**6, thr_milli=300,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        sets = [set(word_shingles(t, 3)) for t in texts]
+        expect = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if not sets[i] or not sets[j]:
+                    continue
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if inter * 1000 >= 300 * union:
+                    expect[(i, j)] = inter * 1000 // union
+        got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jac1000"])}
+        assert got == expect
+        assert (0, 3) in got and got[(0, 3)] == 1000  # exact dup -> 1000
+
+    def test_partition_invariant(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.postings import ngram_jaccard_pairs_pipeline
+
+        kw = dict(key_col="doc_id", text_col="text", df_cap=5, thr_milli=500)
+        a = (
+            ngram_jaccard_pairs_pipeline(_docs_ds(), **kw)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        b = (
+            ngram_jaccard_pairs_pipeline(_docs_ds(blocks=7), **kw)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        assert (a.values == b.values).all()
+
+    def test_df_cap_guards_hot_shingles(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.postings import ngram_jaccard_pairs_pipeline
+
+        # every doc shares the same text -> every shingle has df = 4 > cap
+        texts = ["common words repeated across docs here"] * 4
+        out = ngram_jaccard_pairs_pipeline(
+            self._ds(texts), key_col="doc_id", text_col="text",
+            df_cap=3, thr_milli=1,
+        ).to_pandas()
+        assert len(out) == 0  # all shingles are stop-shingles under the cap
+
+    def test_finds_perturbed_near_dups(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.postings import ngram_jaccard_pairs_pipeline
+
+        extra = _perturbed_copies(10)
+        out = ngram_jaccard_pairs_pipeline(
+            _docs_ds(extra), key_col="doc_id", text_col="text",
+            df_cap=10**6, thr_milli=500,
+        ).to_pandas()
+        mine = out[(out.b - out.a) == 10_000]
+        # postings candidates are EXACT (no LSH misses): all 10 surface
+        assert len(mine) == 10
+        assert (mine["jac1000"] >= 700).all()

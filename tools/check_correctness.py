@@ -5,7 +5,8 @@ DuckDB at the given scale factor, then compares row count, column names and
 (column-name-sorted, row-sorted) values.  Bit-exact float comparison by
 default, with a tiny-ulp fallback report so mismatches are diagnosable.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+(with query names given, only those queries are checked)
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -53,6 +54,12 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in queries]
+        if unknown:
+            print(f"[FAIL] unknown queries: {unknown}")
+            return 1
+        queries = {n: queries[n] for n in only}
     failures = 0
     for name, fn in queries.items():
         try:
@@ -108,4 +115,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=sys.argv[2:] or None))
