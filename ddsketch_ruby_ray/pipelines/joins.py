@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 from ..core.hashing import hash64_int
 
-__all__ = ["asof_join_pipeline", "range_join_pipeline"]
+__all__ = ["asof_join_pipeline", "range_join_pipeline", "hash_join_pipeline"]
 
 _SIDE_RIGHT = 0
 _SIDE_LEFT = 1
@@ -179,6 +179,137 @@ def asof_join_pipeline(
         for c in right_payload:
             out_cols[c] = pc.take(pt.column(c), r_indices)
         return pa.table(out_cols)
+
+    return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
+
+
+def hash_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    how: str = "inner",
+    num_partitions: int = 64,
+):
+    """Large-large equi-join (``how`` = ``"inner"`` | ``"left"``) on int64 keys.
+
+    The relational staple neither the reference nor Ray Data 2.49's Dataset
+    API provides.  Same physical plan as the temporal joins: both sides
+    normalize to a shared schema, co-locate with ONE hash shuffle of only the
+    carried columns, and each partition resolves all its matches with a
+    single argsort + two searchsorted calls + a vectorized repeat/arange
+    pair expansion — no per-key or per-row Python anywhere.
+
+    Semantics match SQL exactly: one output row per matching (left, right)
+    pair (duplicate keys multiply); ``how="left"`` keeps unmatched left rows
+    with null payload; NULL keys never match (null-key right rows are
+    filtered in the normalizer, null-key left rows are dropped for inner /
+    kept unmatched for left).
+
+    Scale: the shuffle carries only the projected columns; skewed keys cost
+    sort time within one partition, and output size is the true join
+    cardinality (a caller joining two heavy duplicate-key sides gets the
+    quadratic output it asked for — pre-aggregate first if that is not the
+    intent).  For a small build side prefer ``pipelines/probe.py``'s
+    broadcast build-then-probe instead of this shuffle.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
+
+    # both sides emit the SAME column order (union requires schema agreement)
+    out_order = left_cols + right_payload
+
+    def _norm(side: int, key_col: str, own_cols, other_cols, other_types):
+        keep_null_keys = side == _SIDE_LEFT and how == "left"
+
+        def norm(t: pa.Table) -> pa.Table:
+            kcol = t.column(key_col)
+            if kcol.null_count:
+                if keep_null_keys:
+                    t = t.set_column(
+                        t.schema.get_field_index(key_col), key_col,
+                        pc.fill_null(kcol, 0),
+                    )
+                    valid = pc.is_valid(kcol).combine_chunks().to_numpy(
+                        zero_copy_only=False
+                    )
+                else:
+                    t = t.filter(pc.is_valid(kcol))
+                    valid = np.ones(t.num_rows, dtype=bool)
+            else:
+                valid = np.ones(t.num_rows, dtype=bool)
+            n = t.num_rows
+            keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "_part": pa.array(
+                    (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+                ),
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                "_key": pa.array(keys),
+                "_kvalid": pa.array(valid),
+            }
+            own = set(own_cols)
+            for c in out_order:
+                cols[c] = (
+                    t.column(c) if c in own else pa.nulls(n, type=other_types[c])
+                )
+            return pa.table(cols)
+
+        return norm
+
+    ln = left.map_batches(
+        _norm(_SIDE_LEFT, left_key, left_cols, right_payload, rtypes),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rn = right.map_batches(
+        _norm(_SIDE_RIGHT, right_key, right_payload, left_cols, ltypes),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        side = pt.column("_side").to_numpy(zero_copy_only=False)
+        key = pt.column("_key").to_numpy(zero_copy_only=False)
+        kvalid = pt.column("_kvalid").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == _SIDE_LEFT)
+        r_idx = np.flatnonzero(side == _SIDE_RIGHT)
+        empty = pa.table(
+            {c: pa.array([], type=ltypes[c]) for c in left_cols}
+            | {c: pa.array([], type=rtypes[c]) for c in right_payload}
+        )
+        if l_idx.size == 0:
+            return empty
+        r_order = r_idx[np.argsort(key[r_idx], kind="stable")]
+        rk = key[r_order]
+        lk = key[l_idx]
+        lo = np.searchsorted(rk, lk, "left")
+        hi = np.searchsorted(rk, lk, "right")
+        counts = np.where(kvalid[l_idx], hi - lo, 0)
+        out_counts = np.maximum(counts, 1) if how == "left" else counts
+        total = int(out_counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(l_idx.size), out_counts)
+        starts = np.cumsum(out_counts) - out_counts
+        offset = np.arange(total) - np.repeat(starts, out_counts)
+        ri = np.repeat(lo, out_counts) + offset
+        matched = np.repeat(counts > 0, out_counts)
+        l_take = pa.array(l_idx[li])
+        out = {c: pc.take(pt.column(c), l_take) for c in left_cols}
+        if rk.size:
+            r_take = pa.array(r_order[np.minimum(ri, rk.size - 1)], mask=~matched)
+            out |= {c: pc.take(pt.column(c), r_take) for c in right_payload}
+        else:
+            out |= {c: pa.nulls(total, type=rtypes[c]) for c in right_payload}
+        return pa.table(out)
 
     return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
 

@@ -353,6 +353,89 @@ def events_within_hour_pairs(sf_dir: str):
     )
 
 
+def lineitem_urgent_left_join(sf_dir: str):
+    """Large-large LEFT hash equi-join: returned lineitems against URGENT
+    orders.  Both sides pruned AT THE READ (returnflag / priority row-group
+    pushdown); the shuffle carries 3 + 2 projected columns, never the full
+    tables.  Lineitems of non-urgent orders keep null payload."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import hash_join_pipeline
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_join_pipeline(
+        li,
+        urgent,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_orderkey", "l_linenumber", "l_extendedprice"],
+        right_payload=["o_custkey", "o_totalprice"],
+        how="left",
+    )
+
+
+def revenue_by_priority_join(sf_dir: str):
+    """INNER hash join lineitem x orders -> exact revenue per order priority.
+
+    Revenue is accumulated as integer 1e-4 currency units
+    (round(price * (1 - discount) * 1e4) is within 1e-9 of an integer because
+    both factors carry <= 2 decimals), so the sum is associative and
+    bit-reproducible in SQL regardless of Ray's block/merge order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.joins import hash_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = hash_join_pipeline(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"],
+        right_payload=["o_orderpriority"],
+        how="inner",
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pa.array(rev),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.groupby("o_orderpriority").sum(["revenue_e4", "one"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pc.cast(t.column("sum(revenue_e4)"), pa.int64()),
+                "n_items": pc.cast(t.column("sum(one)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -1009,6 +1092,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "asof_last_urgent_order": asof_last_urgent_order,
     "events_within_hour_pairs": events_within_hour_pairs,
+    "lineitem_urgent_left_join": lineitem_urgent_left_join,
+    "revenue_by_priority_join": revenue_by_priority_join,
     "split_counts_by_lang": split_counts_by_lang,
     "stratified_sample_docs": stratified_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -1094,6 +1179,23 @@ ORACLE_SQL = {
         JOIN events b
           ON b.user_id = a.user_id
          AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+    "lineitem_urgent_left_join": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+               o.o_custkey, o.o_totalprice
+        FROM lineitem l
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+    """,
+    "revenue_by_priority_join": """
+        SELECT o.o_orderpriority,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                        AS BIGINT)) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
     """,
     "dd_stats_by_lang": """
         SELECT lang,

@@ -91,6 +91,83 @@ class TestAsofJoin:
                 assert got == want, (i, got, want)
 
 
+class TestHashJoin:
+    def _join(self, lt, rt, how, **kw):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import hash_join_pipeline
+
+        out = hash_join_pipeline(
+            rd.from_arrow(lt),
+            rd.from_arrow(rt),
+            left_key="k",
+            right_key="k2",
+            left_cols=["lid", "k"],
+            right_payload=["pay"],
+            how=how,
+            **kw,
+        )
+        return out.to_pandas()
+
+    def test_inner_duplicates_multiply(self, ray_session):
+        lt = _left([1, 1, 2, 3], [0, 0, 0, 0])
+        rt = _right([1, 2, 2, 4], [0, 0, 0, 0], [10, 20, 21, 40])
+        df = self._join(lt, rt, "inner")
+        got = sorted(zip(df["lid"].astype(int), df["pay"].astype(int)))
+        assert got == [(0, 10), (1, 10), (2, 20), (2, 21)]
+
+    def test_left_keeps_unmatched_with_null(self, ray_session):
+        lt = _left([1, 3], [0, 0])
+        rt = _right([1], [0], [10])
+        df = self._join(lt, rt, "left").sort_values("lid").reset_index(drop=True)
+        assert df["pay"].tolist()[0] == 10 and np.isnan(df["pay"][1])
+
+    def test_null_keys_never_match(self, ray_session):
+        lt = pa.table(
+            {
+                "lid": pa.array([0, 1], pa.int64()),
+                "k": pa.array([None, 1], pa.int64()),
+                "ts": _us([0, 0]),
+            }
+        )
+        rt = pa.table(
+            {
+                "k2": pa.array([None, 1], pa.int64()),
+                "ts2": _us([0, 0]),
+                "pay": pa.array([99, 10], pa.int64()),
+            }
+        )
+        inner = self._join(lt, rt, "inner")
+        assert inner["pay"].tolist() == [10] and inner["lid"].tolist() == [1]
+        left = self._join(lt, rt, "left").sort_values("lid").reset_index(drop=True)
+        assert len(left) == 2 and np.isnan(left["pay"][0]) and left["pay"][1] == 10
+
+    def test_empty_right_left_join(self, ray_session):
+        df = self._join(_left([1], [0]), _right([], [], []), "left")
+        assert len(df) == 1 and np.isnan(df["pay"][0])
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(21)
+        n, m = 400, 300
+        lt = _left(rng.integers(0, 25, n), np.zeros(n, dtype=np.int64))
+        rt = _right(rng.integers(0, 25, m), np.zeros(m, dtype=np.int64), np.arange(m))
+        for how, sql_how in [("inner", "JOIN"), ("left", "LEFT JOIN")]:
+            df = self._join(lt, rt, how, num_partitions=7)
+            got = sorted(
+                (int(a), -1 if np.isnan(b) else int(b))
+                for a, b in zip(df["lid"], df["pay"])
+            )
+            con = duckdb.connect()
+            con.register("l", lt.select(["lid", "k"]).to_pandas())
+            con.register("r", rt.select(["k2", "pay"]).to_pandas())
+            exp = con.execute(
+                f"SELECT lid, coalesce(pay, -1) FROM l {sql_how} r ON k2 = k"
+            ).fetchall()
+            assert got == sorted((int(a), int(b)) for a, b in exp), how
+
+
 class TestRangeJoin:
     def _range(self, lt, rt, window_s, **kw):
         import ray.data as rd
