@@ -17,7 +17,7 @@ from __future__ import annotations
 from ..core.hll import _alpha
 from ..core.hashing import sha_lane_sql, splitmix64_sql
 
-__all__ = ["hll_sql", "bloom_membership_sql", "cms_frequency_sql"]
+__all__ = ["hll_sql", "bloom_membership_sql", "cms_frequency_sql", "kmv_sql"]
 
 _TWO64 = "18446744073709551616"
 
@@ -83,6 +83,46 @@ SELECT grp AS {group_col},
             THEN {float(m)} * ln({float(m)} / zeros::DOUBLE)
             ELSE raw END AS "distinct"
 FROM est
+"""
+
+
+def kmv_sql(
+    *,
+    table: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    kind: str = "int",
+    where: str = "",
+) -> str:
+    """SQL computing exactly ``KMVSpec(on=value_col, k=k, kind=kind)`` per group.
+
+    Mirrors core/kmv.py: distinct hash values per group, ranked ascending;
+    if the group has < k distinct hashes the estimate is that exact count,
+    else ``(k-1) * 2^64 / kth_smallest`` with the same double evaluation
+    order as :meth:`KMVSketch.estimate`.  Output:
+    ``{group_col}, "distinct" (double), kept (double)``.
+    """
+    h = _hash_expr(value_col, kind, 0)
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table} {where_clause}
+),
+r AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY grp) AS cnt
+  FROM h
+)
+SELECT grp AS {group_col},
+       CASE WHEN min(cnt) < {k}
+            THEN min(cnt)::DOUBLE
+            ELSE ({k - 1} * {_TWO64}.0) /
+                 max(CASE WHEN rn = {k} THEN h END)::DOUBLE
+       END AS "distinct",
+       least(min(cnt), {k})::DOUBLE AS kept
+FROM r GROUP BY grp
 """
 
 

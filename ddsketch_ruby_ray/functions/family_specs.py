@@ -21,10 +21,11 @@ from ..core.cms import CountMinSketch
 from ..core.hashing import hash64_int, hash256_str
 from ..core.hll import HyperLogLog
 from ..core.kll import KLL
+from ..core.kmv import KMVSketch
 from ..core.tdigest import TDigest
 from .specs import quantile_name
 
-__all__ = ["HLLSpec", "BloomSpec", "CMSSpec", "TDigestSpec", "KLLSpec"]
+__all__ = ["HLLSpec", "BloomSpec", "CMSSpec", "TDigestSpec", "KLLSpec", "KMVSpec"]
 
 
 def _is_float(arr) -> bool:
@@ -87,6 +88,57 @@ class HLLSpec:
         if sketch is None:
             sketch = self.zero()
         return {"distinct": float(sketch.estimate())}
+
+
+class KMVSpec:
+    """Distinct count per group via a bottom-k (KMV / theta) sketch
+    (see core/kmv.py).  Deterministic under any merge order -> bit-exact
+    DuckDB oracle (family_oracle.kmv_sql), unlike HLL only via exact
+    HUGEINT arithmetic.
+
+    ``kind``: "int" (splitmix64, vectorized) or "str" (sha256 lane 0).
+    """
+
+    def __init__(self, on: str, *, name: str | None = None, k: int = 256, kind: str = "int"):
+        self.on = on
+        self.name = name or f"kmv({on})"
+        self.k = int(k)
+        self.kind = kind
+        self.columns = (on,)
+
+    def zero(self) -> KMVSketch:
+        return KMVSketch(self.k)
+
+    def accumulate(self, sketch: KMVSketch, arrays: dict) -> None:
+        vals = arrays[self.on]
+        if self.kind == "int":
+            v = np.asarray(vals)
+            if _is_float(v):
+                v = v[~np.isnan(v)]
+            sketch.add_hashes(hash64_int(v.astype(np.int64), 0))
+        else:
+            sketch.add_hashes(hash256_str(vals, lanes=1)[0])
+
+    def state_type(self) -> pa.DataType:
+        return pa.struct(
+            [pa.field("k", pa.int32()), pa.field("hashes", pa.list_(pa.uint64()))]
+        )
+
+    def to_state(self, sketch: KMVSketch) -> dict:
+        return {"k": sketch.k, "hashes": sketch.hashes}
+
+    def from_state(self, state: dict) -> KMVSketch:
+        s = KMVSketch(int(state["k"]))
+        s.hashes = np.asarray(state["hashes"], dtype=np.uint64)
+        return s
+
+    def merge(self, a: KMVSketch, b: KMVSketch) -> KMVSketch:
+        return a.merged_with(b)
+
+    def finalize(self, sketch: KMVSketch | None) -> dict:
+        if sketch is None:
+            sketch = self.zero()
+        return {"distinct": sketch.estimate(), "kept": float(sketch.hashes.size)}
 
 
 class BloomSpec:

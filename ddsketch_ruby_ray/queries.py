@@ -460,6 +460,30 @@ def hll_props_by_event_type(sf_dir: str):
     )
 
 
+def kmv_users_by_event_type(sf_dir: str):
+    """KMV (bottom-k theta) distinct user_id per event_type, k=64 — the
+    estimation path ((k-1)/U_(k)); deterministic, bit-exact vs SQL."""
+    from .functions.family_specs import KMVSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_sketch_pipeline(
+        ds, [KMVSpec(on="user_id", name="m", k=64, kind="int")], ("event_type",)
+    )
+
+
+def kmv_props_by_event_type(sf_dir: str):
+    """KMV distinct props-string per event_type, k=256 — the exact
+    (below-k) path, sha256 string hashing."""
+    from .functions.family_specs import KMVSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return grouped_sketch_pipeline(
+        ds, [KMVSpec(on="props", name="m", k=256, kind="str")], ("event_type",)
+    )
+
+
 def bloom_customer_membership(sf_dir: str):
     """Bloom filter over customer keys, probed by distinct event user_ids."""
     from .functions.family_specs import BloomSpec
@@ -1102,6 +1126,8 @@ QUERIES = {
     "dd_rank_transform_prices": dd_rank_transform_prices,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
+    "kmv_users_by_event_type": kmv_users_by_event_type,
+    "kmv_props_by_event_type": kmv_props_by_event_type,
     "bloom_customer_membership": bloom_customer_membership,
     "bloom_text_membership": bloom_text_membership,
     "cms_user_frequencies": cms_user_frequencies,
@@ -1241,7 +1267,12 @@ ORACLE_SQL = {
 
 
 def _family_oracles() -> dict:
-    from .functions.family_oracle import bloom_membership_sql, cms_frequency_sql, hll_sql
+    from .functions.family_oracle import (
+        bloom_membership_sql,
+        cms_frequency_sql,
+        hll_sql,
+        kmv_sql,
+    )
     from .functions.dedup_oracle import (
         exact_dedup_sql,
         jaccard_pairs_sql,
@@ -1635,6 +1666,12 @@ def _family_oracles() -> dict:
         ),
         "hll_props_by_event_type": hll_sql(
             table="events", group_col="event_type", value_col="props", p=14, kind="str"
+        ),
+        "kmv_users_by_event_type": kmv_sql(
+            table="events", group_col="event_type", value_col="user_id", k=64, kind="int"
+        ),
+        "kmv_props_by_event_type": kmv_sql(
+            table="events", group_col="event_type", value_col="props", k=256, kind="str"
         ),
         "bloom_customer_membership": bloom_membership_sql(
             build_table="customer",

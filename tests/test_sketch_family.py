@@ -124,6 +124,96 @@ class TestHLL:
         assert HyperLogLog(14).estimate() == 0.0
 
 
+# -- KMV --------------------------------------------------------------------
+
+
+class TestKMV:
+    def _kmv(self, values, k=256):
+        from ddsketch_ruby_ray.core.hashing import hash64_int
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        s = KMVSketch(k)
+        s.add_hashes(hash64_int(np.asarray(values, dtype=np.int64)))
+        return s
+
+    def test_exact_below_k(self):
+        s = self._kmv(np.arange(100), k=256)
+        assert s.estimate() == 100.0
+
+    def test_duplicates_dont_count(self):
+        from ddsketch_ruby_ray.core.hashing import hash64_int
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        s = KMVSketch(256)
+        for _ in range(5):
+            s.add_hashes(hash64_int(np.arange(100)))
+        assert s.estimate() == 100.0
+
+    @pytest.mark.parametrize("n", [5_000, 100_000])
+    def test_estimate_within_bound(self, n):
+        k = 256
+        s = self._kmv(np.arange(n), k=k)
+        # relative std error ~ 1/sqrt(k-2); allow 5 sigma
+        assert abs(s.estimate() - n) / n < 5 / np.sqrt(k - 2)
+
+    def test_merge_partition_invariant(self):
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        data = np.arange(30_000)
+        ref = self._kmv(data, k=128)
+        for seed in (1, 2, 3):
+            merged = KMVSketch(128)
+            for c in _chunks(data, 7, seed):
+                merged = merged.merged_with(self._kmv(c, k=128))
+            assert np.array_equal(merged.hashes, ref.hashes)
+            assert merged.estimate() == ref.estimate()
+
+    def test_merge_pure_and_commutative(self):
+        a = self._kmv(np.arange(500), k=64)
+        b = self._kmv(np.arange(250, 800), k=64)
+        b_h = b.hashes.copy()
+        ab, ba = a.merged_with(b), b.merged_with(a)
+        assert np.array_equal(b.hashes, b_h)
+        assert np.array_equal(ab.hashes, ba.hashes)
+
+    def test_merge_k_mismatch_raises(self):
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        with pytest.raises(ValueError):
+            KMVSketch(64).merged_with(KMVSketch(128))
+
+    def test_invalid_k(self):
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        with pytest.raises(ValueError):
+            KMVSketch(1)
+
+    def test_empty_estimate_zero(self):
+        from ddsketch_ruby_ray.core.kmv import KMVSketch
+
+        assert KMVSketch(64).estimate() == 0.0
+
+    def test_jaccard_exact_below_k(self):
+        a = self._kmv(np.arange(0, 100), k=256)
+        b = self._kmv(np.arange(50, 150), k=256)
+        assert a.jaccard_with(b) == 50 / 150
+
+    def test_jaccard_estimate(self):
+        a = self._kmv(np.arange(0, 20_000), k=512)
+        b = self._kmv(np.arange(10_000, 30_000), k=512)
+        assert abs(a.jaccard_with(b) - 1 / 3) < 5 * np.sqrt((1 / 3) * (2 / 3) / 512)
+
+    def test_spec_state_round_trip(self):
+        from ddsketch_ruby_ray.functions.family_specs import KMVSpec
+
+        spec = KMVSpec(on="v", k=64, kind="int")
+        s = spec.zero()
+        spec.accumulate(s, {"v": np.arange(1000)})
+        s2 = spec.from_state(spec.to_state(s))
+        assert np.array_equal(s.hashes, s2.hashes)
+        assert spec.finalize(s) == spec.finalize(s2)
+
+
 # -- Bloom ------------------------------------------------------------------
 
 
