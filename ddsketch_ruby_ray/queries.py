@@ -460,6 +460,24 @@ def hll_props_by_event_type(sf_dir: str):
     )
 
 
+def heavy_hitter_users(sf_dir: str):
+    """Exact phi-heavy hitters over events.user_id (phi=0.008): MG-style
+    per-block candidates -> broadcast -> exact verify; output layout-
+    independent and identical to SQL's HAVING count >= ceil(phi*n)."""
+    from .pipelines.heavy import heavy_hitters_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters_pipeline(ds, key_col="user_id", phi=0.008)
+
+
+def heavy_hitter_props(sf_dir: str):
+    """Exact phi-heavy hitters over the string props column (phi=0.0113)."""
+    from .pipelines.heavy import heavy_hitters_pipeline
+
+    ds = _read(sf_dir, "events", ["props"])
+    return heavy_hitters_pipeline(ds, key_col="props", phi=0.0113)
+
+
 def kmv_users_by_event_type(sf_dir: str):
     """KMV (bottom-k theta) distinct user_id per event_type, k=64 — the
     estimation path ((k-1)/U_(k)); deterministic, bit-exact vs SQL."""
@@ -1128,6 +1146,8 @@ QUERIES = {
     "hll_props_by_event_type": hll_props_by_event_type,
     "kmv_users_by_event_type": kmv_users_by_event_type,
     "kmv_props_by_event_type": kmv_props_by_event_type,
+    "heavy_hitter_users": heavy_hitter_users,
+    "heavy_hitter_props": heavy_hitter_props,
     "bloom_customer_membership": bloom_customer_membership,
     "bloom_text_membership": bloom_text_membership,
     "cms_user_frequencies": cms_user_frequencies,
@@ -1667,6 +1687,14 @@ def _family_oracles() -> dict:
         "hll_props_by_event_type": hll_sql(
             table="events", group_col="event_type", value_col="props", p=14, kind="str"
         ),
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS "count" FROM events GROUP BY user_id
+            HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))
+        """,
+        "heavy_hitter_props": """
+            SELECT props, count(*) AS "count" FROM events GROUP BY props
+            HAVING count(*) >= ceil(0.0113 * (SELECT count(*) FROM events))
+        """,
         "kmv_users_by_event_type": kmv_sql(
             table="events", group_col="event_type", value_col="user_id", k=64, kind="int"
         ),
