@@ -163,3 +163,25 @@ SELECT d.key AS {key_col},
        coalesce(a.fp_xor, 0)::BIGINT AS fp_xor
 FROM alldocs d LEFT JOIN agg a ON a.key = d.key
 """
+
+
+def pii_scrub_sql(*, table: str, key_col: str, text_expr: str) -> str:
+    """SQL mirroring ``stages.text.pii_scrub`` over ``text_expr`` exactly.
+
+    Counts use the sequential-redaction semantics (each pattern counts on
+    the text as redacted by its predecessors); the final redacted text is
+    digested with sha256 lane 0 (core/hashing.sha_lane_sql) so the compare
+    verifies the exact output bytes.
+    """
+    from ..core.hashing import sha_lane_sql
+    from ..stages.text import PII_PATTERNS
+
+    sel = [key_col]
+    cur = f"({text_expr})"
+    for name, pattern, repl in PII_PATTERNS:
+        pat = pattern.replace("'", "''")  # duckdb strings keep backslashes literal
+        sel.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    sel.append(f"length({cur}) AS redacted_len")
+    sel.append(f"{sha_lane_sql(cur)} AS redacted_sha")
+    return f"SELECT {', '.join(sel)} FROM {table}"

@@ -1103,6 +1103,49 @@ def lang_id_docs(sf_dir: str):
     )
 
 
+_PII_ENRICH_SQL = (
+    "coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.42 or 555-123-4567'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' also bob@example.org' ELSE '' END"
+)
+
+
+def pii_scrub_docs(sf_dir: str):
+    """PII detect + redact over documents.  The synthetic corpus carries no
+    PII, so each row is first enriched with deterministic doc_id-derived
+    email/IP/phone strings (mirrored verbatim in the oracle's text_expr);
+    the scrub then counts and redacts them, and the redacted-text sha64
+    verifies the exact output bytes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich_and_scrub(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        add = np.char.add
+        suffix = add(" contact user", did.astype(np.str_))
+        suffix = add(suffix, "@mail.example.com at 10.")
+        suffix = add(suffix, (did % 200).astype(np.str_))
+        suffix = add(suffix, ".0.42 or 555-123-4567")
+        suffix = add(
+            suffix, np.where(did % 3 == 0, " also bob@example.org", "")
+        )
+        text2 = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            pa.array(suffix.astype(object), pa.string()),
+            "",
+        )
+        t2 = pa.table({"doc_id": t.column("doc_id"), "text": text2})
+        return pii_scrub(t2, key_col="doc_id", text_col="text")
+
+    return ds.map_batches(enrich_and_scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def winnow_fingerprints_docs(sf_dir: str):
     """Winnowing fingerprints per doc (char 8-grams, window 4)."""
     from .stages.text import winnow_fingerprints
@@ -1174,6 +1217,7 @@ QUERIES = {
     "curation_counts_by_lang": curation_counts_by_lang,
     "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
+    "pii_scrub_docs": pii_scrub_docs,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
 
@@ -1309,6 +1353,7 @@ def _family_oracles() -> dict:
     )
     from .functions.text_oracle import (
         lang_id_sql,
+        pii_scrub_sql,
         quality_scores_sql,
         token_stats_by_group_sql,
         winnow_sql,
@@ -1678,6 +1723,9 @@ def _family_oracles() -> dict:
             FROM deduped GROUP BY lang
         """,
         "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        "pii_scrub_docs": pii_scrub_sql(
+            table="documents", key_col="doc_id", text_expr=_PII_ENRICH_SQL
+        ),
         "winnow_fingerprints_docs": winnow_sql(
             table="documents", key_col="doc_id", text_col="text"
         ),

@@ -20,6 +20,8 @@ __all__ = [
     "LANG_MARKERS",
     "lang_id",
     "winnow_fingerprints",
+    "PII_PATTERNS",
+    "pii_scrub",
 ]
 
 
@@ -205,3 +207,52 @@ def winnow_fingerprints(
             "fp_xor": pa.array(fp_xor),
         }
     )
+
+
+# -- PII detection / redaction ----------------------------------------------
+
+# (name, RE2 pattern, replacement) applied IN ORDER on progressively redacted
+# text: emails first (they contain dots/digits that would otherwise be eaten
+# by the ip/phone patterns), then IPv4, then phone.  Patterns are plain RE2 -
+# the same engine DuckDB's regexp_* functions use - so the SQL mirror
+# (functions/text_oracle.py:pii_scrub_sql) matches byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    batch: pa.Table, *, key_col: str, text_col: str, emit_text: bool = False
+) -> pa.Table:
+    """Detect + redact PII-shaped substrings; emit counts and a redacted-text
+    digest instead of the text itself.
+
+    Per row: ``n_<name>`` = non-overlapping match count of each pattern on
+    the text AS REDACTED BY the preceding patterns (sequential semantics,
+    mirrored by nested regexp_replace in SQL), ``redacted_len`` = utf8 length
+    after all redactions, ``redacted_sha`` = sha256 lane 0 of the redacted
+    text (verifies the exact output bytes without shipping the text).
+    ``emit_text=True`` additionally carries the redacted text column - the
+    production curation path; the default digest-only shape is what the
+    driver query uses so the oracle compare stays KB-sized.
+
+    Vectorized end-to-end: one count_substring_regex + one
+    replace_substring_regex per pattern per batch; the only per-row work is
+    the sha256 digest loop shared with every other hash pipeline.
+    """
+    from ..core.hashing import hash256_str
+
+    # null policy: null text == empty string (same as core/hashing.hash256_str;
+    # the SQL mirror is built over coalesce(text, ''))
+    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    out = {key_col: batch.column(key_col)}
+    for name, pattern, repl in PII_PATTERNS:
+        out[f"n_{name}"] = _re_count(col, pattern)
+        col = pc.replace_substring_regex(col, pattern=pattern, replacement=repl)
+    out["redacted_len"] = pc.cast(pc.utf8_length(col), pa.int64())
+    out["redacted_sha"] = pa.array(hash256_str(col.combine_chunks(), lanes=1)[0])
+    if emit_text:
+        out["redacted_text"] = col
+    return pa.table(out)

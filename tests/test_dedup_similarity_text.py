@@ -474,6 +474,73 @@ class TestTextOracleFuzz:
         )
 
 
+class TestPIIScrub:
+    def test_pii_mirror_on_hostile_text(self, ray_session):
+        """pii_scrub vs its SQL mirror on adversarial inputs: overlapping
+        patterns, malformed near-misses, nulls, unicode, doubled emails."""
+        import duckdb
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.text_oracle import pii_scrub_sql
+        from ddsketch_ruby_ray.stages.text import pii_scrub
+
+        docs = [
+            "mail bob.smith+x@ex-ample.co.uk or 10.0.0.1 now",
+            "call 555-123-4567 or 555 987 6543",
+            "a@b.io c@d.org 192.168.001.255 999-999-9999",
+            "version 1.2.3.4.5 almost-ip",
+            "a@b.c not-an-email @missing.local x@.com",
+            "email@domain.com.123-456-7890",  # adjacent pii
+            "naïve 日本語 🙂 emoji@unicode.org",
+            "",
+            None,
+            " " * 50,
+            "x" * 500 + " tail@end.io",
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs, pa.string())}
+        )
+        con = duckdb.connect()
+        con.register("da", tbl)
+        con.sql("CREATE VIEW documents AS SELECT * FROM da")
+        mine = (
+            rd.from_arrow(tbl)
+            .repartition(3)
+            .map_batches(
+                lambda t: pii_scrub(t, key_col="doc_id", text_col="text"),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        theirs = (
+            con.sql(
+                pii_scrub_sql(
+                    table="documents", key_col="doc_id", text_expr="coalesce(text,'')"
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in mine.columns:
+            a = mine[c].to_numpy()
+            b = theirs[c].to_numpy().astype(a.dtype)
+            assert (a == b).all(), (c, a, b)
+        # the scrub actually removed the pii text
+        assert mine["n_email"].sum() >= 5 and mine["n_ipv4"].sum() >= 2
+
+    def test_emit_text_redacts(self, ray_session):
+        from ddsketch_ruby_ray.stages.text import pii_scrub
+
+        t = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["hi a@b.io 1.2.3.4 555-123-4567"])}
+        )
+        out = pii_scrub(t, key_col="doc_id", text_col="text", emit_text=True)
+        assert out.column("redacted_text").to_pylist() == ["hi <EMAIL> <IP> <PHONE>"]
+
+
 class TestTextAnalysis:
     def test_lang_id_markers(self, ray_session):
         import ray.data as rd
