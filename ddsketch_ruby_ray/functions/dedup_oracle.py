@@ -17,6 +17,7 @@ __all__ = [
     "jaccard_pairs_sql",
     "ngram_jaccard_sql",
     "simhash_sql",
+    "decontam_sql",
 ]
 
 _TWO64 = "18446744073709551616"
@@ -244,4 +245,36 @@ SELECT d.key AS {key},
        coalesce((s.s // 4294967296), 0)::BIGINT AS simhash_hi,
        coalesce((s.s % 4294967296), 0)::BIGINT AS simhash_lo
 FROM alldocs d LEFT JOIN sim s ON s.key = d.key
+"""
+
+
+def decontam_sql(*, table: str, key: str, text: str, bench_where: str, n: int = 8) -> str:
+    """(key, n_grams, n_hits, contaminated) mirroring
+    pipelines/decontam.py::decontaminate_pipeline with the benchmark set
+    defined as ``{table} WHERE {bench_where}``.
+
+    Shingle hashes are sha256 lane 0 of the shingle string on BOTH sides, so
+    membership (including any 64-bit collisions) is identical; zero-token
+    docs are restored by the LEFT JOIN with (0, 0, 0).
+    """
+    shingles = _shingles_cte(table, key, text, n)
+    h = sha_lane_sql("shingle")
+    return f"""
+WITH tsh AS ({shingles}),
+th AS (SELECT key, {h} AS sh FROM tsh),
+bh AS (
+  SELECT DISTINCT sh FROM th
+  WHERE key IN (SELECT {key} FROM {table} WHERE {bench_where})
+),
+per AS (
+  SELECT key,
+         count(*) AS n_grams,
+         sum(CASE WHEN sh IN (SELECT sh FROM bh) THEN 1 ELSE 0 END) AS n_hits
+  FROM th GROUP BY key
+)
+SELECT d.{key} AS {key},
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(p.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM {table} d LEFT JOIN per p ON p.key = d.{key}
 """

@@ -1103,6 +1103,29 @@ def lang_id_docs(sf_dir: str):
     )
 
 
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (all documents) sharing any
+    word 8-gram with the 'benchmark' subset doc_id % 23 == 0.  Benchmark
+    grams broadcast via ray.put; training side streams one map_batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.decontam import decontaminate_pipeline
+
+    train = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 23 == 0))
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pick_bench, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontaminate_pipeline(
+        train, bench, key_col="doc_id", text_col="text", ngram=8
+    )
+
+
 _PII_ENRICH_SQL = (
     "coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)"
@@ -1218,6 +1241,7 @@ QUERIES = {
     "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
     "pii_scrub_docs": pii_scrub_docs,
+    "decontaminate_docs": decontaminate_docs,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
 
@@ -1338,6 +1362,7 @@ def _family_oracles() -> dict:
         kmv_sql,
     )
     from .functions.dedup_oracle import (
+        decontam_sql,
         exact_dedup_sql,
         jaccard_pairs_sql,
         lsh_pairs_sql,
@@ -1604,6 +1629,13 @@ def _family_oracles() -> dict:
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
         "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
+        "decontaminate_docs": decontam_sql(
+            table="documents",
+            key="doc_id",
+            text="text",
+            bench_where="doc_id % 23 = 0",
+            n=8,
+        ),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({jaccard_pairs_sql(**dedup_kw)}),
             und(x, y) AS (

@@ -474,6 +474,68 @@ class TestTextOracleFuzz:
         )
 
 
+class TestDecontaminate:
+    def test_matches_bruteforce_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.dedup_oracle import decontam_sql
+        from ddsketch_ruby_ray.pipelines.decontam import decontaminate_pipeline
+
+        docs = [
+            "a b c d e f g h i j",          # 0: benchmark (doc_id%5==0)
+            "a b c d e f g h i j k l",      # 1: shares 8-grams with 0
+            "z y x w v u t s r q",          # 2: disjoint
+            "one two three",                # 3: < n tokens -> full join gram
+            "",                             # 4: empty
+            "one two three",                # 5: benchmark, same as 3
+            "q r s t u v w x y z",          # 6: reversed 2, disjoint grams
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}
+        )
+        train = rd.from_arrow(tbl).repartition(3)
+        bench = rd.from_arrow(tbl.filter(pa.array([i % 5 == 0 for i in range(len(docs))])))
+        got = (
+            decontaminate_pipeline(train, bench, key_col="doc_id", text_col="text", ngram=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 0 (in benchmark), doc 1 (superset of 0's grams), docs 3+5 (same
+        # short doc) are contaminated; 2, 4, 6 are not
+        assert got["contaminated"].tolist() == [1, 1, 0, 1, 0, 1, 0]
+        assert got["n_grams"].tolist() == [3, 5, 3, 1, 0, 1, 3]
+        con = duckdb.connect()
+        con.register("da", tbl)
+        con.sql("CREATE VIEW documents AS SELECT * FROM da")
+        exp = (
+            con.sql(
+                decontam_sql(
+                    table="documents", key="doc_id", text="text",
+                    bench_where="doc_id % 5 = 0", n=8,
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_empty_benchmark(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.decontam import decontaminate_pipeline
+
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a b c"])})
+        empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        got = decontaminate_pipeline(
+            rd.from_arrow(tbl), rd.from_arrow(empty), key_col="doc_id", text_col="text"
+        ).to_pandas()
+        assert got["contaminated"].tolist() == [0]
+
+
 class TestPIIScrub:
     def test_pii_mirror_on_hostile_text(self, ray_session):
         """pii_scrub vs its SQL mirror on adversarial inputs: overlapping
