@@ -21,8 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["assign_sliding_windows", "sessionize_pipeline"]
+__all__ = [
+    "assign_sliding_windows",
+    "sessionize_pipeline",
+    "ordered_analytics_pipeline",
+]
 
 
 def assign_sliding_windows(
@@ -110,5 +115,88 @@ def sessionize_pipeline(
                 "total_events": pa.array(total.astype(np.int64)),
             }
         )
+
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def ordered_analytics_pipeline(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str | None = None,
+    value_scale: float = 1e6,
+    carry_cols=(),
+    num_partitions: int = 64,
+):
+    """Per-key ordered window analytics: row_number, running sum, lag gap.
+
+    The SQL ``row_number() / sum() / lag() OVER (PARTITION BY key ORDER BY
+    ts, tiebreak)`` trio, which Ray Data's Dataset API cannot express.  Same
+    physical plan as sessionize: ONE hash-partition shuffle of the projected
+    columns, then one lexsort + boundary-vectorized scan per partition - no
+    per-key Python at any key cardinality.
+
+    Emits per input row: ``carry_cols..., key_col, rn`` (1-based rank),
+    ``cum_value`` (running int64 sum of ``round(value * value_scale)`` -
+    exact integer accumulation, so the result is associative and
+    bit-reproducible in SQL regardless of numpy's summation order; omitted
+    when ``value_col`` is None) and ``prev_gap_us`` (microseconds since the
+    key's previous event; null for the first).
+
+    Scale: output is one row per input row - stream it onward or to parquet;
+    nothing materializes.  Skewed keys cost sort time only.
+    """
+    from ..core.hashing import hash64_int
+
+    carry_cols = list(carry_cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+        cols = {"_part": pa.array(part), key_col: pa.array(keys)}
+        cols["_ts"] = t.column(ts_col).cast(pa.int64())
+        cols["_tb"] = t.column(tiebreak_col).cast(pa.int64())
+        if value_col is not None:
+            v = t.column(value_col).to_numpy(zero_copy_only=False)
+            cols["_v"] = pa.array(np.round(v * value_scale).astype(np.int64))
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        n = pt.num_rows
+        keys = pt.column(key_col).to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        tb = pt.column("_tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts, keys))
+        k_s, ts_s = keys[order], ts[order]
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        rn = pos - np.repeat(starts, lens) + 1
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[0] = 0
+            gap[1:] = ts_s[1:] - ts_s[:-1]
+        take = pa.array(order)
+        out = {c: pc.take(pt.column(c), take) for c in carry_cols}
+        out[key_col] = pa.array(k_s)
+        out["rn"] = pa.array(rn)
+        if value_col is not None:
+            v_s = pt.column("_v").to_numpy(zero_copy_only=False)[order]
+            cs = np.cumsum(v_s)
+            base = np.repeat(cs[starts] - v_s[starts], lens)
+            out["cum_value"] = pa.array(cs - base)
+        # first-event gap is NULL (SQL lag semantics)
+        out["prev_gap_us"] = pa.array(gap, pa.int64(), mask=new_key)
+        return pa.table(out)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

@@ -296,6 +296,23 @@ def user_sessions(sf_dir: str):
     return sessionize_pipeline(ds, key_col="user_id", ts_col="ts", gap_s=1800)
 
 
+def user_running_totals(sf_dir: str):
+    """Per-user ordered analytics over the events log: row_number, exact
+    running value sum (integer 1e-6 units), lag gap to the previous event —
+    the SQL window-function trio via one hash-partition + lexsort."""
+    from .pipelines.windows import ordered_analytics_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return ordered_analytics_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_col="value",
+        carry_cols=["event_id"],
+    )
+
+
 def asof_last_urgent_order(sf_dir: str):
     """LEFT as-of join: for each event, the user's most recent URGENT order
     at/before the event time (ties on o_orderdate -> max o_orderkey, matching
@@ -1198,6 +1215,7 @@ QUERIES = {
     "dd_windowed_quantiles": dd_windowed_quantiles,
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "user_sessions": user_sessions,
+    "user_running_totals": user_running_totals,
     "asof_last_urgent_order": asof_last_urgent_order,
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
@@ -1293,6 +1311,14 @@ ORACLE_SQL = {
         JOIN events b
           ON b.user_id = a.user_id
          AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+    "user_running_totals": """
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS cum_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "lineitem_urgent_left_join": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,

@@ -76,3 +76,67 @@ class TestSessions:
             rd.from_arrow(t).repartition(3), key_col="user_id", ts_col="ts", gap_s=1800
         ).to_pandas()
         assert out.iloc[0]["n_sessions"] == 2  # sorting inside the group fixes order
+
+
+class TestOrderedAnalytics:
+    def _run(self, tbl, parts=5, **kw):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import ordered_analytics_pipeline
+
+        out = ordered_analytics_pipeline(
+            rd.from_arrow(tbl).repartition(3),
+            key_col="k",
+            ts_col="ts",
+            tiebreak_col="eid",
+            carry_cols=["eid"],
+            num_partitions=parts,
+            **kw,
+        )
+        return out.to_pandas().sort_values("eid").reset_index(drop=True)
+
+    def _tbl(self, n, seed, with_value=True):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cols = {
+            "eid": pa.array(np.arange(n), pa.int64()),
+            "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+            # duplicate timestamps on purpose: tiebreak must decide
+            "ts": pa.array(rng.integers(0, 50, n) * 1_000_000, pa.timestamp("us")),
+        }
+        if with_value:
+            cols["value"] = pa.array(np.round(rng.normal(0, 50, n), 2))
+        return pa.table(cols)
+
+    def test_matches_duckdb_window_functions(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        tbl = self._tbl(2_000, seed=31)
+        got = self._run(tbl, value_col="value")
+        con = duckdb.connect()
+        con.register("t", tbl.to_pandas())
+        exp = con.execute(
+            """SELECT eid, k, row_number() OVER w AS rn,
+                      sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS cum_value,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, eid)
+               ORDER BY eid"""
+        ).fetchdf()
+        for c in ("rn", "cum_value"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        a, b = got["prev_gap_us"].to_numpy(), exp["prev_gap_us"].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+    def test_no_value_column(self, ray_session):
+        tbl = self._tbl(100, seed=32, with_value=False)
+        got = self._run(tbl)
+        assert list(got.columns) == ["eid", "k", "rn", "prev_gap_us"]
+        assert (got.groupby("k")["rn"].max() >= 1).all()
+
+    def test_partition_count_invariance(self, ray_session):
+        tbl = self._tbl(500, seed=33)
+        a = self._run(tbl, parts=2, value_col="value")
+        b = self._run(tbl, parts=17, value_col="value")
+        assert a.equals(b)
