@@ -194,7 +194,8 @@ def hash_join_pipeline(
     how: str = "inner",
     num_partitions: int = 64,
 ):
-    """Large-large equi-join (``how`` = ``"inner"`` | ``"left"``) on int64 keys.
+    """Large-large equi-join (``how`` = ``"inner"`` | ``"left"`` | ``"semi"``
+    | ``"anti"``) on int64 keys.
 
     The relational staple neither the reference nor Ray Data 2.49's Dataset
     API provides.  Same physical plan as the temporal joins: both sides
@@ -205,9 +206,12 @@ def hash_join_pipeline(
 
     Semantics match SQL exactly: one output row per matching (left, right)
     pair (duplicate keys multiply); ``how="left"`` keeps unmatched left rows
-    with null payload; NULL keys never match (null-key right rows are
-    filtered in the normalizer, null-key left rows are dropped for inner /
-    kept unmatched for left).
+    with null payload.  ``"semi"`` / ``"anti"`` emit each left row AT MOST
+    ONCE — with EXISTS / NOT EXISTS semantics respectively — and require an
+    empty ``right_payload`` (the curation filter shapes: keep rows whose key
+    is / is not in a blocklist too large to broadcast).  NULL keys never
+    match (null-key right rows are filtered in the normalizer; null-key left
+    rows are dropped for inner/semi, kept unmatched for left/anti).
 
     Scale: the shuffle carries only the projected columns; skewed keys cost
     sort time within one partition, and output size is the true join
@@ -216,8 +220,10 @@ def hash_join_pipeline(
     intent).  For a small build side prefer ``pipelines/probe.py``'s
     broadcast build-then-probe instead of this shuffle.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
+    if how in ("semi", "anti") and right_payload:
+        raise ValueError(f"how={how!r} joins emit no right columns; pass right_payload=()")
     left_cols = list(left_cols)
     right_payload = list(right_payload)
     lschema = left.schema().base_schema
@@ -229,7 +235,7 @@ def hash_join_pipeline(
     out_order = left_cols + right_payload
 
     def _norm(side: int, key_col: str, own_cols, other_cols, other_types):
-        keep_null_keys = side == _SIDE_LEFT and how == "left"
+        keep_null_keys = side == _SIDE_LEFT and how in ("left", "anti")
 
         def norm(t: pa.Table) -> pa.Table:
             kcol = t.column(key_col)
@@ -293,6 +299,10 @@ def hash_join_pipeline(
         lo = np.searchsorted(rk, lk, "left")
         hi = np.searchsorted(rk, lk, "right")
         counts = np.where(kvalid[l_idx], hi - lo, 0)
+        if how in ("semi", "anti"):
+            sel = counts > 0 if how == "semi" else counts == 0
+            l_take = pa.array(l_idx[sel])
+            return pa.table({c: pc.take(pt.column(c), l_take) for c in left_cols})
         out_counts = np.maximum(counts, 1) if how == "left" else counts
         total = int(out_counts.sum())
         if total == 0:

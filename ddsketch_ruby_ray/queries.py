@@ -401,6 +401,56 @@ def lineitem_urgent_left_join(sf_dir: str):
     )
 
 
+def customers_no_urgent_orders(sf_dir: str):
+    """ANTI hash join: customers with NO urgent order (NOT EXISTS) — the
+    blocklist-filter shape when the blocklist is too large to broadcast."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import hash_join_pipeline
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_join_pipeline(
+        cust,
+        urgent,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        left_cols=["c_custkey", "c_acctbal", "c_mktsegment"],
+        right_payload=(),
+        how="anti",
+    )
+
+
+def customers_with_big_orders(sf_dir: str):
+    """SEMI hash join: customers having at least one order over $200k
+    (EXISTS); each customer emitted once however many orders match."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import hash_join_pipeline
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 200000.0,
+    )
+    return hash_join_pipeline(
+        cust,
+        big,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        left_cols=["c_custkey", "c_acctbal"],
+        right_payload=(),
+        how="semi",
+    )
+
+
 def revenue_by_priority_join(sf_dir: str):
     """INNER hash join lineitem x orders -> exact revenue per order priority.
 
@@ -1220,6 +1270,8 @@ QUERIES = {
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
+    "customers_no_urgent_orders": customers_no_urgent_orders,
+    "customers_with_big_orders": customers_with_big_orders,
     "split_counts_by_lang": split_counts_by_lang,
     "stratified_sample_docs": stratified_sample_docs,
     "pack_sequences_docs": pack_sequences_docs,
@@ -1327,6 +1379,20 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
           ON o.o_orderkey = l.l_orderkey
         WHERE l.l_returnflag = 'R'
+    """,
+    "customers_no_urgent_orders": """
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "customers_with_big_orders": """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+        )
     """,
     "revenue_by_priority_join": """
         SELECT o.o_orderpriority,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def _us(seconds):
@@ -145,6 +146,73 @@ class TestHashJoin:
     def test_empty_right_left_join(self, ray_session):
         df = self._join(_left([1], [0]), _right([], [], []), "left")
         assert len(df) == 1 and np.isnan(df["pay"][0])
+
+    def _join_cols(self, lt, rt, how, **kw):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import hash_join_pipeline
+
+        out = hash_join_pipeline(
+            rd.from_arrow(lt),
+            rd.from_arrow(rt),
+            left_key="k",
+            right_key="k2",
+            left_cols=["lid", "k"],
+            right_payload=(),
+            how=how,
+            **kw,
+        )
+        return out.to_pandas()
+
+    def test_semi_anti_basic(self, ray_session):
+        lt = _left([1, 1, 2, 3], [0, 0, 0, 0])
+        rt = _right([1, 1, 4], [0, 0, 0], [9, 9, 9])
+        semi = self._join_cols(lt, rt, "semi")
+        # each matching left row once, duplicates NOT multiplied
+        assert sorted(semi["lid"]) == [0, 1]
+        anti = self._join_cols(lt, rt, "anti")
+        assert sorted(anti["lid"]) == [2, 3]
+
+    def test_semi_anti_null_keys(self, ray_session):
+        lt = pa.table(
+            {"lid": pa.array([0, 1], pa.int64()), "k": pa.array([None, 1], pa.int64()), "ts": _us([0, 0])}
+        )
+        rt = _right([1], [0], [5])
+        assert self._join_cols(lt, rt, "semi")["lid"].tolist() == [1]
+        assert self._join_cols(lt, rt, "anti")["lid"].tolist() == [0]  # NOT EXISTS keeps null key
+
+    def test_semi_anti_reject_payload(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import hash_join_pipeline
+
+        with pytest.raises(ValueError):
+            hash_join_pipeline(
+                rd.from_arrow(_left([1], [0])),
+                rd.from_arrow(_right([1], [0], [1])),
+                left_key="k", right_key="k2",
+                left_cols=["lid"], right_payload=["pay"], how="semi",
+            )
+
+    def test_semi_anti_match_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(22)
+        # left keys span 0..59, right only 0..29 -> both semi and anti non-empty
+        lt = _left(rng.integers(0, 60, 500), np.zeros(500, dtype=np.int64))
+        rt = _right(rng.integers(0, 30, 200), np.zeros(200, dtype=np.int64), np.arange(200))
+        con = duckdb.connect()
+        con.register("l", lt.select(["lid", "k"]).to_pandas())
+        con.register("r", rt.select(["k2"]).to_pandas())
+        for how, pred in [("semi", "EXISTS"), ("anti", "NOT EXISTS")]:
+            got = sorted(self._join_cols(lt, rt, how, num_partitions=7)["lid"])
+            exp = sorted(
+                x[0]
+                for x in con.execute(
+                    f"SELECT lid FROM l WHERE {pred} (SELECT 1 FROM r WHERE k2 = k)"
+                ).fetchall()
+            )
+            assert got == exp, how
 
     def test_matches_duckdb(self, ray_session):
         import duckdb
