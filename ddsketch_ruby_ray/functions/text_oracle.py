@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from ..stages.text import LANG_MARKERS, _LANG_PRIORITY
 
-__all__ = ["quality_scores_sql", "lang_id_sql", "winnow_sql", "token_stats_by_group_sql"]
+__all__ = ["quality_scores_sql", "lang_id_sql", "winnow_sql", "token_stats_by_group_sql", "pii_scrub_sql", "tfidf_sql"]
 
 
 def _cnt(col: str, pattern: str) -> str:
@@ -185,3 +185,36 @@ def pii_scrub_sql(*, table: str, key_col: str, text_expr: str) -> str:
     sel.append(f"length({cur}) AS redacted_len")
     sel.append(f"{sha_lane_sql(cur)} AS redacted_sha")
     return f"SELECT {', '.join(sel)} FROM {table}"
+
+
+def tfidf_sql(*, table: str, key: str, text: str, k: int = 3) -> str:
+    """(key, rn, term, tf, df, tfidf) mirroring
+    pipelines/tfidf.py::tfidf_topk_pipeline (uncapped vocabulary).
+
+    Ranking key tf/df is an IEEE-exact double on both sides; ties break on
+    the term's binary collation (== numpy's codepoint order for UTF-8).
+    """
+    from .dedup_oracle import _tokens_cte
+
+    toks = _tokens_cte(table, key, text)
+    return f"""
+WITH tok AS ({toks}),
+tf AS (SELECT key, tok AS term, count(*) AS tf FROM tok GROUP BY key, tok),
+df AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT key, tok AS term FROM tok) GROUP BY term
+),
+nd AS (SELECT count(*) AS n FROM {table}),
+ranked AS (
+  SELECT tf.key, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.key
+           ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT key AS {key}, rn, term, tf, df,
+       CAST(tf AS DOUBLE) *
+         ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+FROM ranked WHERE rn <= {k}
+"""

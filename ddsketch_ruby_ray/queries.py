@@ -1170,6 +1170,15 @@ def lang_id_docs(sf_dir: str):
     )
 
 
+def tfidf_top_terms(sf_dir: str):
+    """Each document's top-3 TF-IDF terms: distributed DF pass -> broadcast
+    vocab -> per-doc ranking by IEEE-exact tf/df with term tie-break."""
+    from .pipelines.tfidf import tfidf_topk_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk_pipeline(ds, key_col="doc_id", text_col="text", k=3)
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: training docs (all documents) sharing any
     word 8-gram with the 'benchmark' subset doc_id % 23 == 0.  Benchmark
@@ -1312,6 +1321,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "decontaminate_docs": decontaminate_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
 
@@ -1472,6 +1482,7 @@ def _family_oracles() -> dict:
         lang_id_sql,
         pii_scrub_sql,
         quality_scores_sql,
+        tfidf_sql,
         token_stats_by_group_sql,
         winnow_sql,
     )
@@ -1850,6 +1861,7 @@ def _family_oracles() -> dict:
         "pii_scrub_docs": pii_scrub_sql(
             table="documents", key_col="doc_id", text_expr=_PII_ENRICH_SQL
         ),
+        "tfidf_top_terms": tfidf_sql(table="documents", key="doc_id", text="text", k=3),
         "winnow_fingerprints_docs": winnow_sql(
             table="documents", key_col="doc_id", text_col="text"
         ),

@@ -474,6 +474,66 @@ class TestTextOracleFuzz:
         )
 
 
+class TestTfidf:
+    def test_matches_duckdb_on_hostile_text(self, ray_session):
+        import random
+
+        import duckdb
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.functions.text_oracle import tfidf_sql
+        from ddsketch_ruby_ray.pipelines.tfidf import tfidf_topk_pipeline
+
+        rng = random.Random(13)
+        vocab = ["the", "cat", "naïve", "日本語", "zz", "a", "b", "c", "d", "rare1", "rare2"]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(80)
+        ] + ["", "   ", "solo-token", None]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs, pa.string())}
+        )
+        con = duckdb.connect()
+        con.register("da", tbl)
+        con.sql("CREATE VIEW documents AS SELECT * FROM da")
+        got = (
+            tfidf_topk_pipeline(
+                rd.from_arrow(tbl).repartition(4), key_col="doc_id", text_col="text", k=3
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "rn"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.sql(tfidf_sql(table="documents", key="doc_id", text="text", k=3))
+            .df()
+            .sort_values(["doc_id", "rn"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        for c in got.columns:
+            a, b = got[c].to_numpy(), exp[c].to_numpy()
+            assert (a == b).all(), (c, a[a != b][:3], b[a != b][:3])
+
+    def test_max_vocab_caps_and_excludes_oov(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.tfidf import tfidf_topk_pipeline
+
+        # 'common' appears in 3 docs, 'rare' in 1 -> max_vocab=1 keeps only
+        # 'common' (highest df); 'rare' becomes OOV and never ranks.
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["common rare", "common", "common"]),
+            }
+        )
+        got = tfidf_topk_pipeline(
+            rd.from_arrow(tbl), key_col="doc_id", text_col="text", k=3, max_vocab=1
+        ).to_pandas()
+        assert set(got["term"]) == {"common"} and len(got) == 3
+
+
 class TestDecontaminate:
     def test_matches_bruteforce_and_sql(self, ray_session):
         import duckdb
