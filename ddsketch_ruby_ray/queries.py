@@ -904,6 +904,39 @@ def dd_rank_transform_prices(sf_dir: str):
     )
 
 
+def dd_outlier_orders(sf_dir: str):
+    """Quantile-threshold outlier filter: per-priority p99 DDSketch thresholds
+    (pass 1, KB states over the shuffle) broadcast to a stateless pass-2
+    filter - rows strictly above their group's p99 estimate survive.  The
+    threshold is a deterministic function of the data, so survivors AND the
+    threshold column are bit-exact vs the SQL bucket mirror."""
+    from .pipelines.outlier import ddsketch_outlier_pipeline
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ddsketch_outlier_pipeline(
+        ds,
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        carry_cols=["o_orderkey"],
+        q=0.99,
+        alpha=ALPHA,
+    )
+
+
+def dd_rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP over the mergeability hierarchy: (lang, source) ->
+    (lang) -> grand total, reading the corpus ONCE - each coarser level
+    re-merges the previous level's KB-sized states.  Bit-exact at every
+    level because bin counts / count / min / max / integer sums merge
+    exactly in any order."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines.rollup import rollup_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    spec = DDSketchSpec(on="n_chars", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES)
+    return rollup_sketch_pipeline(ds, spec, ["lang", "source"])
+
+
 LM_TOP_K = 1000
 
 
@@ -1287,6 +1320,8 @@ QUERIES = {
     "top_tokens_by_lang": top_tokens_by_lang,
     "bigram_lm_scores": bigram_lm_scores,
     "dd_rank_transform_prices": dd_rank_transform_prices,
+    "dd_outlier_orders": dd_outlier_orders,
+    "dd_rollup_lang_source": dd_rollup_lang_source,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "kmv_users_by_event_type": kmv_users_by_event_type,
@@ -1590,12 +1625,48 @@ def _family_oracles() -> dict:
         FROM documents
         GROUP BY lang
     """
+    # outlier filter: per-group p99 via the bucket mirror, then the strict
+    # filter + threshold column (pipelines/outlier.py)
+    outlier_thr_sql = ddsketch_quantile_sql(
+        table="orders",
+        group_col="o_orderpriority",
+        value_expr="o_totalprice",
+        alpha=ALPHA,
+        quantiles=(0.99,),
+        include_sum_avg=False,
+    )
+    outlier_sql = f"""
+        WITH thr AS ({outlier_thr_sql})
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, t.p99 AS thr
+        FROM orders o JOIN thr t USING (o_orderpriority)
+        WHERE o.o_totalprice > t.p99
+    """
+    # rollup: UNION ALL of the bucket mirror at each level (pipelines/rollup.py)
+    rollup_levels = [
+        "(SELECT lang || '|' || source AS group_key, n_chars FROM documents) g",
+        "(SELECT lang || '|(all)' AS group_key, n_chars FROM documents) g",
+        "(SELECT '(all)|(all)' AS group_key, n_chars FROM documents) g",
+    ]
+    rollup_sql = "\nUNION ALL\n".join(
+        "SELECT * FROM ("
+        + ddsketch_quantile_sql(
+            table=lvl,
+            group_col="group_key",
+            value_expr="n_chars",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+        )
+        + ")"
+        for lvl in rollup_levels
+    )
     return {
         "split_counts_by_lang": split_counts_sql,
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
         "bigram_lm_scores": lm_sql,
         "dd_rank_transform_prices": rank_sql,
+        "dd_outlier_orders": outlier_sql,
+        "dd_rollup_lang_source": rollup_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(
