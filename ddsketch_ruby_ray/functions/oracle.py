@@ -24,7 +24,20 @@ from typing import Sequence
 
 from .aggregates import quantile_name
 
-__all__ = ["ddsketch_quantile_sql", "ddsketch_group_sql"]
+__all__ = ["ddsketch_quantile_sql", "ddsketch_group_sql", "ddsketch_key_sql"]
+
+
+def ddsketch_key_sql(
+    value_expr: str, alpha: float = 0.01, mapping: str = "log"
+) -> tuple[str, float]:
+    """(SQL bucket-key expression for a positive value expr, min_possible).
+
+    The histogram-export mirror (pipelines/histogram.py): rows with
+    ``value <= min_possible`` belong to the zero band and must be filtered
+    out by the caller to match the positive store exactly.
+    """
+    _, m, _, min_possible = _consts(alpha, mapping)
+    return _key_sql(f"CAST(({value_expr}) AS DOUBLE)", m, mapping), min_possible
 
 
 def _consts(alpha: float, mapping: str = "log"):

@@ -33,9 +33,13 @@ def per_group_topk(
     tiebreak_col: str,
     k: int,
     num_partitions: int = 64,
+    ascending: bool = False,
 ):
-    """Keep the k rows with the largest ``value_col`` per group (ties ->
-    smallest ``tiebreak_col`` first).  Group keys may be strings or ints."""
+    """Keep the k rows with the largest (``ascending=False``, default) or
+    smallest (``ascending=True``) ``value_col`` per group (ties -> smallest
+    ``tiebreak_col`` first).  Group keys may be strings or ints.  The
+    ascending mode over an unsigned hash column is the per-group bottom-k
+    uniform sample (stages/sampling.py)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         col = t.column(group_col)
@@ -54,7 +58,9 @@ def per_group_topk(
         g = pt.column(group_col).to_numpy(zero_copy_only=False)
         v = pt.column(value_col).to_numpy(zero_copy_only=False)
         tb = pt.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tb, -v, g))
+        # descending: lexsort on -v (ints negate exactly; uint64 value columns
+        # are only supported in ascending mode, where no negation happens)
+        order = np.lexsort((tb, v if ascending else -v, g))
         g_s = g[order]
         n = len(order)
         pos = np.arange(n)

@@ -937,6 +937,42 @@ def dd_rollup_lang_source(sf_dir: str):
     return rollup_sketch_pipeline(ds, spec, ["lang", "source"])
 
 
+def dd_histogram_by_lang(sf_dir: str):
+    """Sketch histogram export: the per-lang DDSketch bin tables as rows
+    (lang, k, cnt) - the queryable twin of the proto store serialization.
+    Bin counts are exact-in-any-order adds -> bit-exact GROUP BY mirror."""
+    from .pipelines.histogram import sketch_histogram_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return sketch_histogram_pipeline(ds, group_col="lang", value_col="n_chars", alpha=ALPHA)
+
+
+SAMPLE_K_GLOBAL = 64
+SAMPLE_K_PER_LANG = 10
+SAMPLE_SEED = 11
+
+
+def uniform_sample_docs(sf_dir: str):
+    """Exactly-64 global uniform sample: the 64 docs with the smallest
+    hash64(doc_id) - layout/run/cluster-invariant, per-block prefiltered so
+    the sort sees at most 64 x blocks rows."""
+    from .stages.sampling import bottomk_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return bottomk_sample(ds, id_col="doc_id", k=SAMPLE_K_GLOBAL, seed=SAMPLE_SEED)
+
+
+def uniform_sample_per_lang(sf_dir: str):
+    """Exactly-10-per-lang uniform sample (bottom-k by hash within each
+    group): per-(block, group) prefilter -> tiny rank shuffle."""
+    from .stages.sampling import bottomk_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return bottomk_sample(
+        ds, id_col="doc_id", k=SAMPLE_K_PER_LANG, seed=SAMPLE_SEED, group_col="lang"
+    )
+
+
 LM_TOP_K = 1000
 
 
@@ -1322,6 +1358,9 @@ QUERIES = {
     "dd_rank_transform_prices": dd_rank_transform_prices,
     "dd_outlier_orders": dd_outlier_orders,
     "dd_rollup_lang_source": dd_rollup_lang_source,
+    "dd_histogram_by_lang": dd_histogram_by_lang,
+    "uniform_sample_docs": uniform_sample_docs,
+    "uniform_sample_per_lang": uniform_sample_per_lang,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_props_by_event_type": hll_props_by_event_type,
     "kmv_users_by_event_type": kmv_users_by_event_type,
@@ -1659,6 +1698,30 @@ def _family_oracles() -> dict:
         + ")"
         for lvl in rollup_levels
     )
+    # histogram export: GROUP BY the bucket-key expression (zero band filtered)
+    from .functions.oracle import ddsketch_key_sql
+
+    hist_key, hist_minp = ddsketch_key_sql("n_chars", ALPHA)
+    hist_sql = f"""
+        SELECT lang, {hist_key} AS k, CAST(count(*) AS DOUBLE) AS cnt
+        FROM documents WHERE n_chars > {hist_minp:.17e}
+        GROUP BY lang, 2
+    """
+    hs = splitmix64_sql("doc_id", SAMPLE_SEED)
+    sample_global_sql = f"""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (ORDER BY {hs}, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {SAMPLE_K_GLOBAL}
+    """
+    sample_lang_sql = f"""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY {hs}, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {SAMPLE_K_PER_LANG}
+    """
     return {
         "split_counts_by_lang": split_counts_sql,
         "stratified_sample_docs": stratified_sql,
@@ -1667,6 +1730,9 @@ def _family_oracles() -> dict:
         "dd_rank_transform_prices": rank_sql,
         "dd_outlier_orders": outlier_sql,
         "dd_rollup_lang_source": rollup_sql,
+        "dd_histogram_by_lang": hist_sql,
+        "uniform_sample_docs": sample_global_sql,
+        "uniform_sample_per_lang": sample_lang_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(

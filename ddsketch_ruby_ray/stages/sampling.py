@@ -23,7 +23,7 @@ import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["assign_split", "stratified_sample", "split_thresholds"]
+__all__ = ["assign_split", "stratified_sample", "split_thresholds", "bottomk_sample"]
 
 _TWO64 = 1 << 64
 
@@ -97,3 +97,66 @@ def stratified_sample(ds, *, id_col: str, group_col: str,
         return t.filter(pa.array(h < limit))
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bottomk_sample(ds, *, id_col: str, k: int, seed: int = 0,
+                   group_col: str | None = None):
+    """EXACTLY-k uniform sample: the k rows with the smallest ``hash(id, seed)``
+    - globally, or per group with ``group_col``.
+
+    This is the row-payload twin of the KMV bottom-k sketch (core/kmv.py):
+    fixed sample SIZE (vs the fixed RATE of :func:`stratified_sample`),
+    mergeable by construction (the bottom-k of a union is the bottom-k of
+    the parts' bottom-ks), layout/run/cluster-invariant, and mirrorable in
+    SQL as ``row_number() OVER ([PARTITION BY g] ORDER BY hash) <= k``.
+
+    Scale shape: every block is pre-filtered to its own k smallest rows
+    before anything moves, so the global sort (or the per-group rank
+    shuffle) sees at most ``k x num_blocks`` rows, never the corpus.
+    """
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_h", pa.array(hash64_int(ids, seed)))
+
+    def block_prefilter(t: pa.Table) -> pa.Table:
+        if group_col is None and t.num_rows > k:
+            h = t.column("_h").to_numpy(zero_copy_only=False)
+            return t.take(pa.array(np.argpartition(h, k - 1)[:k]))
+        return t
+
+    def block_prefilter_grouped(t: pa.Table) -> pa.Table:
+        # keep each group's k smallest within the block (bottom-k mergeability)
+        if t.num_rows <= k:
+            return t
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        h = t.column("_h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, g))
+        g_s = g[order]
+        pos = np.arange(len(order))
+        new_g = np.empty(len(order), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g_s[1:] != g_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_g, pos, -1))
+        return t.take(pa.array(order[(pos - seg_start) < k]))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    if group_col is None:
+        pruned = hashed.map_batches(
+            block_prefilter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return pruned.sort("_h").limit(k).drop_columns(["_h"])
+    from ..pipelines.topk import per_group_topk
+
+    pruned = hashed.map_batches(
+        block_prefilter_grouped, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = per_group_topk(
+        pruned,
+        group_col=group_col,
+        value_col="_h",
+        tiebreak_col=id_col,
+        k=k,
+        ascending=True,
+    )
+    return out.drop_columns(["_h"])
