@@ -17,7 +17,13 @@ from __future__ import annotations
 from ..core.hll import _alpha
 from ..core.hashing import sha_lane_sql, splitmix64_sql
 
-__all__ = ["hll_sql", "bloom_membership_sql", "cms_frequency_sql", "kmv_sql"]
+__all__ = [
+    "hll_sql",
+    "bloom_membership_sql",
+    "cms_frequency_sql",
+    "kmv_sql",
+    "kmv_overlap_sql",
+]
 
 _TWO64 = "18446744073709551616"
 
@@ -123,6 +129,69 @@ SELECT grp AS {group_col},
        END AS "distinct",
        least(min(cnt), {k})::DOUBLE AS kept
 FROM r GROUP BY grp
+"""
+
+
+def kmv_overlap_sql(
+    *,
+    table: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    kind: str = "int",
+) -> str:
+    """SQL mirror of ``kmv_overlap_pipeline`` (pipelines/setops.py).
+
+    Per unordered group pair: each side's bottom-k distinct hashes, the
+    union's bottom-k (ranked again), the union estimate with the same double
+    evaluation order as :meth:`KMVSketch.estimate`, the Jaccard estimate
+    (intersection count within the union's bottom-k over its size), and
+    ``intersection = jaccard * union_distinct``.  Output columns:
+    ``type_a, type_b, union_distinct, jaccard, intersection``.
+    """
+    h = _hash_expr(value_col, kind, 0)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}
+),
+rk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h
+),
+bk AS (SELECT grp, h FROM rk WHERE rn <= {k}),
+g AS (SELECT DISTINCT grp FROM bk),
+pr AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp),
+uh AS (
+  SELECT pr.ga, pr.gb, bk.h,
+         max(CASE WHEN bk.grp = pr.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN bk.grp = pr.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pr JOIN bk ON bk.grp = pr.ga OR bk.grp = pr.gb
+  GROUP BY pr.ga, pr.gb, bk.h
+),
+ur AS (
+  SELECT ga, gb, h, in_a, in_b,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY ga, gb) AS cnt
+  FROM uh
+),
+agg AS (
+  SELECT ga, gb,
+         least(min(cnt), {k}) AS kept,
+         CASE WHEN min(cnt) < {k}
+              THEN min(cnt)::DOUBLE
+              ELSE ({k - 1} * {_TWO64}.0) /
+                   max(CASE WHEN rn = {k} THEN h END)::DOUBLE
+         END AS union_distinct,
+         sum(CASE WHEN rn <= {k} AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS inter_cnt
+  FROM ur GROUP BY ga, gb
+)
+SELECT ga AS type_a, gb AS type_b, union_distinct,
+       CASE WHEN kept = 0 THEN 0.0
+            ELSE inter_cnt::DOUBLE / kept::DOUBLE END AS jaccard,
+       CASE WHEN kept = 0 THEN 0.0
+            ELSE (inter_cnt::DOUBLE / kept::DOUBLE) * union_distinct
+       END AS intersection
+FROM agg
 """
 
 

@@ -1,0 +1,74 @@
+"""KMV set operations: pairwise distinct overlap between groups.
+
+The theta-sketch property of the bottom-k sketch (core/kmv.py): each group's
+bottom-k hash set is a uniform sample of its distinct values, so for any two
+groups A, B the union sketch's bottom-k estimates |A ∪ B| and the fraction of
+that sample present in BOTH sides estimates Jaccard — giving
+|A ∩ B| ≈ J · |A ∪ B| without ever co-shuffling the raw rows of both groups
+(Beyer et al., "Distinct-value synopses for multiset operations", SIGMOD'07).
+
+Scale shape: the build is the standard grouped state merge (one k·8-byte
+state per group crosses the shuffle); the pairwise pass runs on the DRIVER
+over G sketches — G is the cardinality of a categorical grouping column
+(event types, languages, sources), so G² tiny set intersections are trivial.
+This operator is NOT for G ~ rows; that regime is the LSH/SRP near-dup
+pipelines.
+
+Everything is exact integer/uint64 set algebra plus the same double
+evaluation order as :meth:`KMVSketch.estimate`, so the whole overlap matrix
+is bit-exact and SQL-mirrorable (functions/family_oracle.kmv_overlap_sql).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pyarrow as pa
+
+__all__ = ["kmv_overlap_pipeline"]
+
+
+def kmv_overlap_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    kind: str = "int",
+):
+    """-> Dataset[(type_a, type_b, union_distinct, jaccard, intersection)] -
+    one row per unordered group pair (type_a < type_b)."""
+    import ray.data as rd
+
+    from ..functions.aggregates import SketchStateMergeAgg
+    from ..functions.family_specs import KMVSpec
+    from .corpus import sketch_states
+
+    spec = KMVSpec(on=value_col, name="s", k=k, kind=kind)
+    states = sketch_states(ds, [spec], (group_col,))
+    merged = states.groupby(group_col).aggregate(SketchStateMergeAgg(spec, emit_state=True))
+    sks = {
+        r[group_col]: spec.from_state(r["s"])
+        for r in merged.take_all()  # one <=k-uint64 state row per group
+    }
+    rows = {"type_a": [], "type_b": [], "union_distinct": [], "jaccard": [], "intersection": []}
+    for a, b in combinations(sorted(sks), 2):
+        union = sks[a].merged_with(sks[b])
+        ue = union.estimate()
+        jac = sks[a].jaccard_with(sks[b])
+        rows["type_a"].append(a)
+        rows["type_b"].append(b)
+        rows["union_distinct"].append(ue)
+        rows["jaccard"].append(jac)
+        rows["intersection"].append(jac * ue)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array(rows["type_a"], pa.string()),
+                "type_b": pa.array(rows["type_b"], pa.string()),
+                "union_distinct": pa.array(rows["union_distinct"], pa.float64()),
+                "jaccard": pa.array(rows["jaccard"], pa.float64()),
+                "intersection": pa.array(rows["intersection"], pa.float64()),
+            }
+        )
+    )

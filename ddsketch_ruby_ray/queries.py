@@ -557,6 +557,19 @@ def kmv_users_by_event_type(sf_dir: str):
     )
 
 
+def kmv_user_overlap_by_event_type(sf_dir: str):
+    """KMV set operations: pairwise distinct-user overlap between event
+    types (union estimate, Jaccard, intersection) via the theta-sketch
+    sample property - G tiny sketches on the driver, never a row shuffle
+    between groups."""
+    from .pipelines.setops import kmv_overlap_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_overlap_pipeline(
+        ds, group_col="event_type", value_col="user_id", k=64, kind="int"
+    )
+
+
 def kmv_props_by_event_type(sf_dir: str):
     """KMV distinct props-string per event_type, k=256 — the exact
     (below-k) path, sha256 string hashing."""
@@ -1365,6 +1378,7 @@ QUERIES = {
     "hll_props_by_event_type": hll_props_by_event_type,
     "kmv_users_by_event_type": kmv_users_by_event_type,
     "kmv_props_by_event_type": kmv_props_by_event_type,
+    "kmv_user_overlap_by_event_type": kmv_user_overlap_by_event_type,
     "heavy_hitter_users": heavy_hitter_users,
     "heavy_hitter_props": heavy_hitter_props,
     "bloom_customer_membership": bloom_customer_membership,
@@ -1535,6 +1549,7 @@ def _family_oracles() -> dict:
         bloom_membership_sql,
         cms_frequency_sql,
         hll_sql,
+        kmv_overlap_sql,
         kmv_sql,
     )
     from .functions.dedup_oracle import (
@@ -2021,6 +2036,9 @@ def _family_oracles() -> dict:
         ),
         "kmv_props_by_event_type": kmv_sql(
             table="events", group_col="event_type", value_col="props", k=256, kind="str"
+        ),
+        "kmv_user_overlap_by_event_type": kmv_overlap_sql(
+            table="events", group_col="event_type", value_col="user_id", k=64, kind="int"
         ),
         "bloom_customer_membership": bloom_membership_sql(
             build_table="customer",
