@@ -986,6 +986,31 @@ def uniform_sample_per_lang(sf_dir: str):
     )
 
 
+def dd_drift_train_val(sf_dir: str):
+    """Distribution drift between two corpus snapshots (here: the train and
+    val splits) from sketch bucket histograms alone - exact-integer total
+    variation (cross-multiplied counts), no raw-row comparison anywhere."""
+    import pyarrow.compute as pc
+
+    from .pipelines.drift import sketch_drift_pipeline
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+
+    def keep(name):
+        def f(t):
+            return t.filter(pc.equal(t.column("split"), name))
+
+        return f
+
+    a = ds.map_batches(keep("train"), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(keep("val"), batch_format="pyarrow", zero_copy_batch=True)
+    return sketch_drift_pipeline(
+        a, b, group_col="lang", value_col="n_chars", alpha=ALPHA
+    )
+
+
 LM_TOP_K = 1000
 
 
@@ -1372,6 +1397,7 @@ QUERIES = {
     "dd_outlier_orders": dd_outlier_orders,
     "dd_rollup_lang_source": dd_rollup_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
+    "dd_drift_train_val": dd_drift_train_val,
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
     "hll_users_by_event_type": hll_users_by_event_type,
@@ -1722,6 +1748,34 @@ def _family_oracles() -> dict:
         FROM documents WHERE n_chars > {hist_minp:.17e}
         GROUP BY lang, 2
     """
+    # drift: exact-integer TVD numerator over the two splits' bucket tables
+    drift_sql = f"""
+        WITH keyed AS (
+          SELECT lang, {split_case} AS split, {hist_key} AS k
+          FROM documents WHERE n_chars > {hist_minp:.17e}
+        ),
+        a AS (SELECT lang, k, count(*)::HUGEINT AS c FROM keyed
+              WHERE split = 'train' GROUP BY 1, 2),
+        b AS (SELECT lang, k, count(*)::HUGEINT AS c FROM keyed
+              WHERE split = 'val' GROUP BY 1, 2),
+        na AS (SELECT lang, sum(c) AS n FROM a GROUP BY 1),
+        nb AS (SELECT lang, sum(c) AS n FROM b GROUP BY 1),
+        j AS (
+          SELECT coalesce(a.lang, b.lang) AS lang, coalesce(a.k, b.k) AS k,
+                 coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+          FROM a FULL JOIN b ON a.lang = b.lang AND a.k = b.k
+        ),
+        agg AS (
+          SELECT j.lang, count(*) AS buckets,
+                 sum(abs(j.ca * nb.n - j.cb * na.n)) AS l1
+          FROM j JOIN na ON na.lang = j.lang JOIN nb ON nb.lang = j.lang
+          GROUP BY 1
+        )
+        SELECT agg.lang, na.n::DOUBLE AS n_a, nb.n::DOUBLE AS n_b,
+               buckets::BIGINT AS buckets, l1::DOUBLE AS l1_num,
+               l1::DOUBLE / (2 * na.n * nb.n)::DOUBLE AS tvd
+        FROM agg JOIN na ON na.lang = agg.lang JOIN nb ON nb.lang = agg.lang
+    """
     hs = splitmix64_sql("doc_id", SAMPLE_SEED)
     sample_global_sql = f"""
         SELECT doc_id, lang, n_chars FROM (
@@ -1746,6 +1800,7 @@ def _family_oracles() -> dict:
         "dd_outlier_orders": outlier_sql,
         "dd_rollup_lang_source": rollup_sql,
         "dd_histogram_by_lang": hist_sql,
+        "dd_drift_train_val": drift_sql,
         "uniform_sample_docs": sample_global_sql,
         "uniform_sample_per_lang": sample_lang_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
