@@ -986,6 +986,25 @@ def uniform_sample_per_lang(sf_dir: str):
     )
 
 
+def dd_bucketize_prices(sf_dir: str):
+    """Equi-depth discretization: every lineitem price maps to its
+    returnflag-group quartile bucket (thresholds = the group sketch's
+    p25/p50/p75 estimates, broadcast once)."""
+    from .pipelines.outlier import ddsketch_bucketize_pipeline
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
+    )
+    return ddsketch_bucketize_pipeline(
+        ds,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        carry_cols=["l_orderkey", "l_linenumber"],
+        quantiles=(0.25, 0.5, 0.75),
+        alpha=ALPHA,
+    )
+
+
 def dd_drift_train_val(sf_dir: str):
     """Distribution drift between two corpus snapshots (here: the train and
     val splits) from sketch bucket histograms alone - exact-integer total
@@ -1398,6 +1417,7 @@ QUERIES = {
     "dd_rollup_lang_source": dd_rollup_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
     "dd_drift_train_val": dd_drift_train_val,
+    "dd_bucketize_prices": dd_bucketize_prices,
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
     "hll_users_by_event_type": hll_users_by_event_type,
@@ -1748,6 +1768,24 @@ def _family_oracles() -> dict:
         FROM documents WHERE n_chars > {hist_minp:.17e}
         GROUP BY lang, 2
     """
+    # equi-depth bucketize: thresholds via the bucket mirror, then the
+    # per-row strict-comparison sum (pipelines/outlier.py)
+    bucketize_thr_sql = ddsketch_quantile_sql(
+        table="lineitem",
+        group_col="l_returnflag",
+        value_expr="l_extendedprice",
+        alpha=ALPHA,
+        quantiles=(0.25, 0.5, 0.75),
+        include_sum_avg=False,
+    )
+    bucketize_sql = f"""
+        WITH thr AS ({bucketize_thr_sql})
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+               (CAST(l.l_extendedprice > t.p25 AS BIGINT)
+                + CAST(l.l_extendedprice > t.p50 AS BIGINT)
+                + CAST(l.l_extendedprice > t.p75 AS BIGINT)) AS bucket
+        FROM lineitem l JOIN thr t USING (l_returnflag)
+    """
     # drift: exact-integer TVD numerator over the two splits' bucket tables
     drift_sql = f"""
         WITH keyed AS (
@@ -1801,6 +1839,7 @@ def _family_oracles() -> dict:
         "dd_rollup_lang_source": rollup_sql,
         "dd_histogram_by_lang": hist_sql,
         "dd_drift_train_val": drift_sql,
+        "dd_bucketize_prices": bucketize_sql,
         "uniform_sample_docs": sample_global_sql,
         "uniform_sample_per_lang": sample_lang_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,

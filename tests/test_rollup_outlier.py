@@ -54,6 +54,39 @@ class TestOutlierFilter:
         df2 = self._run(t, repartition=9)
         assert (df.values == df2.values).all()
 
+    def test_bucketize_matches_incore_thresholds(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.outlier import ddsketch_bucketize_pipeline
+
+        t = _doc_table(n=1500, seed=21)
+        df = (
+            ddsketch_bucketize_pipeline(
+                rd.from_arrow(t).repartition(6),
+                group_col="g",
+                value_col="v",
+                carry_cols=["rid"],
+                quantiles=(0.25, 0.5, 0.75),
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert len(df) == t.num_rows
+        g = t["g"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        for grp in ("x", "y", "z"):
+            sk = DDSketch(0.01)
+            sk.add_batch(v[g == grp])
+            thr = np.array([sk.get_quantile_value(q) for q in (0.25, 0.5, 0.75)])
+            want = (v[g == grp][:, None] > thr[None, :]).sum(axis=1)
+            got = df[df.g == grp].sort_values("rid").bucket.to_numpy()
+            order = np.argsort(t["rid"].to_numpy(zero_copy_only=False)[g == grp])
+            assert (got == want[order]).all()
+            # equi-depth: each quartile holds ~25% of the group
+            frac = np.bincount(want, minlength=4) / want.size
+            assert (np.abs(frac - 0.25) < 0.08).all()
+
     def test_trim_is_complement(self, ray_session):
         t = _doc_table(n=800, seed=3)
         above = self._run(t, mode="above")
