@@ -516,6 +516,36 @@ def hll_users_by_event_type(sf_dir: str):
     )
 
 
+def hll_users_per_window(sf_dir: str):
+    """Sketch-family x window composition: HLL distinct users per tumbling
+    hour x event_type - the window id is a derived group key, so the same
+    two-level state merge that handles the DDSketch windows handles HLL
+    (distinct counts stay mergeable across late/out-of-order data).  p=12:
+    4 KB registers per (window, type) group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .functions.family_specs import HLLSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def derive(t):
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 3600), 3600)
+        key = pc.binary_join_element_wise(
+            pc.cast(hour, pa.string()), t.column("event_type"), "|"
+        )
+        return t.append_column("window_key", key).drop_columns(["ts", "event_type"])
+
+    return grouped_sketch_pipeline(
+        ds,
+        [HLLSpec(on="user_id", name="h", p=12, kind="int")],
+        ("window_key",),
+        derive=derive,
+    )
+
+
 def hll_props_by_event_type(sf_dir: str):
     """HLL distinct props-string per event_type (sha256 string hashing)."""
     from .functions.family_specs import HLLSpec
@@ -1421,6 +1451,7 @@ QUERIES = {
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
     "hll_users_by_event_type": hll_users_by_event_type,
+    "hll_users_per_window": hll_users_per_window,
     "hll_props_by_event_type": hll_props_by_event_type,
     "kmv_users_by_event_type": kmv_users_by_event_type,
     "kmv_props_by_event_type": kmv_props_by_event_type,
@@ -2113,6 +2144,14 @@ def _family_oracles() -> dict:
         ),
         "hll_users_by_event_type": hll_sql(
             table="events", group_col="event_type", value_col="user_id", p=14, kind="int"
+        ),
+        "hll_users_per_window": hll_sql(
+            table="(SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600)::VARCHAR"
+            " || '|' || event_type AS window_key, user_id FROM events) w",
+            group_col="window_key",
+            value_col="user_id",
+            p=12,
+            kind="int",
         ),
         "hll_props_by_event_type": hll_sql(
             table="events", group_col="event_type", value_col="props", p=14, kind="str"
