@@ -16,6 +16,7 @@ __all__ = [
     "lsh_pairs_sql",
     "jaccard_pairs_sql",
     "ngram_jaccard_sql",
+    "dup_fraction_sql",
     "simhash_sql",
     "decontam_sql",
 ]
@@ -222,6 +223,29 @@ FROM co
 JOIN sizes za ON za.key = co.a
 JOIN sizes zb ON zb.key = co.b
 WHERE co.i * 1000 >= {thr_milli} * (za.sz + zb.sz - co.i)
+"""
+
+
+def dup_fraction_sql(*, table: str, key: str, text: str, n: int = 3) -> str:
+    """(key, n_shingles, n_dup, dup_milli): per-doc duplication score.
+
+    Mirrors pipelines/postings.py::dup_fraction_pipeline: n_dup counts the
+    doc's distinct shingles whose document frequency is >= 2; dup_milli is
+    the exact integer (1000 * n_dup) // n_shingles.  Docs with zero shingles
+    are absent on both sides.
+    """
+    shingles = _shingles_cte(table, key, text, n)
+    return f"""
+WITH sh AS ({shingles}),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.key, count(*) AS sz,
+         sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM sh JOIN df USING (shingle) GROUP BY sh.key
+)
+SELECT key AS {key}, sz::BIGINT AS n_shingles, dup::BIGINT AS n_dup,
+       CAST((dup * 1000) // sz AS BIGINT) AS dup_milli
+FROM per
 """
 
 

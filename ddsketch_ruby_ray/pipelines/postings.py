@@ -38,7 +38,7 @@ import pyarrow as pa
 from ..core.hashing import splitmix64
 from .dedup import _doc_shingle_hashes
 
-__all__ = ["ngram_jaccard_pairs_pipeline"]
+__all__ = ["ngram_jaccard_pairs_pipeline", "dup_fraction_pipeline"]
 
 
 def _run_bounds(sorted_vals: np.ndarray):
@@ -181,4 +181,121 @@ def ngram_jaccard_pairs_pipeline(
         co.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(reduce_pairs, batch_format="pyarrow")
+    )
+
+
+def dup_fraction_pipeline(
+    ds,
+    *,
+    key_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_partitions: int = 64,
+):
+    """Per-document duplication score (the RefinedWeb-style curation signal):
+    the fraction of a doc's distinct shingles that also appear in at least
+    one OTHER document.
+
+    -> Dataset[(key_col, n_shingles, n_dup, dup_milli)], one row per doc
+    with >= 1 shingle; ``dup_milli = (1000 * n_dup) // n_shingles`` (exact
+    integers, bit-exact SQL mirror).
+
+    Scale shape: two keyed shuffles of 24-byte postings rows, text never
+    moves.  Shuffle 1 co-locates each shingle's postings (df computed
+    locally, per-doc partials pre-aggregated IN the partition), shuffle 2
+    co-locates each doc's partials - both reduces are one lexsort +
+    boundary reduceat, no per-doc or per-shingle Python.  A stop-shingle
+    appearing in B docs costs B postings rows here (not B^2 pairs as in the
+    Jaccard pipeline), so no df cap is needed.
+    """
+    from ..core.hashing import hash64_int
+
+    def postings(batch: pa.Table) -> pa.Table:
+        flat, bounds = _doc_shingle_hashes(batch, text_col, ngram)
+        sizes = np.diff(bounds)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (flat % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "sh": pa.array(flat.astype(np.int64)),
+                "key": pa.array(np.repeat(keys, sizes)),
+                "sz": pa.array(np.repeat(sizes.astype(np.int64), sizes)),
+            }
+        )
+
+    empty_partial = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "sz": pa.array([], pa.int64()),
+            "dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def df_reduce(pt: pa.Table) -> pa.Table:
+        sh = pt.column("sh").to_numpy(zero_copy_only=False)
+        if not sh.size:
+            return empty_partial
+        key = pt.column("key").to_numpy(zero_copy_only=False)
+        sz = pt.column("sz").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, sh))
+        sh_s, key_s, sz_s = sh[order], key[order], sz[order]
+        _, run_len = _run_bounds(sh_s)  # per-row document frequency
+        dup = (run_len >= 2).astype(np.int64)
+        o2 = np.argsort(key_s, kind="stable")
+        k2, d2, sz2 = key_s[o2], dup[o2], sz_s[o2]
+        new = np.empty(k2.size, dtype=bool)
+        new[0] = True
+        new[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "key": pa.array(k2[starts]),
+                "sz": pa.array(sz2[starts]),
+                "dup": pa.array(np.add.reduceat(d2, starts)),
+            }
+        )
+
+    posted = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+    partials = posted.groupby("_part").map_groups(df_reduce, batch_format="pyarrow")
+
+    def key_part(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        part = (hash64_int(k, 1) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def finalize(pt: pa.Table) -> pa.Table:
+        k = pt.column("key").to_numpy(zero_copy_only=False)
+        if not k.size:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                    "dup_milli": pa.array([], pa.int64()),
+                }
+            )
+        sz = pt.column("sz").to_numpy(zero_copy_only=False)
+        dup = pt.column("dup").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, sz_s, dup_s = k[order], sz[order], dup[order]
+        new = np.empty(k_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        n_dup = np.add.reduceat(dup_s, starts)
+        n_sh = sz_s[starts]
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts]),
+                "n_shingles": pa.array(n_sh),
+                "n_dup": pa.array(n_dup),
+                "dup_milli": pa.array((n_dup * 1000) // n_sh),
+            }
+        )
+
+    return (
+        partials.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(finalize, batch_format="pyarrow")
     )

@@ -807,6 +807,17 @@ def ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def dup_fraction_docs(sf_dir: str):
+    """Per-doc duplication score: fraction of each doc's distinct shingles
+    shared with at least one other doc (the RefinedWeb-style curation
+    signal).  Two 24-byte postings shuffles, text never moves, exact
+    integer output."""
+    from .pipelines.postings import dup_fraction_pipeline
+
+    ds = _docs(sf_dir)
+    return dup_fraction_pipeline(ds, key_col="doc_id", text_col="text", ngram=3)
+
+
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (emitted as two 32-bit halves)."""
     from .pipelines.dedup import simhash_pipeline
@@ -1472,6 +1483,7 @@ QUERIES = {
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dup_fraction_docs": dup_fraction_docs,
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
@@ -1631,6 +1643,7 @@ def _family_oracles() -> dict:
     )
     from .functions.dedup_oracle import (
         decontam_sql,
+        dup_fraction_sql,
         exact_dedup_sql,
         jaccard_pairs_sql,
         lsh_pairs_sql,
@@ -2009,6 +2022,7 @@ def _family_oracles() -> dict:
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
         "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
+        "dup_fraction_docs": dup_fraction_sql(**dedup_kw),
         "decontaminate_docs": decontam_sql(
             table="documents",
             key="doc_id",
