@@ -807,6 +807,49 @@ def ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def snapshot_diff_docs(sf_dir: str):
+    """Corpus snapshot reconciliation: diff today's corpus against
+    yesterday's by 128-bit content identity - emits only the delta
+    (added/removed/changed doc ids), text never shuffles.  The 'today'
+    side is derived deterministically: test-split docs removed, val-split
+    docs edited, test docs re-added under shifted ids."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.diff import snapshot_diff_pipeline
+    from .stages.sampling import assign_split
+
+    a = _read(sf_dir, "documents", ["doc_id", "text"])
+    bsrc = assign_split(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        splits=SPLITS,
+        seed=0,
+    )
+
+    def make_b(t: pa.Table) -> pa.Table:
+        is_test = pc.equal(t.column("split"), "test")
+        keep = t.filter(pc.invert(is_test))
+        is_val = pc.equal(keep.column("split"), "val")
+        text = pc.if_else(
+            is_val,
+            pc.binary_join_element_wise(keep.column("text"), " EDITED", ""),
+            keep.column("text"),
+        )
+        kept = pa.table({"doc_id": keep.column("doc_id"), "text": text})
+        addt = t.filter(is_test)
+        added = pa.table(
+            {
+                "doc_id": pc.add(addt.column("doc_id"), 10_000_000),
+                "text": addt.column("text"),
+            }
+        )
+        return pa.concat_tables([kept, added])
+
+    b = bsrc.map_batches(make_b, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff_pipeline(a, b, key_col="doc_id", text_col="text")
+
+
 def dup_fraction_docs(sf_dir: str):
     """Per-doc duplication score: fraction of each doc's distinct shingles
     shared with at least one other doc (the RefinedWeb-style curation
@@ -1484,6 +1527,7 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
+    "snapshot_diff_docs": snapshot_diff_docs,
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
@@ -1680,6 +1724,23 @@ def _family_oracles() -> dict:
         SELECT lang, {split_case} AS split, count(*) AS n
         FROM documents GROUP BY 1, 2
     """
+    snapshot_diff_sql = f"""
+        WITH sp AS (SELECT doc_id, text, {split_case} AS split FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN split = 'val' THEN text || ' EDITED' ELSE text END AS text
+          FROM sp WHERE split <> 'test'
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text FROM sp WHERE split = 'test'
+        ),
+        a AS (SELECT doc_id, text FROM documents)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+    """
     h7 = splitmix64_sql("doc_id", 7)
     rate_case = "CASE lang " + " ".join(
         f"WHEN '{g}' THEN {min(int(r * _TWO64), _TWO64 - 1)}::HUGEINT"
@@ -1875,6 +1936,7 @@ def _family_oracles() -> dict:
     """
     return {
         "split_counts_by_lang": split_counts_sql,
+        "snapshot_diff_docs": snapshot_diff_sql,
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
         "bigram_lm_scores": lm_sql,
