@@ -807,6 +807,20 @@ def ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def pivot_split_counts(sf_dir: str):
+    """Pivot/crosstab: per-lang document counts widened to one column per
+    split - block-local pre-agg, one tiny groupby-sum shuffle, vectorized
+    per-partition scatter (no per-group Python)."""
+    from .pipelines.pivot import pivot_counts_pipeline
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+    return pivot_counts_pipeline(
+        ds, group_col="lang", pivot_col="split", values=list(SPLITS)
+    )
+
+
 def snapshot_diff_docs(sf_dir: str):
     """Corpus snapshot reconciliation: diff today's corpus against
     yesterday's by 128-bit content identity - emits only the delta
@@ -1528,6 +1542,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
     "snapshot_diff_docs": snapshot_diff_docs,
+    "pivot_split_counts": pivot_split_counts,
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
@@ -1723,6 +1738,14 @@ def _family_oracles() -> dict:
     split_counts_sql = f"""
         SELECT lang, {split_case} AS split, count(*) AS n
         FROM documents GROUP BY 1, 2
+    """
+    pivot_sql = f"""
+        WITH sp AS (SELECT lang, {split_case} AS split FROM documents)
+        SELECT lang,
+               coalesce(count(*) FILTER (WHERE split = 'test'), 0)::BIGINT AS test,
+               coalesce(count(*) FILTER (WHERE split = 'train'), 0)::BIGINT AS train,
+               coalesce(count(*) FILTER (WHERE split = 'val'), 0)::BIGINT AS val
+        FROM sp GROUP BY lang
     """
     snapshot_diff_sql = f"""
         WITH sp AS (SELECT doc_id, text, {split_case} AS split FROM documents),
@@ -1937,6 +1960,7 @@ def _family_oracles() -> dict:
     return {
         "split_counts_by_lang": split_counts_sql,
         "snapshot_diff_docs": snapshot_diff_sql,
+        "pivot_split_counts": pivot_sql,
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
         "bigram_lm_scores": lm_sql,
