@@ -222,7 +222,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def _dedup_job_rows(job: str) -> int:
     # LSH shingles+hashes every token window (heavier per row); exact dedup is
     # one sha256 per row - size each job to a few minutes of wall time
-    default = 4_000_000 if job == "lsh" else 16_000_000
+    default = 4_000_000 if job in ("lsh", "dupfrac") else 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
 
 
@@ -311,7 +311,12 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     ds = read_corpus(path, ["path", "content"]).map_batches(
         add_key, batch_format="pyarrow", zero_copy_batch=True
     )
-    if job == "exact":
+    if job == "dupfrac":
+        # per-doc duplication scoring: shingle postings x 2 keyed shuffles
+        from ddsketch_ruby_ray.pipelines.postings import dup_fraction_pipeline
+
+        n = dup_fraction_pipeline(ds, key_col="doc_id", text_col="text").count()
+    elif job == "exact":
         n = exact_dedup_pipeline(ds, key_col="doc_id", text_col="text").count()
     else:
         # the production near-dup shape: collapse exact duplicates first

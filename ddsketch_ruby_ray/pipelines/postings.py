@@ -200,13 +200,15 @@ def dup_fraction_pipeline(
     with >= 1 shingle; ``dup_milli = (1000 * n_dup) // n_shingles`` (exact
     integers, bit-exact SQL mirror).
 
-    Scale shape: two keyed shuffles of 24-byte postings rows, text never
-    moves.  Shuffle 1 co-locates each shingle's postings (df computed
-    locally, per-doc partials pre-aggregated IN the partition), shuffle 2
-    co-locates each doc's partials - both reduces are one lexsort +
-    boundary reduceat, no per-doc or per-shingle Python.  A stop-shingle
-    appearing in B docs costs B postings rows here (not B^2 pairs as in the
-    Jaccard pipeline), so no df cap is needed.
+    Scale shape: two keyed shuffles, text never moves.  Shuffle 1 moves
+    20-byte (shingle, doc) postings and co-locates each shingle's postings
+    (df computed locally, per-doc partials pre-aggregated IN the
+    partition); shuffle 2 moves only the per-(partition, doc) partial
+    counters - the per-doc shingle total is the SUM of its partials' row
+    counts, so no per-row size column ships anywhere.  Both reduces are
+    one lexsort + boundary reduceat, no per-doc or per-shingle Python.  A
+    stop-shingle appearing in B docs costs B postings rows here (not B^2
+    pairs as in the Jaccard pipeline), so no df cap is needed.
     """
     from ..core.hashing import hash64_int
 
@@ -220,14 +222,13 @@ def dup_fraction_pipeline(
                 "_part": pa.array(part),
                 "sh": pa.array(flat.astype(np.int64)),
                 "key": pa.array(np.repeat(keys, sizes)),
-                "sz": pa.array(np.repeat(sizes.astype(np.int64), sizes)),
             }
         )
 
     empty_partial = pa.table(
         {
             "key": pa.array([], pa.int64()),
-            "sz": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
             "dup": pa.array([], pa.int64()),
         }
     )
@@ -237,21 +238,21 @@ def dup_fraction_pipeline(
         if not sh.size:
             return empty_partial
         key = pt.column("key").to_numpy(zero_copy_only=False)
-        sz = pt.column("sz").to_numpy(zero_copy_only=False)
         order = np.lexsort((key, sh))
-        sh_s, key_s, sz_s = sh[order], key[order], sz[order]
+        sh_s, key_s = sh[order], key[order]
         _, run_len = _run_bounds(sh_s)  # per-row document frequency
         dup = (run_len >= 2).astype(np.int64)
         o2 = np.argsort(key_s, kind="stable")
-        k2, d2, sz2 = key_s[o2], dup[o2], sz_s[o2]
+        k2, d2 = key_s[o2], dup[o2]
         new = np.empty(k2.size, dtype=bool)
         new[0] = True
         new[1:] = k2[1:] != k2[:-1]
         starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, k2.size))
         return pa.table(
             {
                 "key": pa.array(k2[starts]),
-                "sz": pa.array(sz2[starts]),
+                "cnt": pa.array(lens.astype(np.int64)),
                 "dup": pa.array(np.add.reduceat(d2, starts)),
             }
         )
@@ -275,16 +276,16 @@ def dup_fraction_pipeline(
                     "dup_milli": pa.array([], pa.int64()),
                 }
             )
-        sz = pt.column("sz").to_numpy(zero_copy_only=False)
+        cnt = pt.column("cnt").to_numpy(zero_copy_only=False)
         dup = pt.column("dup").to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
-        k_s, sz_s, dup_s = k[order], sz[order], dup[order]
+        k_s, cnt_s, dup_s = k[order], cnt[order], dup[order]
         new = np.empty(k_s.size, dtype=bool)
         new[0] = True
         new[1:] = k_s[1:] != k_s[:-1]
         starts = np.flatnonzero(new)
         n_dup = np.add.reduceat(dup_s, starts)
-        n_sh = sz_s[starts]
+        n_sh = np.add.reduceat(cnt_s, starts)  # Σ partial row counts = sz
         return pa.table(
             {
                 key_col: pa.array(k_s[starts]),
