@@ -260,6 +260,55 @@ def dd_windowed_quantiles(sf_dir: str):
     return grouped_sketch_pipeline(ds, [spec], ("window_key",), derive=derive)
 
 
+def dd_incremental_windowed(sf_dir: str):
+    """Incremental maintenance end-to-end: the windowed result is kept up to
+    date by MERGING a late-arriving delta's sketch states into the base
+    run's states - no recompute of the base.  Base = events with
+    hash64(event_id) % 3 != 0, delta = the rest; the merged result is
+    bit-identical to a from-scratch build over all events (the oracle is
+    the full-data mirror), proving the reference's central merge contract
+    (base_sketch.rb:140-171) through two independent distributed builds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .core.hashing import hash64_int
+    from .functions.specs import DDSketchSpec
+    from .pipelines.corpus import merge_sketch_states, sketch_states
+    from .stages import unnest
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def derive(t):
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 3600), 3600)
+        key = pc.binary_join_element_wise(
+            pc.cast(hour, pa.string()), t.column("event_type"), "|"
+        )
+        return t.append_column("window_key", key).drop_columns(["ts", "event_type"])
+
+    def side(is_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            in_delta = (hash64_int(ids, 5) % np.uint64(3)) == 0
+            return t.filter(pa.array(in_delta if is_delta else ~in_delta))
+
+        return f
+
+    spec = DDSketchSpec(
+        on="value", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES,
+        include_sum_avg=False,
+    )
+    base = ds.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    delta = ds.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    # two INDEPENDENT distributed builds (in production: yesterday's
+    # checkpointed state table + today's delta run), merged state-to-state
+    st_base = sketch_states(base, [spec], ("window_key",), derive=derive)
+    st_delta = sketch_states(delta, [spec], ("window_key",), derive=derive)
+    out = merge_sketch_states(st_base.union(st_delta), [spec], ("window_key",))
+    return unnest(out, columns=["s"])
+
+
 def dd_sliding_window_quantiles(sf_dir: str):
     """Sliding windows (1 h window / 30 min slide): rows replicate into their
     2 windows inside map_batches, then the usual grouped sketch pipeline."""
@@ -1496,6 +1545,7 @@ QUERIES = {
     "dd_nullkey_quantiles": dd_nullkey_quantiles,
     "dd_collapsed_highest_by_event_type": dd_collapsed_highest_by_event_type,
     "dd_windowed_quantiles": dd_windowed_quantiles,
+    "dd_incremental_windowed": dd_incremental_windowed,
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
@@ -2044,6 +2094,15 @@ def _family_oracles() -> dict:
             value_expr="n_chars",
             alpha=ALPHA,
             quantiles=QUANTILES,
+        ),
+        "dd_incremental_windowed": ddsketch_quantile_sql(
+            table="(SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600)::VARCHAR"
+            " || '|' || event_type AS window_key, value FROM events) w",
+            group_col="window_key",
+            value_expr="value",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+            include_sum_avg=False,
         ),
         "dd_windowed_quantiles": ddsketch_quantile_sql(
             table="(SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600)::VARCHAR"
