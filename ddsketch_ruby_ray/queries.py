@@ -1177,6 +1177,24 @@ def dd_drift_train_val(sf_dir: str):
     )
 
 
+WEIGHTED_SAMPLE_K = 32
+WEIGHTED_SAMPLE_SEED = 13
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Exactly-32 weighted sample without replacement (Efraimidis-Spirakis
+    priorities, weight = n_chars): sample documents proportional to length,
+    deterministically - the log2/div priority is bit-identical in numpy and
+    DuckDB, so membership is oracle-verified row-for-row."""
+    from .stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample(
+        ds, id_col="doc_id", weight_col="n_chars",
+        k=WEIGHTED_SAMPLE_K, seed=WEIGHTED_SAMPLE_SEED,
+    )
+
+
 LM_TOP_K = 1000
 
 
@@ -1568,6 +1586,7 @@ QUERIES = {
     "dd_bucketize_prices": dd_bucketize_prices,
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
+    "weighted_sample_docs": weighted_sample_docs,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_users_per_window": hll_users_per_window,
     "hll_props_by_event_type": hll_props_by_event_type,
@@ -1992,6 +2011,18 @@ def _family_oracles() -> dict:
                l1::DOUBLE / (2 * na.n * nb.n)::DOUBLE AS tvd
         FROM agg JOIN na ON na.lang = agg.lang JOIN nb ON nb.lang = agg.lang
     """
+    hw = splitmix64_sql("doc_id", WEIGHTED_SAMPLE_SEED)
+    weighted_sample_sql = f"""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       ORDER BY log2(({hw} + 1.0) / 18446744073709551616.0)
+                                / CAST(greatest(n_chars, 1) AS DOUBLE) DESC,
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {WEIGHTED_SAMPLE_K}
+    """
     hs = splitmix64_sql("doc_id", SAMPLE_SEED)
     sample_global_sql = f"""
         SELECT doc_id, lang, n_chars FROM (
@@ -2022,6 +2053,7 @@ def _family_oracles() -> dict:
         "dd_bucketize_prices": bucketize_sql,
         "uniform_sample_docs": sample_global_sql,
         "uniform_sample_per_lang": sample_lang_sql,
+        "weighted_sample_docs": weighted_sample_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,
         "dd_weighted_price_by_flag": ddsketch_quantile_sql(

@@ -23,7 +23,13 @@ import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["assign_split", "stratified_sample", "split_thresholds", "bottomk_sample"]
+__all__ = [
+    "assign_split",
+    "stratified_sample",
+    "split_thresholds",
+    "bottomk_sample",
+    "weighted_sample",
+]
 
 _TWO64 = 1 << 64
 
@@ -160,3 +166,73 @@ def bottomk_sample(ds, *, id_col: str, k: int, seed: int = 0,
         ascending=True,
     )
     return out.drop_columns(["_h"])
+
+
+_TWO64_F = 18446744073709551616.0
+
+
+def weighted_sample(ds, *, id_col: str, weight_col: str, k: int, seed: int = 0,
+                    group_col: str | None = None):
+    """EXACTLY-k weighted sample WITHOUT replacement (Efraimidis-Spirakis,
+    IPL 2006): keep the k rows with the largest priority
+
+        pri = log2((hash(id, seed) + 1) / 2^64) / max(weight, 1)
+
+    which is order-equivalent to the classic u^(1/w) key - a row's
+    inclusion probability scales with its weight (e.g. token count: the
+    pretraining "sample documents proportional to length" op).  Globally,
+    or per group with ``group_col``.
+
+    Deterministic and SQL-mirrorable: numpy's log2 is bit-identical to
+    DuckDB's on this platform (the functions/oracle.py parity), the uint64
+    -> double conversion and the divisions are IEEE-defined, so both sides
+    rank the very same doubles.  Same per-block prefilter scale shape as
+    :func:`bottomk_sample`; weights <= 0 are clamped to 1 (mirror uses
+    ``greatest(w, 1)``).
+    """
+
+    def add_pri(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64_int(ids, seed).astype(np.float64)
+        w = np.maximum(
+            t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        pri = np.log2((h + 1.0) / _TWO64_F) / w
+        return t.append_column("_pri", pa.array(pri))
+
+    def block_prefilter(t: pa.Table) -> pa.Table:
+        if group_col is None and t.num_rows > k:
+            pri = t.column("_pri").to_numpy(zero_copy_only=False)
+            return t.take(pa.array(np.argpartition(-pri, k - 1)[:k]))
+        return t
+
+    hashed = ds.map_batches(add_pri, batch_format="pyarrow", zero_copy_batch=True)
+    if group_col is None:
+        pruned = hashed.map_batches(
+            block_prefilter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return pruned.sort("_pri", descending=True).limit(k).drop_columns(["_pri"])
+
+    def block_prefilter_grouped(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        pri = t.column("_pri").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-pri, g))
+        g_s = g[order]
+        pos = np.arange(len(order))
+        new_g = np.empty(len(order), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g_s[1:] != g_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_g, pos, -1))
+        return t.take(pa.array(order[(pos - seg_start) < k]))
+
+    from ..pipelines.topk import per_group_topk
+
+    pruned = hashed.map_batches(
+        block_prefilter_grouped, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = per_group_topk(
+        pruned, group_col=group_col, value_col="_pri", tiebreak_col=id_col, k=k
+    )
+    return out.drop_columns(["_pri"])
