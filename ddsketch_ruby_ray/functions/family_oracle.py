@@ -23,6 +23,7 @@ __all__ = [
     "cms_frequency_sql",
     "kmv_sql",
     "kmv_overlap_sql",
+    "ams_f2_sql",
 ]
 
 _TWO64 = "18446744073709551616"
@@ -192,6 +193,41 @@ SELECT ga AS type_a, gb AS type_b, union_distinct,
             ELSE (inter_cnt::DOUBLE / kept::DOUBLE) * union_distinct
        END AS intersection
 FROM agg
+"""
+
+
+def ams_f2_sql(
+    *,
+    table: str,
+    group_col: str,
+    value_col: str,
+    d: int = 5,
+) -> str:
+    """SQL computing exactly ``AMSSpec(on=value_col, d=d)`` per group.
+
+    Mirrors core/ams.py: estimator j's signed sum is
+    sum(+1 if splitmix64(v, seed=j) is odd else -1); the F2 estimate is the
+    median of the d squared sums (d odd -> the median IS one of the exact
+    integer squares).  Output: ``{group_col}, f2 (double), count (double)``.
+    """
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({_hash_expr(value_col, 'int', j)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END)::HUGEINT AS s{j}"
+        for j in range(d)
+    )
+    squares = ", ".join(f"s{j} * s{j}" for j in range(d))
+    return f"""
+WITH s AS (
+  SELECT {group_col} AS grp,
+         count(*) AS cnt,
+         {sums}
+  FROM {table} GROUP BY grp
+),
+est AS (SELECT grp, unnest([{squares}]) AS e FROM s)
+SELECT s.grp AS {group_col},
+       (SELECT median(e)::DOUBLE FROM est WHERE est.grp = s.grp) AS f2,
+       s.cnt::DOUBLE AS "count"
+FROM s
 """
 
 

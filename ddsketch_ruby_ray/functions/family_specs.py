@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..core.ams import AMSSketch
 from ..core.bloom import BloomFilter
 from ..core.cms import CountMinSketch
 from ..core.hashing import hash64_int, hash256_str
@@ -25,7 +26,7 @@ from ..core.kmv import KMVSketch
 from ..core.tdigest import TDigest
 from .specs import quantile_name
 
-__all__ = ["HLLSpec", "BloomSpec", "CMSSpec", "TDigestSpec", "KLLSpec", "KMVSpec"]
+__all__ = ["HLLSpec", "BloomSpec", "CMSSpec", "TDigestSpec", "KLLSpec", "KMVSpec", "AMSSpec"]
 
 
 def _is_float(arr) -> bool:
@@ -398,3 +399,52 @@ class KLLSpec:
             v = sketch.quantile(q)
             out[quantile_name(q)] = float("nan") if v is None else float(v)
         return out
+
+
+class AMSSpec:
+    """Second frequency moment (self-join size) per group via the AMS
+    tug-of-war sketch (see core/ams.py).  Exact integer signed sums ->
+    deterministic under any merge order -> bit-exact DuckDB oracle
+    (family_oracle.ams_f2_sql).  Int-keyed columns (splitmix64 lanes)."""
+
+    def __init__(self, on: str, *, name: str | None = None, d: int = 5):
+        self.on = on
+        self.name = name or f"ams({on})"
+        self.d = int(d)
+        self.columns = (on,)
+
+    def zero(self) -> AMSSketch:
+        return AMSSketch(self.d)
+
+    def accumulate(self, sketch: AMSSketch, arrays: dict) -> None:
+        v = np.asarray(arrays[self.on])
+        if _is_float(v):
+            v = v[~np.isnan(v)]
+        v = v.astype(np.int64)
+        sketch.add_hash_lanes([hash64_int(v, j) for j in range(self.d)])
+
+    def state_type(self) -> pa.DataType:
+        return pa.struct(
+            [
+                pa.field("d", pa.int32()),
+                pa.field("count", pa.int64()),
+                pa.field("sums", pa.list_(pa.int64())),
+            ]
+        )
+
+    def to_state(self, sketch: AMSSketch) -> dict:
+        return {"d": sketch.d, "count": sketch.count, "sums": sketch.sums}
+
+    def from_state(self, state: dict) -> AMSSketch:
+        s = AMSSketch(int(state["d"]))
+        s.sums = np.asarray(state["sums"], dtype=np.int64)
+        s.count = int(state["count"])
+        return s
+
+    def merge(self, a: AMSSketch, b: AMSSketch) -> AMSSketch:
+        return a.merged_with(b)
+
+    def finalize(self, sketch: AMSSketch | None) -> dict:
+        if sketch is None:
+            sketch = self.zero()
+        return {"f2": sketch.f2_estimate(), "count": float(sketch.count)}

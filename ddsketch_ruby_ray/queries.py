@@ -636,6 +636,19 @@ def kmv_users_by_event_type(sf_dir: str):
     )
 
 
+def ams_f2_users_by_event_type(sf_dir: str):
+    """AMS tug-of-war F2 (self-join size) of user_id per event_type - the
+    quantity a planner wants before hash-joining a key.  Exact integer
+    signed sums, median-of-5 estimators, bit-exact vs SQL."""
+    from .functions.family_specs import AMSSpec
+    from .pipelines import grouped_sketch_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_sketch_pipeline(
+        ds, [AMSSpec(on="user_id", name="a", d=5)], ("event_type",)
+    )
+
+
 def kmv_user_overlap_by_event_type(sf_dir: str):
     """KMV set operations: pairwise distinct-user overlap between event
     types (union estimate, Jaccard, intersection) via the theta-sketch
@@ -1593,6 +1606,7 @@ QUERIES = {
     "kmv_users_by_event_type": kmv_users_by_event_type,
     "kmv_props_by_event_type": kmv_props_by_event_type,
     "kmv_user_overlap_by_event_type": kmv_user_overlap_by_event_type,
+    "ams_f2_users_by_event_type": ams_f2_users_by_event_type,
     "heavy_hitter_users": heavy_hitter_users,
     "heavy_hitter_props": heavy_hitter_props,
     "bloom_customer_membership": bloom_customer_membership,
@@ -1765,6 +1779,7 @@ def _family_oracles() -> dict:
     from .functions.family_oracle import (
         bloom_membership_sql,
         cms_frequency_sql,
+        ams_f2_sql,
         hll_sql,
         kmv_overlap_sql,
         kmv_sql,
@@ -2363,6 +2378,9 @@ def _family_oracles() -> dict:
         ),
         "kmv_user_overlap_by_event_type": kmv_overlap_sql(
             table="events", group_col="event_type", value_col="user_id", k=64, kind="int"
+        ),
+        "ams_f2_users_by_event_type": ams_f2_sql(
+            table="events", group_col="event_type", value_col="user_id", d=5
         ),
         "bloom_customer_membership": bloom_membership_sql(
             build_table="customer",
