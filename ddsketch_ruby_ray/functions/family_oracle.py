@@ -24,6 +24,7 @@ __all__ = [
     "kmv_sql",
     "kmv_overlap_sql",
     "ams_f2_sql",
+    "ams_join_size_sql",
 ]
 
 _TWO64 = "18446744073709551616"
@@ -228,6 +229,39 @@ SELECT s.grp AS {group_col},
        (SELECT median(e)::DOUBLE FROM est WHERE est.grp = s.grp) AS f2,
        s.cnt::DOUBLE AS "count"
 FROM s
+"""
+
+
+def ams_join_size_sql(
+    *,
+    left_table: str,
+    left_col: str,
+    right_table: str,
+    right_col: str,
+    d: int = 5,
+) -> str:
+    """SQL mirror of ``ams_join_size_events_orders``: median over j of
+    (left signed sum_j) * (right signed sum_j), plus both row counts.
+    Output: ``join_size_est (double), n_events (double), n_orders (double)``.
+    """
+
+    def side(table, col):
+        sums = ",\n         ".join(
+            f"sum(CASE WHEN ({_hash_expr(col, 'int', j)}) % 2 = 1"
+            f" THEN 1 ELSE -1 END)::HUGEINT AS s{j}"
+            for j in range(d)
+        )
+        return f"SELECT count(*) AS cnt,\n         {sums}\n  FROM {table}"
+
+    prods = ", ".join(f"l.s{j} * r.s{j}" for j in range(d))
+    return f"""
+WITH l AS ({side(left_table, left_col)}),
+r AS ({side(right_table, right_col)}),
+est AS (SELECT unnest([{prods}]) AS e FROM l, r)
+SELECT (SELECT median(e)::DOUBLE FROM est) AS join_size_est,
+       l.cnt::DOUBLE AS n_events,
+       r.cnt::DOUBLE AS n_orders
+FROM l, r
 """
 
 

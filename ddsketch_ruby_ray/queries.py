@@ -649,6 +649,39 @@ def ams_f2_users_by_event_type(sf_dir: str):
     )
 
 
+def ams_join_size_events_orders(sf_dir: str):
+    """Join cardinality BEFORE the join: |events JOIN orders ON user| =
+    sum_u f_e(u) * f_o(u), estimated as the median of the products of two
+    independent AMS sketches' signed sums (E[Se_j * So_j] = join size) -
+    the planner statistic for broadcast-vs-shuffle decisions, from one
+    streaming pass over each side.  Exact integers -> bit-exact SQL."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .functions.aggregates import SketchStateMergeAgg
+    from .functions.family_specs import AMSSpec
+    from .pipelines.corpus import sketch_states
+
+    d = 5
+    sides = {}
+    for tbl, col in (("events", "user_id"), ("orders", "o_custkey")):
+        spec = AMSSpec(on=col, name="s", d=d)
+        states = sketch_states(_read(sf_dir, tbl, [col]), [spec])
+        st = states.aggregate(SketchStateMergeAgg(spec, emit_state=True))
+        sides[tbl] = spec.from_state(st["s"])
+    a, b = sides["events"], sides["orders"]
+    prods = sorted(int(x) * int(y) for x, y in zip(a.sums, b.sums))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "join_size_est": pa.array([float(prods[d // 2])], pa.float64()),
+                "n_events": pa.array([float(a.count)], pa.float64()),
+                "n_orders": pa.array([float(b.count)], pa.float64()),
+            }
+        )
+    )
+
+
 def kmv_user_overlap_by_event_type(sf_dir: str):
     """KMV set operations: pairwise distinct-user overlap between event
     types (union estimate, Jaccard, intersection) via the theta-sketch
@@ -1607,6 +1640,7 @@ QUERIES = {
     "kmv_props_by_event_type": kmv_props_by_event_type,
     "kmv_user_overlap_by_event_type": kmv_user_overlap_by_event_type,
     "ams_f2_users_by_event_type": ams_f2_users_by_event_type,
+    "ams_join_size_events_orders": ams_join_size_events_orders,
     "heavy_hitter_users": heavy_hitter_users,
     "heavy_hitter_props": heavy_hitter_props,
     "bloom_customer_membership": bloom_customer_membership,
@@ -1780,6 +1814,7 @@ def _family_oracles() -> dict:
         bloom_membership_sql,
         cms_frequency_sql,
         ams_f2_sql,
+        ams_join_size_sql,
         hll_sql,
         kmv_overlap_sql,
         kmv_sql,
@@ -2381,6 +2416,10 @@ def _family_oracles() -> dict:
         ),
         "ams_f2_users_by_event_type": ams_f2_sql(
             table="events", group_col="event_type", value_col="user_id", d=5
+        ),
+        "ams_join_size_events_orders": ams_join_size_sql(
+            left_table="events", left_col="user_id",
+            right_table="orders", right_col="o_custkey", d=5,
         ),
         "bloom_customer_membership": bloom_membership_sql(
             build_table="customer",

@@ -37,6 +37,18 @@ class TestAMS:
         assert merged.count == whole.count
         assert merged.f2_estimate() == whole.f2_estimate()
 
+    def test_join_size_product_tracks_truth(self):
+        rng = np.random.default_rng(31)
+        a_vals = rng.integers(0, 300, 20000)
+        b_vals = rng.integers(0, 300, 8000)
+        fa, fb = np.bincount(a_vals, minlength=300), np.bincount(b_vals, minlength=300)
+        true_join = float((fa.astype(np.int64) * fb).sum())
+        d = 21
+        a, b = _fill(a_vals, d), _fill(b_vals, d)
+        prods = sorted(int(x) * int(y) for x, y in zip(a.sums, b.sums))
+        est = float(prods[d // 2])
+        assert abs(est - true_join) / true_join < 0.6
+
     def test_d_validation_and_mismatch(self):
         with pytest.raises(ValueError):
             AMSSketch(4)  # even
