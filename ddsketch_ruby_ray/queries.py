@@ -959,6 +959,115 @@ def snapshot_diff_docs(sf_dir: str):
     return snapshot_diff_pipeline(a, b, key_col="doc_id", text_col="text")
 
 
+def multimodal_media_features(sf_dir: str):
+    """Driver-exercised multimodal path (rows-only: media decode has no SQL
+    mirror): deterministic media payloads synthesized from doc_id in REAL
+    uncompressed formats (PPM/PGM/PNG/WAV/Y4M + a stub jpeg lane), routed to
+    the three actor-pool stages - image decode -> pixel-block embeddings,
+    audio -> windowed-RMS features, video -> sampled-frame digests - and
+    summarized to one deterministic fingerprint row per media id."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ImageDecodeStage,
+        synthesize_media_batch,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_media_batch(
+            {"id": t.column("doc_id").to_numpy(zero_copy_only=False)}
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+    def only(formats):
+        fs = set(formats)
+
+        def f(t: pa.Table) -> pa.Table:
+            mask = pa.array([x in fs for x in t.column("format").to_pylist()])
+            return t.filter(mask)
+
+        return f
+
+    imgs = media.map_batches(only(("ppm", "pgm", "png", "jpeg")),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    auds = media.map_batches(only(("wav",)), batch_format="pyarrow", zero_copy_batch=True)
+    vids = media.map_batches(only(("y4m",)), batch_format="pyarrow", zero_copy_batch=True)
+
+    img_out = imgs.map_batches(
+        ImageDecodeStage, concurrency=2, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aud_out = auds.map_batches(
+        AudioFeatureStage, concurrency=2, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vid_out = vids.map_batches(
+        FrameSampleStage, concurrency=2, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def img_sum(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": pa.array(["image"] * t.num_rows),
+                "n_values": pa.array([len(e) for e in emb], pa.int64()),
+                "fingerprint": pa.array(
+                    [float(np.sum(e)) for e in emb], pa.float64()
+                ),
+            }
+        )
+
+    def aud_sum(t: pa.Table) -> pa.Table:
+        f = t.column("features").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": pa.array(["audio"] * t.num_rows),
+                "n_values": pa.array([len(x) for x in f], pa.int64()),
+                "fingerprint": pa.array([float(np.sum(x)) for x in f], pa.float64()),
+            }
+        )
+
+    def vid_sum(t: pa.Table) -> pa.Table:
+        # one row per sampled frame -> count frames + fold digests per media
+        mids = t.column("media_id").to_numpy(zero_copy_only=False)
+        digs = np.array(
+            [int(d, 16) for d in t.column("digest").to_pylist()], dtype=np.uint64
+        )
+        order = np.argsort(mids, kind="stable")
+        m_s, d_s = mids[order], digs[order]
+        new = np.empty(m_s.size, dtype=bool)
+        if m_s.size:
+            new[0] = True
+            new[1:] = m_s[1:] != m_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, m_s.size))
+        folded = [
+            float(np.bitwise_xor.reduce(d_s[a:a + l].astype(np.uint64)) >> np.uint64(32))
+            for a, l in zip(starts, lens)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(m_s[starts], pa.int64()),
+                "kind": pa.array(["video"] * len(starts)),
+                "n_values": pa.array(lens.astype(np.int64)),
+                "fingerprint": pa.array(folded, pa.float64()),
+            }
+        )
+
+    out = (
+        img_out.map_batches(img_sum, batch_format="pyarrow", zero_copy_batch=True)
+        .union(aud_out.map_batches(aud_sum, batch_format="pyarrow", zero_copy_batch=True))
+        .union(vid_out.map_batches(vid_sum, batch_format="pyarrow", zero_copy_batch=True))
+    )
+    return out
+
+
 def dup_fraction_docs(sf_dir: str):
     """Per-doc duplication score: fraction of each doc's distinct shingles
     shared with at least one other doc (the RefinedWeb-style curation
@@ -1658,6 +1767,7 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
+    "multimodal_media_features": multimodal_media_features,  # rows-only (no oracle_sql)
     "snapshot_diff_docs": snapshot_diff_docs,
     "pivot_split_counts": pivot_split_counts,
     "dedup_clusters": dedup_clusters,
