@@ -184,7 +184,11 @@ agg AS (
                    max(CASE WHEN rn = {k} THEN h END)::DOUBLE
          END AS union_distinct,
          sum(CASE WHEN rn <= {k} AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
-           AS inter_cnt
+           AS inter_cnt,
+         sum(CASE WHEN rn <= {k} AND in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+           AS a_cnt,
+         sum(CASE WHEN rn <= {k} AND in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS b_cnt
   FROM ur GROUP BY ga, gb
 )
 SELECT ga AS type_a, gb AS type_b, union_distinct,
@@ -192,7 +196,13 @@ SELECT ga AS type_a, gb AS type_b, union_distinct,
             ELSE inter_cnt::DOUBLE / kept::DOUBLE END AS jaccard,
        CASE WHEN kept = 0 THEN 0.0
             ELSE (inter_cnt::DOUBLE / kept::DOUBLE) * union_distinct
-       END AS intersection
+       END AS intersection,
+       CASE WHEN kept = 0 THEN 0.0
+            ELSE (a_cnt::DOUBLE / kept::DOUBLE) * union_distinct
+       END AS only_a,
+       CASE WHEN kept = 0 THEN 0.0
+            ELSE (b_cnt::DOUBLE / kept::DOUBLE) * union_distinct
+       END AS only_b
 FROM agg
 """
 

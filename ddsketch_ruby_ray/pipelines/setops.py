@@ -36,8 +36,11 @@ def kmv_overlap_pipeline(
     k: int = 256,
     kind: str = "int",
 ):
-    """-> Dataset[(type_a, type_b, union_distinct, jaccard, intersection)] -
-    one row per unordered group pair (type_a < type_b)."""
+    """-> Dataset[(type_a, type_b, union_distinct, jaccard, intersection,
+    only_a, only_b)] - one row per unordered group pair (type_a < type_b).
+    ``only_a``/``only_b`` estimate the set differences |A\\B| / |B\\A| from
+    the same union sample, completing the set algebra."""
+    import numpy as np
     import ray.data as rd
 
     from ..functions.aggregates import SketchStateMergeAgg
@@ -51,24 +54,33 @@ def kmv_overlap_pipeline(
         r[group_col]: spec.from_state(r["s"])
         for r in merged.take_all()  # one <=k-uint64 state row per group
     }
-    rows = {"type_a": [], "type_b": [], "union_distinct": [], "jaccard": [], "intersection": []}
+    cols = ("type_a", "type_b", "union_distinct", "jaccard", "intersection",
+            "only_a", "only_b")
+    rows = {c: [] for c in cols}
     for a, b in combinations(sorted(sks), 2):
         union = sks[a].merged_with(sks[b])
         ue = union.estimate()
-        jac = sks[a].jaccard_with(sks[b])
+        u = union.hashes
+        in_a = np.isin(u, sks[a].hashes, assume_unique=True)
+        in_b = np.isin(u, sks[b].hashes, assume_unique=True)
+        kept = u.size
+        inter = int((in_a & in_b).sum())
+        jac = inter / kept if kept else 0.0
         rows["type_a"].append(a)
         rows["type_b"].append(b)
         rows["union_distinct"].append(ue)
         rows["jaccard"].append(jac)
         rows["intersection"].append(jac * ue)
-    return rd.from_arrow(
-        pa.table(
-            {
-                "type_a": pa.array(rows["type_a"], pa.string()),
-                "type_b": pa.array(rows["type_b"], pa.string()),
-                "union_distinct": pa.array(rows["union_distinct"], pa.float64()),
-                "jaccard": pa.array(rows["jaccard"], pa.float64()),
-                "intersection": pa.array(rows["intersection"], pa.float64()),
-            }
-        )
+        rows["only_a"].append((int((in_a & ~in_b).sum()) / kept) * ue if kept else 0.0)
+        rows["only_b"].append((int((~in_a & in_b).sum()) / kept) * ue if kept else 0.0)
+    t = pa.table(
+        {
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            **{
+                c: pa.array(rows[c], pa.float64())
+                for c in cols[2:]
+            },
+        }
     )
+    return rd.from_arrow(t)

@@ -75,3 +75,10 @@ class TestKMVOverlap:
         # disjoint pair: sampled intersection must be (near) zero
         ac = df[(df.type_a == "a") & (df.type_b == "c")].iloc[0]
         assert ac.jaccard < 0.02
+        # set algebra closes: only_a + only_b + intersection == union estimate
+        total = df.only_a + df.only_b + df.intersection
+        assert np.allclose(total, df.union_distinct, rtol=1e-12)
+        # differences track truth on the overlapping pair
+        sa_d, sb_d = len(sa - sb), len(sb - sa)
+        assert abs(ab.only_a - sa_d) / max(sa_d, 1) < 0.25
+        assert abs(ab.only_b - sb_d) / max(sb_d, 1) < 0.25
