@@ -25,7 +25,7 @@ from typing import Sequence
 
 import pyarrow as pa
 
-__all__ = ["rollup_sketch_pipeline", "ROLLUP_FILL"]
+__all__ = ["rollup_sketch_pipeline", "cube_sketch_pipeline", "ROLLUP_FILL"]
 
 ROLLUP_FILL = "(all)"
 
@@ -97,6 +97,83 @@ def rollup_sketch_pipeline(
             row = {"group_key": "|".join([fill] * len(keys)), spec.name: spec.finalize(acc)}
             t = pa.table({"group_key": pa.array([row["group_key"]]), spec.name: pa.array([row[spec.name]])})
             outs.append(rd.from_arrow(unnest_struct(t, columns=[spec.name])))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def cube_sketch_pipeline(
+    ds,
+    spec,
+    keys: Sequence[str],
+    *,
+    derive=None,
+    fill: str = ROLLUP_FILL,
+):
+    """GROUP BY CUBE: every subset of ``keys``, still reading the corpus ONCE.
+
+    Unlike the rollup's chain, CUBE's groupings are not nested - but every
+    subset CAN be re-merged from the same finest-level materialized states
+    (merge associativity), so the cost of all 2^n groupings over 100 TB is
+    one corpus pass plus 2^n - 1 shuffles of the KB-per-group state table.
+
+    Output schema matches :func:`rollup_sketch_pipeline` (composite
+    ``group_key`` with ``fill`` for absent keys).
+    """
+    from itertools import combinations as _combos
+
+    import ray.data as rd
+
+    from ..functions.aggregates import SketchStateMergeAgg
+    from ..stages.util import unnest_struct
+    from .corpus import sketch_states
+
+    keys = list(keys)
+
+    def finalize_level(states, present: list[str]):
+        def fin(t: pa.Table) -> pa.Table:
+            structs = [spec.finalize(spec.from_state(st)) for st in t.column(spec.name).to_pylist()]
+            parts = []
+            for k in keys:
+                if k in present:
+                    col = t.column(k).to_pylist()
+                    parts.append([v if v is not None else "" for v in col])
+                else:
+                    parts.append([fill] * t.num_rows)
+            gk = pa.array(["|".join(p) for p in zip(*parts)] if t.num_rows else [], pa.string())
+            out = pa.table({"group_key": gk, spec.name: pa.array(structs)})
+            return unnest_struct(out, columns=[spec.name])
+
+        return states.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+    states = sketch_states(ds, [spec], keys, derive=derive)
+    finest = (
+        states.groupby(keys)
+        .aggregate(SketchStateMergeAgg(spec, emit_state=True))
+        .materialize()  # tiny: one KB state row per finest group
+    )
+    outs = [finalize_level(finest, keys)]
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, 0, -1)
+        for c in _combos(keys, r)
+    ]
+    for sub in subsets:
+        lvl = finest.groupby(sub).aggregate(SketchStateMergeAgg(spec, emit_state=True))
+        outs.append(finalize_level(lvl, sub))
+    # grand total: merge the finest states on the driver (tiny)
+    acc = None
+    for r in finest.take_all():
+        sk = spec.from_state(r[spec.name])
+        acc = sk if acc is None else spec.merge(acc, sk)
+    t = pa.table(
+        {
+            "group_key": pa.array(["|".join([fill] * len(keys))]),
+            spec.name: pa.array([spec.finalize(acc)]),
+        }
+    )
+    outs.append(rd.from_arrow(unnest_struct(t, columns=[spec.name])))
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)

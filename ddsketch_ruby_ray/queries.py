@@ -1252,6 +1252,18 @@ def dd_rollup_lang_source(sf_dir: str):
     return rollup_sketch_pipeline(ds, spec, ["lang", "source"])
 
 
+def dd_cube_lang_source(sf_dir: str):
+    """GROUP BY CUBE over the mergeability algebra: all four groupings of
+    (lang, source) - (lang,source), (lang), (source), () - from ONE corpus
+    read; every subset re-merges the same finest-level KB states."""
+    from .functions.specs import DDSketchSpec
+    from .pipelines.rollup import cube_sketch_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    spec = DDSketchSpec(on="n_chars", name="s", relative_accuracy=ALPHA, quantiles=QUANTILES)
+    return cube_sketch_pipeline(ds, spec, ["lang", "source"])
+
+
 def dd_histogram_by_lang(sf_dir: str):
     """Sketch histogram export: the per-lang DDSketch bin tables as rows
     (lang, k, cnt) - the queryable twin of the proto store serialization.
@@ -1736,6 +1748,7 @@ QUERIES = {
     "dd_rank_transform_prices": dd_rank_transform_prices,
     "dd_outlier_orders": dd_outlier_orders,
     "dd_rollup_lang_source": dd_rollup_lang_source,
+    "dd_cube_lang_source": dd_cube_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
     "dd_drift_train_val": dd_drift_train_val,
     "dd_bucketize_prices": dd_bucketize_prices,
@@ -2104,6 +2117,24 @@ def _family_oracles() -> dict:
         "(SELECT lang || '|(all)' AS group_key, n_chars FROM documents) g",
         "(SELECT '(all)|(all)' AS group_key, n_chars FROM documents) g",
     ]
+    cube_levels = [
+        "(SELECT lang || '|' || source AS group_key, n_chars FROM documents) g",
+        "(SELECT lang || '|(all)' AS group_key, n_chars FROM documents) g",
+        "(SELECT '(all)|' || source AS group_key, n_chars FROM documents) g",
+        "(SELECT '(all)|(all)' AS group_key, n_chars FROM documents) g",
+    ]
+    cube_sql = "\nUNION ALL\n".join(
+        "SELECT * FROM ("
+        + ddsketch_quantile_sql(
+            table=lvl,
+            group_col="group_key",
+            value_expr="n_chars",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+        )
+        + ")"
+        for lvl in cube_levels
+    )
     rollup_sql = "\nUNION ALL\n".join(
         "SELECT * FROM ("
         + ddsketch_quantile_sql(
@@ -2208,6 +2239,7 @@ def _family_oracles() -> dict:
         "dd_rank_transform_prices": rank_sql,
         "dd_outlier_orders": outlier_sql,
         "dd_rollup_lang_source": rollup_sql,
+        "dd_cube_lang_source": cube_sql,
         "dd_histogram_by_lang": hist_sql,
         "dd_drift_train_val": drift_sql,
         "dd_bucketize_prices": bucketize_sql,

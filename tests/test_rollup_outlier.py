@@ -147,3 +147,36 @@ class TestRollup:
 
         df2 = self._run(t, repartition=8).set_index("group_key")
         assert (df.values == df2.loc[df.index].values).all()
+
+    def test_cube_adds_the_second_margin(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.rollup import cube_sketch_pipeline
+
+        rng = np.random.default_rng(19)
+        n = 1200
+        t = pa.table(
+            {
+                "a": pa.array(rng.choice(["p", "q"], n).tolist()),
+                "b": pa.array(rng.choice(["1", "2"], n).tolist()),
+                "v": pa.array(np.round(rng.lognormal(3, 1, n)) + 1.0),
+            }
+        )
+        spec = DDSketchSpec(on="v", name="s", relative_accuracy=0.01, quantiles=(0.5,))
+        df = (
+            cube_sketch_pipeline(rd.from_arrow(t).repartition(5), spec, ["a", "b"])
+            .to_pandas()
+            .set_index("group_key")
+        )
+        # 4 fine + 2 a-margin + 2 b-margin + 1 total
+        assert len(df) == 9
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        for gb in ("1", "2"):  # the margin the rollup does NOT produce
+            sk = DDSketch(0.01)
+            sk.add_batch(v[b == gb])
+            want = spec.finalize(sk)
+            row = df.loc[f"(all)|{gb}"]
+            for col, val in want.items():
+                assert row[col] == val
