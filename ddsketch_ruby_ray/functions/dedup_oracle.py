@@ -17,6 +17,7 @@ __all__ = [
     "jaccard_pairs_sql",
     "ngram_jaccard_sql",
     "dup_fraction_sql",
+    "duplicate_spans_sql",
     "simhash_sql",
     "decontam_sql",
 ]
@@ -246,6 +247,48 @@ per AS (
 SELECT key AS {key}, sz::BIGINT AS n_shingles, dup::BIGINT AS n_dup,
        CAST((dup * 1000) // sz AS BIGINT) AS dup_milli
 FROM per
+"""
+
+
+def duplicate_spans_sql(*, table: str, key: str, text: str, n: int = 8) -> str:
+    """(key, span_start, span_end): maximal duplicated positional n-token
+    spans, 1-based inclusive - mirrors pipelines/spans.py bit-for-bit.
+
+    A positional window is duplicated iff its exact token string occurs >= 2
+    times corpus-wide (within-doc repeats count); windows whose ranges
+    overlap or touch merge (new span when p > lag(p) + n).
+    """
+    return f"""
+WITH toks AS (
+  SELECT key, list(tok ORDER BY pos) AS ts
+  FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+),
+w AS (
+  SELECT key, i.i AS p, array_to_string(ts[i.i : i.i + {n - 1}], ' ') AS win
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(ts) - {n - 1}, 0) + 1)) AS i
+  ) i
+  WHERE len(ts) >= {n}
+),
+dupw AS (
+  SELECT key, p FROM (
+    SELECT key, p, count(*) OVER (PARTITION BY win) AS c FROM w
+  ) WHERE c >= 2
+),
+marked AS (
+  SELECT key, p,
+         CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY key ORDER BY p),
+                                -{n}) + {n}
+              THEN 1 ELSE 0 END AS is_new
+  FROM dupw
+),
+grp AS (
+  SELECT key, p, sum(is_new) OVER (PARTITION BY key ORDER BY p) AS g FROM marked
+)
+SELECT key AS {key},
+       min(p) AS span_start,
+       CAST(max(p) + {n - 1} AS BIGINT) AS span_end
+FROM grp GROUP BY key, g
 """
 
 

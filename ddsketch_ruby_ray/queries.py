@@ -959,6 +959,17 @@ def snapshot_diff_docs(sf_dir: str):
     return snapshot_diff_pipeline(a, b, key_col="doc_id", text_col="text")
 
 
+def duplicate_spans_docs(sf_dir: str):
+    """Substring-level dedup (Lee et al., ACL'22 shape): the exact 8-token
+    spans occurring >= 2 times corpus-wide, merged to maximal per-doc
+    regions - cut the span, keep the document.  One postings row per token
+    position; two keyed shuffles; no per-window Python in the reduces."""
+    from .pipelines.spans import duplicate_spans_pipeline
+
+    ds = _docs(sf_dir)
+    return duplicate_spans_pipeline(ds, key_col="doc_id", text_col="text", n=8)
+
+
 def multimodal_media_features(sf_dir: str):
     """Driver-exercised multimodal path (rows-only: media decode has no SQL
     mirror): deterministic media payloads synthesized from doc_id in REAL
@@ -1780,6 +1791,7 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
+    "duplicate_spans_docs": duplicate_spans_docs,
     "multimodal_media_features": multimodal_media_features,  # rows-only (no oracle_sql)
     "snapshot_diff_docs": snapshot_diff_docs,
     "pivot_split_counts": pivot_split_counts,
@@ -1945,6 +1957,7 @@ def _family_oracles() -> dict:
     from .functions.dedup_oracle import (
         decontam_sql,
         dup_fraction_sql,
+        duplicate_spans_sql,
         exact_dedup_sql,
         jaccard_pairs_sql,
         lsh_pairs_sql,
@@ -2392,6 +2405,7 @@ def _family_oracles() -> dict:
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
         "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
         "dup_fraction_docs": dup_fraction_sql(**dedup_kw),
+        "duplicate_spans_docs": duplicate_spans_sql(**dedup_kw, n=8),
         "decontaminate_docs": decontam_sql(
             table="documents",
             key="doc_id",

@@ -1,0 +1,84 @@
+"""Positional duplicate-span detection (pipelines/spans.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _run(t, n=3, repartition=None):
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.pipelines.spans import duplicate_spans_pipeline
+
+    ds = rd.from_arrow(t)
+    if repartition:
+        ds = ds.repartition(repartition)
+    df = duplicate_spans_pipeline(ds, key_col="doc_id", text_col="text", n=n).to_pandas()
+    if df.empty:
+        return df
+    return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+class TestDuplicateSpans:
+    def test_shared_paragraph_and_unique_doc(self, ray_session):
+        shared = "the license text is identical here"  # 6 tokens
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"alpha beta {shared} gamma delta",
+                        f"start {shared} finish line now",
+                        "totally unique words with no repeats at all",
+                    ]
+                ),
+            }
+        )
+        df = _run(t, n=3)
+        # every 3-gram inside `shared` is duplicated; they merge to one span
+        spans = {(r.doc_id, r.span_start, r.span_end) for r in df.itertuples()}
+        # doc 1: shared occupies tokens 3..8 -> windows 3..6 -> span [3, 8]
+        assert (1, 3, 8) in spans
+        # doc 2: shared occupies tokens 2..7 -> span [2, 7]
+        assert (2, 2, 7) in spans
+        assert not any(r.doc_id == 3 for r in df.itertuples())
+
+    def test_within_doc_repeat_counts(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array(["x y z q r x y z q r"]),  # "x y z" twice in ONE doc
+            }
+        )
+        df = _run(t, n=3)
+        # all windows repeat (period 5): one maximal span covering the doc
+        assert len(df) == 1
+        assert (df.iloc[0].span_start, df.iloc[0].span_end) == (1, 10)
+
+    def test_disjoint_spans_stay_separate_and_layout(self, ray_session):
+        dup1 = "a b c"
+        dup2 = "p q r"
+        filler = " ".join(f"u{i}" for i in range(6))
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [f"{dup1} {filler} {dup2}", f"{dup2} w1 w2 w3 w4 w5 w6 {dup1}"]
+                ),
+            }
+        )
+        df = _run(t, n=3)
+        d1 = df[df.doc_id == 1]
+        assert [(r.span_start, r.span_end) for r in d1.itertuples()] == [(1, 3), (10, 12)]
+        df2 = _run(t, n=3, repartition=5)
+        assert (df.values == df2.values).all()
+
+    def test_short_docs_contribute_nothing(self, ray_session):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b", "a b"]),  # < n tokens each
+            }
+        )
+        assert len(_run(t, n=3)) == 0
