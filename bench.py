@@ -222,7 +222,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 def _dedup_job_rows(job: str) -> int:
     # LSH shingles+hashes every token window (heavier per row); exact dedup is
     # one sha256 per row - size each job to a few minutes of wall time
-    default = 4_000_000 if job in ("lsh", "dupfrac") else 16_000_000
+    if job in ("lsh", "dupfrac"):
+        default = 4_000_000
+    elif job == "spans":
+        default = 1_000_000  # one postings row per TOKEN: the heaviest map
+    else:
+        default = 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
 
 
@@ -316,6 +321,11 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
         from ddsketch_ruby_ray.pipelines.postings import dup_fraction_pipeline
 
         n = dup_fraction_pipeline(ds, key_col="doc_id", text_col="text").count()
+    elif job == "spans":
+        # substring dedup: one posting per token position, 2 keyed shuffles
+        from ddsketch_ruby_ray.pipelines.spans import duplicate_spans_pipeline
+
+        n = duplicate_spans_pipeline(ds, key_col="doc_id", text_col="text", n=8).count()
     elif job == "exact":
         n = exact_dedup_pipeline(ds, key_col="doc_id", text_col="text").count()
     else:
