@@ -1615,6 +1615,27 @@ def curation_split_counts(sf_dir: str):
     )
 
 
+def corr_tokens_chars_by_lang(sf_dir: str):
+    """Pearson correlation of (n_chars, n_tokens) per lang via the exact
+    sufficient-statistics aggregate: six integer sums merge in any order,
+    finalized with python-int arithmetic and ONE float conversion - the
+    correlation itself is bit-exact vs SQL."""
+    import pyarrow as pa
+
+    from .pipelines.stats import grouped_corr_pipeline
+    from .stages.text import _re_count
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_tokens", _re_count(t.column("text"), "[^ ]+"))
+        return t.drop_columns(["text"])
+
+    return grouped_corr_pipeline(
+        ds, group_col="lang", x_col="n_chars", y_col="n_tokens", derive=derive
+    )
+
+
 def quality_scores_docs(sf_dir: str):
     """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
     from .stages.text import quality_scores
@@ -1804,6 +1825,7 @@ QUERIES = {
     "top_tokens": top_tokens,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
+    "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
     "curation_counts_by_lang": curation_counts_by_lang,
     "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
@@ -2481,6 +2503,26 @@ def _family_oracles() -> dict:
                 ) AS rn FROM c
             ) WHERE rn <= 10
         """,
+        "corr_tokens_chars_by_lang": """
+WITH b AS (
+  SELECT lang, n_chars AS x,
+         len(regexp_extract_all(text, '[^ ]+')) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+         sum(y*y)::HUGEINT AS syy
+  FROM b GROUP BY lang
+)
+SELECT lang, n::DOUBLE AS n,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+            THEN (n*sxy - sx*sy)::DOUBLE /
+                 (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+            ELSE 0.0 END AS r
+FROM s
+""",
         "token_stats_by_lang": token_stats_by_group_sql(
             table="documents", group_col="lang", text_col="text"
         ),

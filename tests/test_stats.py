@@ -1,0 +1,59 @@
+"""Sufficient-statistics correlation aggregate (pipelines/stats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _run(t, repartition=None):
+    import ray.data as rd
+
+    from ddsketch_ruby_ray.pipelines.stats import grouped_corr_pipeline
+
+    ds = rd.from_arrow(t)
+    if repartition:
+        ds = ds.repartition(repartition)
+    return (
+        grouped_corr_pipeline(ds, group_col="g", x_col="x", y_col="y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_and_layout(self, ray_session):
+        rng = np.random.default_rng(2)
+        n = 3000
+        g = rng.choice(["a", "b"], n)
+        x = rng.integers(1, 1000, n)
+        y = (x * 3 + rng.integers(0, 500, n)).astype(np.int64)  # correlated
+        t = pa.table({"g": pa.array(g.tolist()), "x": pa.array(x, pa.int64()), "y": pa.array(y)})
+        df = _run(t).set_index("g")
+        for grp in ("a", "b"):
+            m = g == grp
+            want = np.corrcoef(x[m].astype(float), y[m].astype(float))[0, 1]
+            assert abs(df.loc[grp].r - want) < 1e-12
+            assert df.loc[grp].n == m.sum()
+        df2 = _run(t, repartition=9).set_index("g")
+        assert (df.values == df2.loc[df.index].values).all()  # bit-identical
+
+    def test_degenerate_variance_is_zero(self, ray_session):
+        t = pa.table(
+            {
+                "g": pa.array(["c"] * 10),
+                "x": pa.array([7] * 10, pa.int64()),  # zero variance
+                "y": pa.array(list(range(10)), pa.int64()),
+            }
+        )
+        df = _run(t)
+        assert df.r.tolist() == [0.0]
+
+    def test_perfect_correlation(self, ray_session):
+        x = np.arange(1, 101, dtype=np.int64)
+        t = pa.table(
+            {"g": pa.array(["p"] * 100), "x": pa.array(x), "y": pa.array(x * 5)}
+        )
+        df = _run(t, repartition=4)
+        assert abs(df.r.iloc[0] - 1.0) < 1e-15
