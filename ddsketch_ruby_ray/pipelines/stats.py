@@ -35,8 +35,11 @@ def grouped_corr_pipeline(
     derive=None,
     num_partitions: int = 16,
 ):
-    """-> Dataset[(group_col, n, r)] - count and Pearson correlation of two
-    INTEGER-valued columns per group (r = 0.0 when either variance is 0)."""
+    """-> Dataset[(group_col, n, r, slope, intercept)] - count, Pearson
+    correlation and the OLS fit y ~ slope*x + intercept of two INTEGER-valued
+    columns per group (r/slope = 0.0 when the relevant variance is 0).
+    Every float is derived from the exact integer sums in a fixed operation
+    order, so all columns are bit-exact vs SQL."""
 
     def preagg(t: pa.Table) -> pa.Table:
         if derive is not None:
@@ -75,7 +78,7 @@ def grouped_corr_pipeline(
             acc = groups.setdefault(row[group_col], [0, 0, 0, 0, 0, 0])
             for i, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
                 acc[i] += int(row[c])  # python ints: exact at any scale
-        gs, ns, rs = [], [], []
+        gs, ns, rs, slopes, icpts = [], [], [], [], []
         for g in sorted(groups):
             n, sx, sy, sxy, sxx, syy = groups[g]
             num = n * sxy - sx * sy
@@ -86,14 +89,21 @@ def grouped_corr_pipeline(
                 if d1 > 0 and d2 > 0
                 else 0.0
             )
+            slope = float(num) / float(d1) if d1 > 0 else 0.0
+            # fixed op order, mirrored in SQL: (sy - slope*sx) / n
+            icpt = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
             gs.append(g)
             ns.append(float(n))
             rs.append(r)
+            slopes.append(slope)
+            icpts.append(icpt)
         return pa.table(
             {
                 group_col: pa.array(gs),
                 "n": pa.array(ns, pa.float64()),
                 "r": pa.array(rs, pa.float64()),
+                "slope": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(icpts, pa.float64()),
             }
         )
 

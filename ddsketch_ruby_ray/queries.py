@@ -2520,7 +2520,15 @@ SELECT lang, n::DOUBLE AS n,
        CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
             THEN (n*sxy - sx*sy)::DOUBLE /
                  (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
-            ELSE 0.0 END AS r
+            ELSE 0.0 END AS r,
+       CASE WHEN (n*sxx - sx*sx) > 0
+            THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+            ELSE 0.0 END AS slope,
+       CASE WHEN n > 0
+            THEN (sy::DOUBLE - (CASE WHEN (n*sxx - sx*sx) > 0
+                                     THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                                     ELSE 0.0 END) * sx::DOUBLE) / n::DOUBLE
+            ELSE 0.0 END AS intercept
 FROM s
 """,
         "token_stats_by_lang": token_stats_by_group_sql(

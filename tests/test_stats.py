@@ -50,10 +50,12 @@ class TestGroupedCorr:
         df = _run(t)
         assert df.r.tolist() == [0.0]
 
-    def test_perfect_correlation(self, ray_session):
+    def test_perfect_correlation_and_ols(self, ray_session):
         x = np.arange(1, 101, dtype=np.int64)
         t = pa.table(
-            {"g": pa.array(["p"] * 100), "x": pa.array(x), "y": pa.array(x * 5)}
+            {"g": pa.array(["p"] * 100), "x": pa.array(x), "y": pa.array(x * 5 + 7)}
         )
         df = _run(t, repartition=4)
         assert abs(df.r.iloc[0] - 1.0) < 1e-15
+        assert df.slope.iloc[0] == 5.0
+        assert abs(df.intercept.iloc[0] - 7.0) < 1e-9
