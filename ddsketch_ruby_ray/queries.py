@@ -1249,6 +1249,19 @@ def dd_outlier_orders(sf_dir: str):
     )
 
 
+def exact_median_chars_by_lang(sf_dir: str):
+    """Sketch-guided EXACT selection: the exact floor-rank median of n_chars
+    per lang from two streaming passes - the sketch's exact bucket counts
+    locate the median's single bucket, and only that bucket's rows are
+    scanned.  No global sort anywhere."""
+    from .pipelines.selection import sketch_exact_quantile_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return sketch_exact_quantile_pipeline(
+        ds, group_col="lang", value_col="n_chars", q=0.5, alpha=ALPHA
+    )
+
+
 def dd_rollup_lang_source(sf_dir: str):
     """GROUP BY ROLLUP over the mergeability hierarchy: (lang, source) ->
     (lang) -> grand total, reading the corpus ONCE - each coarser level
@@ -1780,6 +1793,7 @@ QUERIES = {
     "dd_rank_transform_prices": dd_rank_transform_prices,
     "dd_outlier_orders": dd_outlier_orders,
     "dd_rollup_lang_source": dd_rollup_lang_source,
+    "exact_median_chars_by_lang": exact_median_chars_by_lang,
     "dd_cube_lang_source": dd_cube_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
     "dd_drift_train_val": dd_drift_train_val,
@@ -2274,6 +2288,16 @@ def _family_oracles() -> dict:
         "dd_rank_transform_prices": rank_sql,
         "dd_outlier_orders": outlier_sql,
         "dd_rollup_lang_source": rollup_sql,
+        "exact_median_chars_by_lang": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT lang, CAST(n_chars AS DOUBLE) AS exact_p50
+            FROM r WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        """,
         "dd_cube_lang_source": cube_sql,
         "dd_histogram_by_lang": hist_sql,
         "dd_drift_train_val": drift_sql,
