@@ -82,3 +82,47 @@ class TestDuplicateSpans:
             }
         )
         assert len(_run(t, n=3)) == 0
+
+    def test_random_corpus_matches_bruteforce(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import tokenize
+
+        rng = np.random.default_rng(44)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many collisions
+        n_win = 4
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 20)))
+            for _ in range(40)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}
+        )
+        df = _run(t, n=n_win, repartition=6)
+        got = {
+            (r.doc_id, r.span_start, r.span_end) for r in df.itertuples()
+        }
+        # brute force: global window counts, per-doc interval merge
+        from collections import Counter
+
+        wins = {}
+        counts = Counter()
+        for d, s in enumerate(texts):
+            toks = tokenize(s)
+            ws = [
+                " ".join(toks[i : i + n_win])
+                for i in range(len(toks) - n_win + 1)
+            ]
+            wins[d] = ws
+            counts.update(ws)
+        want = set()
+        for d, ws in wins.items():
+            dup_p = [i + 1 for i, w in enumerate(ws) if counts[w] >= 2]
+            if not dup_p:
+                continue
+            start = prev = dup_p[0]
+            for p in dup_p[1:]:
+                if p - prev > n_win:
+                    want.add((d, start, prev + n_win - 1))
+                    start = p
+                prev = p
+            want.add((d, start, prev + n_win - 1))
+        assert got == want
