@@ -1901,7 +1901,8 @@ ORACLE_SQL = {
     "user_running_totals": """
         SELECT event_id, user_id,
                row_number() OVER w AS rn,
-               sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w AS cum_value,
+               CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+                    AS BIGINT) AS cum_value,
                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1930,8 +1931,8 @@ ORACLE_SQL = {
     """,
     "revenue_by_priority_join": """
         SELECT o.o_orderpriority,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
-                        AS BIGINT)) AS revenue_e4,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                             AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_items
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
