@@ -29,6 +29,7 @@ __all__ = [
     "splitmix64",
     "hash64_int",
     "hash256_str",
+    "fold_windows",
     "splitmix64_sql",
     "sha_lane_sql",
 ]
@@ -97,6 +98,48 @@ def hash256_str(col, lanes: int = 1) -> list[np.ndarray]:
             )
         )
     return out
+
+
+def fold_windows(
+    tokh: np.ndarray,
+    starts: np.ndarray,
+    n: int,
+    widths: np.ndarray | None = None,
+) -> np.ndarray:
+    """uint64 fingerprint per n-element window of a uint64 token-hash array.
+
+    Window w covers ``tokh[starts[w] : starts[w] + width_w]`` (``width_w = n``
+    when ``widths`` is None); its fingerprint is the splitmix64 fold
+    ``acc_j = splitmix64(acc_{j-1} + tokh[starts[w]+j])`` with ``acc_{-1}=0``
+    — the same chain the LSH band buckets use, so the SQL mirror is the same
+    CTE-per-step expansion (functions/dedup_oracle.py::_window_fold_ctes).
+
+    Fully vectorized: n gather+splitmix passes over all windows at once — no
+    per-window Python, no window-string materialization.  This replaces the
+    round-2 ``" ".join(toks[i:i+n])`` + per-string sha256 map stage, whose
+    O(total_tokens x n) char copies dominated the spans/shingle pipelines.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    acc = np.zeros(starts.size, dtype=np.uint64)
+    if not starts.size:
+        return acc
+    old = np.seterr(over="ignore")
+    try:
+        for j in range(n):
+            if widths is None:
+                acc = splitmix64(acc + tokh[starts + j])
+            else:
+                live = widths > j
+                if live.all():
+                    acc = splitmix64(acc + tokh[starts + j])
+                else:
+                    idx = np.flatnonzero(live)
+                    if not idx.size:
+                        break
+                    acc[idx] = splitmix64(acc[idx] + tokh[starts[idx] + j])
+    finally:
+        np.seterr(**old)
+    return acc
 
 
 # -- SQL mirrors -------------------------------------------------------------

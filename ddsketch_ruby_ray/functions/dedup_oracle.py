@@ -1,7 +1,8 @@
 """DuckDB oracle SQL mirroring the dedup pipelines bit-for-bit.
 
 Tokenization contract shared with pipelines/dedup.py: literal single-space
-split with empties dropped; word n-gram shingles joined by a single space,
+split with empties dropped; shingle/window identity = splitmix64 fold of the
+window's per-token sha256 hashes (_window_fold_ctes <-> fold_windows),
 DISTINCT per doc for MinHash/Jaccard, multiset tokens for SimHash.
 Hashing contract: sha256 lanes + seeded splitmix64 (core/hashing.py).
 """
@@ -36,23 +37,56 @@ def _tokens_cte(table: str, key: str, text: str) -> str:
 """
 
 
-def _shingles_cte(table: str, key: str, text: str, n: int) -> str:
-    """(key, shingle) DISTINCT word n-grams (single-space joined).
+def _tok_hash_list_cte(table: str, key: str, text: str) -> str:
+    """(key, hs LIST(HUGEINT)) — per-token sha256-lane-0 hashes in token
+    order, one row per doc with >= 1 token (mirrors _doc_token_hashes)."""
+    return f"""
+  SELECT key, list(({sha_lane_sql('tok', 0)})::HUGEINT ORDER BY pos) AS hs
+  FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+"""
 
-    Docs with fewer than n tokens contribute their full token join (matching
-    word_shingles); docs with zero tokens contribute nothing.
+
+def _window_fold_ctes(n: int, *, variable_width: bool) -> str:
+    """CTE chain: wins(key, p[, width], hs) -> wh(key, p, h HUGEINT).
+
+    acc_j = splitmix64(acc_{{j-1}} + hs[p+j]) with acc_{{-1}} = 0; with
+    ``variable_width``, steps j >= width are identity — mirrors
+    core/hashing.py::fold_windows' masked fold for short docs.  One CTE per
+    fold step (same expansion discipline as _bucket_fold_ctes).
+    """
+    ctes = []
+    prev, acc = "wins", None
+    for j in range(n):
+        step_in = "hs[p]" if acc is None else f"(({acc} + hs[p + {j}]) % {_TWO64})"
+        expr = splitmix64_sql(step_in, normalize=False)
+        if variable_width and j > 0:
+            expr = f"CASE WHEN width > {j} THEN {expr} ELSE {acc} END"
+        width_col = ", width" if variable_width and j < n - 1 else ""
+        hs_col = ", hs" if j < n - 1 else ""
+        ctes.append(
+            f"f{j} AS (SELECT key, p{width_col}{hs_col}, {expr} AS a{j} FROM {prev})"
+        )
+        prev, acc = f"f{j}", f"a{j}"
+    ctes.append(f"wh AS (SELECT key, p, {acc} AS h FROM {prev})")
+    return ",\n".join(ctes)
+
+
+def _shingle_hash_cte(table: str, key: str, text: str, n: int) -> str:
+    """(key, h) DISTINCT shingle-fold hashes per doc (mirrors
+    _doc_shingle_hashes: h = splitmix64 fold of the shingle's per-token
+    hashes; docs with 0 < L < n tokens contribute one width-L fold — the
+    full-token shingle of word_shingles; zero-token docs contribute nothing).
     """
     return f"""
-  WITH toks AS (
-    SELECT key, list(tok ORDER BY pos) AS ts
-    FROM ({_tokens_cte(table, key, text)}) GROUP BY key
-  )
-  SELECT DISTINCT key,
-         CASE WHEN len(ts) < {n} THEN array_to_string(ts, ' ')
-              ELSE array_to_string(ts[i : i + {n - 1}], ' ') END AS shingle
-  FROM toks, LATERAL (
-    SELECT unnest(range(1, greatest(len(ts) - {n - 1}, 1) + 1)) AS i
-  )
+  WITH toksh AS ({_tok_hash_list_cte(table, key, text)}),
+  wins AS (
+    SELECT key, i.i AS p, least({n}, len(hs) - i.i + 1) AS width, hs
+    FROM toksh, LATERAL (
+      SELECT unnest(range(1, greatest(len(hs) - {n - 1}, 1) + 1)) AS i
+    ) i
+  ),
+  {_window_fold_ctes(n, variable_width=True)}
+  SELECT DISTINCT key, h FROM wh
 """
 
 
@@ -64,15 +98,14 @@ def exact_dedup_sql(*, table: str, key: str, text: str) -> str:
 def _minhash_cte(table: str, key: str, text: str, num_hashes: int, n: int) -> str:
     """(key, i, m): minhash value per (doc, seed i).
 
-    Mirrors minhash_signatures: shingle hash = sha256 lane 0; per seed i,
+    Mirrors minhash_signatures: shingle hash = token-hash fold; per seed i,
     h = splitmix64(lane0 + i*C1 mod 2^64) >> 1 (int63 domain); m = min.
     Empty docs are restored via the doc list with sentinel 2^63-1.
     """
     seeded = f"((sh.h + (i.i::HUGEINT * {_C1}::HUGEINT) % {_TWO64}) % {_TWO64})"
     core = splitmix64_sql(seeded, normalize=False)
     return f"""
-  WITH sh_raw AS ({_shingles_cte(table, key, text, n)}),
-  sh AS (SELECT key, ({sha_lane_sql('shingle', 0)})::HUGEINT AS h FROM sh_raw),
+  WITH sh AS ({_shingle_hash_cte(table, key, text, n)}),
   mh AS (
     SELECT sh.key, i.i AS i, min(({core}) // 2)::BIGINT AS m
     FROM sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS i) i
@@ -164,7 +197,7 @@ def jaccard_pairs_sql(
 ) -> str:
     """(a, b, jac1000) for LSH candidates with exact shingle-set Jaccard >= threshold."""
     pairs = lsh_pairs_sql(table=table, key=key, text=text, num_hashes=num_hashes, bands=bands, n=n)
-    shingles = _shingles_cte(table, key, text, n)
+    shingles = _shingle_hash_cte(table, key, text, n)
     return f"""
 WITH pairs AS ({pairs}),
 sh AS ({shingles}),
@@ -173,7 +206,7 @@ inter AS (
   SELECT p.a, p.b, count(*) AS i
   FROM pairs p
   JOIN sh sa ON sa.key = p.a
-  JOIN sh sb ON sb.key = p.b AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.key = p.b AND sb.h = sa.h
   GROUP BY p.a, p.b
 ),
 jac AS (
@@ -206,16 +239,16 @@ def ngram_jaccard_sql(
     counts, and both the threshold test and jac1000 are exact integer
     arithmetic (inter*1000 >= thr_milli*union; (inter*1000)//union).
     """
-    shingles = _shingles_cte(table, key, text, n)
+    shingles = _shingle_hash_cte(table, key, text, n)
     return f"""
 WITH sh AS ({shingles}),
 sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {df_cap}),
+rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= {df_cap}),
 co AS (
   SELECT sa.key AS a, sb.key AS b, count(*) AS i
   FROM sh sa
-  JOIN sh sb ON sb.shingle = sa.shingle AND sa.key < sb.key
-  JOIN rare r ON r.shingle = sa.shingle
+  JOIN sh sb ON sb.h = sa.h AND sa.key < sb.key
+  JOIN rare r ON r.h = sa.h
   GROUP BY sa.key, sb.key
 )
 SELECT co.a, co.b,
@@ -235,14 +268,14 @@ def dup_fraction_sql(*, table: str, key: str, text: str, n: int = 3) -> str:
     the exact integer (1000 * n_dup) // n_shingles.  Docs with zero shingles
     are absent on both sides.
     """
-    shingles = _shingles_cte(table, key, text, n)
+    shingles = _shingle_hash_cte(table, key, text, n)
     return f"""
 WITH sh AS ({shingles}),
-df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
 per AS (
   SELECT sh.key, count(*) AS sz,
          sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup
-  FROM sh JOIN df USING (shingle) GROUP BY sh.key
+  FROM sh JOIN df USING (h) GROUP BY sh.key
 )
 SELECT key AS {key}, sz::BIGINT AS n_shingles, dup::BIGINT AS n_dup,
        CAST((dup * 1000) // sz AS BIGINT) AS dup_milli
@@ -254,25 +287,24 @@ def duplicate_spans_sql(*, table: str, key: str, text: str, n: int = 8) -> str:
     """(key, span_start, span_end): maximal duplicated positional n-token
     spans, 1-based inclusive - mirrors pipelines/spans.py bit-for-bit.
 
-    A positional window is duplicated iff its exact token string occurs >= 2
-    times corpus-wide (within-doc repeats count); windows whose ranges
-    overlap or touch merge (new span when p > lag(p) + n).
+    A positional window is duplicated iff its token-hash fold occurs >= 2
+    times corpus-wide (within-doc repeats count; fold = window fingerprint of
+    pipelines/spans.py); windows whose ranges overlap or touch merge (new
+    span when p > lag(p) + n).
     """
     return f"""
-WITH toks AS (
-  SELECT key, list(tok ORDER BY pos) AS ts
-  FROM ({_tokens_cte(table, key, text)}) GROUP BY key
-),
-w AS (
-  SELECT key, i.i AS p, array_to_string(ts[i.i : i.i + {n - 1}], ' ') AS win
-  FROM toks, LATERAL (
-    SELECT unnest(range(1, greatest(len(ts) - {n - 1}, 0) + 1)) AS i
+WITH toksh AS ({_tok_hash_list_cte(table, key, text)}),
+wins AS (
+  SELECT key, i.i AS p, hs
+  FROM toksh, LATERAL (
+    SELECT unnest(range(1, greatest(len(hs) - {n - 1}, 0) + 1)) AS i
   ) i
-  WHERE len(ts) >= {n}
+  WHERE len(hs) >= {n}
 ),
+{_window_fold_ctes(n, variable_width=False)},
 dupw AS (
   SELECT key, p FROM (
-    SELECT key, p, count(*) OVER (PARTITION BY win) AS c FROM w
+    SELECT key, p, count(*) OVER (PARTITION BY h) AS c FROM wh
   ) WHERE c >= 2
 ),
 marked AS (
@@ -320,15 +352,14 @@ def decontam_sql(*, table: str, key: str, text: str, bench_where: str, n: int = 
     pipelines/decontam.py::decontaminate_pipeline with the benchmark set
     defined as ``{table} WHERE {bench_where}``.
 
-    Shingle hashes are sha256 lane 0 of the shingle string on BOTH sides, so
-    membership (including any 64-bit collisions) is identical; zero-token
-    docs are restored by the LEFT JOIN with (0, 0, 0).
+    Shingle hashes are the token-hash fold (_shingle_hash_cte) on BOTH
+    sides, so membership (including any 64-bit collisions) is identical;
+    zero-token docs are restored by the LEFT JOIN with (0, 0, 0).
     """
-    shingles = _shingles_cte(table, key, text, n)
-    h = sha_lane_sql("shingle")
+    shingles = _shingle_hash_cte(table, key, text, n)
     return f"""
 WITH tsh AS ({shingles}),
-th AS (SELECT key, {h} AS sh FROM tsh),
+th AS (SELECT key, h AS sh FROM tsh),
 bh AS (
   SELECT DISTINCT sh FROM th
   WHERE key IN (SELECT {key} FROM {table} WHERE {bench_where})

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.hashing import hash64_int, hash256_str, splitmix64
+from ..core.hashing import fold_windows, hash64_int, hash256_str, splitmix64
 
 __all__ = [
     "tokenize",
@@ -186,20 +186,90 @@ def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-def _doc_shingle_hashes(batch: pa.Table, text_col: str, n: int):
-    """Per batch: flat uint64 shingle-hash array + per-doc boundaries."""
-    texts = batch.column(text_col).to_pylist()
-    all_shingles: list[str] = []
-    boundaries = [0]
-    for t in texts:
-        sh = word_shingles(t, n)
-        all_shingles.extend(sh)
-        boundaries.append(len(all_shingles))
-    if all_shingles:
-        flat = hash256_str(np.array(all_shingles, dtype=object), lanes=1)[0]
+def _doc_token_hashes(batch: pa.Table, text_col: str):
+    """Per batch: flat uint64 TOKEN-hash array + per-doc boundaries.
+
+    Fully vectorized: one Arrow ``split_pattern`` over the whole column, one
+    empty-token filter, one ``dictionary_encode`` so sha256 runs once per
+    DISTINCT token in the batch (Zipf makes the dictionary far smaller than
+    the token stream), then a numpy gather back to token positions.  Null
+    text tokenizes like the empty string (hash256_str's null policy).
+    Token hash = sha256 lane 0 of the token's utf-8 bytes — the SQL mirror is
+    ``sha_lane_sql('tok')`` over the unnested split (dedup_oracle.py).
+    """
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    split = pc.split_pattern(pc.fill_null(col, ""), SPLIT_CHAR)
+    counts = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat = pc.list_flatten(split)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    cs = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+    bounds = cs[offsets]  # per-doc boundaries into the kept-token stream
+    kept = flat.filter(pa.array(nonempty))
+    if not len(kept):
+        return np.zeros(0, dtype=np.uint64), bounds
+    de = kept.dictionary_encode()
+    uniq_h = hash256_str(de.dictionary, lanes=1)[0]
+    tokh = uniq_h[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    return tokh, bounds
+
+
+def _window_geometry(bounds: np.ndarray, n: int, *, short_docs: bool):
+    """(starts, widths_or_None, per-doc window counts) for n-token windows.
+
+    ``short_docs=True`` = shingle semantics: a doc with 0 < L < n tokens
+    contributes ONE window of width L (the full-token join of word_shingles);
+    ``short_docs=False`` = positional-span semantics: docs with L < n tokens
+    contribute no windows and every window has width exactly n.
+    """
+    L = np.diff(bounds)
+    if short_docs:
+        n_win = np.where(L == 0, 0, np.maximum(L - n + 1, 1))
     else:
-        flat = np.zeros(0, dtype=np.uint64)
-    return flat, np.asarray(boundaries, dtype=np.int64)
+        n_win = np.maximum(L - n + 1, 0)
+    total = int(n_win.sum())
+    doc_first = np.repeat(bounds[:-1], n_win)
+    win_cum = np.concatenate([[0], np.cumsum(n_win)])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(win_cum[:-1], n_win)
+    starts = doc_first + intra
+    if short_docs:
+        widths = np.minimum(np.repeat(L, n_win), n)
+        if widths.size and (widths == n).all():
+            widths = None
+    else:
+        widths = None
+    return starts, widths, n_win
+
+
+def _doc_shingle_hashes(batch: pa.Table, text_col: str, n: int):
+    """Per batch: flat uint64 shingle-hash array + per-doc boundaries.
+
+    Shingle identity = splitmix64 fold of the window's per-token sha256
+    hashes (core/hashing.py::fold_windows) — same equivalence classes as the
+    joined shingle STRING up to hash collisions, mirrored bit-for-bit by the
+    SQL fold CTEs, and computed with zero per-window Python.  Shingles are
+    DISTINCT per doc, emitted hash-sorted within each doc's run.
+    """
+    tokh, bounds = _doc_token_hashes(batch, text_col)
+    starts, widths, n_win = _window_geometry(bounds, n, short_docs=True)
+    h = fold_windows(tokh, starts, n, widths)
+    # distinct per doc: sort each doc's run, keep first of each equal run
+    doc_of = np.repeat(np.arange(len(n_win), dtype=np.int64), n_win)
+    order = np.lexsort((h, doc_of))
+    h_s, d_s = h[order], doc_of[order]
+    first = np.empty(h_s.size, dtype=bool)
+    if h_s.size:
+        first[0] = True
+        first[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    flat = h_s[first]
+    per_doc = np.bincount(d_s[first], minlength=len(n_win)) if h_s.size else np.zeros(
+        len(n_win), dtype=np.int64
+    )
+    return flat, np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int64)
 
 
 MINHASH_SENTINEL = np.int64(2**63 - 1)  # empty-doc slot value (SQL: 9223372036854775807)

@@ -28,27 +28,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.hashing import hash64_int, hash256_str
-from .dedup import tokenize
+from ..core.hashing import fold_windows, hash64_int
+from .dedup import _doc_token_hashes, _window_geometry
 
 __all__ = ["duplicate_spans_pipeline"]
 
 
 def _doc_window_hashes(batch: pa.Table, text_col: str, n: int):
-    """Flat positional window-hash array + per-doc boundaries (no dedup)."""
-    texts = batch.column(text_col).to_pylist()
-    wins: list[str] = []
-    boundaries = [0]
-    for t in texts:
-        toks = tokenize(t)
-        for i in range(len(toks) - n + 1):
-            wins.append(" ".join(toks[i : i + n]))
-        boundaries.append(len(wins))
-    if wins:
-        flat = hash256_str(np.array(wins, dtype=object), lanes=1)[0]
-    else:
-        flat = np.zeros(0, dtype=np.uint64)
-    return flat, np.asarray(boundaries, dtype=np.int64)
+    """Flat positional window-hash array + per-doc boundaries (no dedup).
+
+    Window fingerprint = splitmix64 fold of the window's per-token sha256
+    hashes (vectorized; see fold_windows) — no per-window string build, no
+    per-window sha256.  Docs shorter than n tokens contribute no windows.
+    """
+    tokh, bounds = _doc_token_hashes(batch, text_col)
+    starts, _, n_win = _window_geometry(bounds, n, short_docs=False)
+    flat = fold_windows(tokh, starts, n)
+    return flat, np.concatenate([[0], np.cumsum(n_win)]).astype(np.int64)
 
 
 def duplicate_spans_pipeline(
