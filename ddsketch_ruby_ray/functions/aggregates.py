@@ -56,7 +56,17 @@ def quantile_name(q: float) -> str:
 
 
 class SketchAgg(AggregateFnV2):
-    """Base class: subclasses provide a sketch factory + vectorized accumulate."""
+    """Base class: subclasses provide a sketch factory + vectorized accumulate.
+
+    Partial states cross the shuffle as Arrow-native ``to_state()`` struct
+    dicts (scalars + float64 bin lists), NOT pickled DDSketch objects - Ray's
+    sort-aggregate packs partial states into a block column, and an opaque
+    Python object forces its "falling back to serialize as pickled python
+    objects" path (slower, and unreadable to any other Arrow consumer).
+    ``combine``/``finalize`` accept either form and never mutate operands
+    (the reference's merge-consistency contract,
+    `spec/support/shared_examples_for_sketch.rb:203-250`).
+    """
 
     def __init__(self, on: str, name: str, ignore_nulls: bool = True):
         super().__init__(name=name, zero_factory=self._zero, on=on, ignore_nulls=ignore_nulls)
@@ -64,12 +74,41 @@ class SketchAgg(AggregateFnV2):
     def _zero(self):  # pragma: no cover - overridden
         raise NotImplementedError
 
+    @staticmethod
+    def _to_wire(sk: DDSketch) -> dict:
+        """Arrow-struct-friendly state: no None values (schema-stable keys)."""
+        st = sk.to_state()
+        st["bins"] = np.asarray(st["bins"], dtype=np.float64)
+        st["neg_bins"] = np.asarray(st["neg_bins"], dtype=np.float64)
+        st["bin_limit"] = -1 if st["bin_limit"] is None else int(st["bin_limit"])
+        st["interpolation"] = st["interpolation"] or "none"
+        st["collapse_mode"] = st["collapse_mode"] or "none"
+        return st
+
+    @staticmethod
+    def _from_wire(st) -> DDSketch:
+        if not isinstance(st, dict):
+            return st  # already a sketch (e.g. zero_factory output)
+        st = dict(st)
+        if st.get("bin_limit") == -1:
+            st["bin_limit"] = None
+        if st.get("collapse_mode") == "none":
+            st["collapse_mode"] = None
+        return DDSketch.from_state(st)
+
     def combine(self, a, b):
-        if a is None or getattr(a, "count", 1) == 0:
+        if a is None:
             return b
-        if b is None or getattr(b, "count", 1) == 0:
+        if b is None:
             return a
-        return a.merged_with(b)  # pure: mutates neither operand
+        sa, sb = self._from_wire(a), self._from_wire(b)
+        if sa.count == 0:
+            merged = sb
+        elif sb.count == 0:
+            merged = sa
+        else:
+            merged = sa.merged_with(sb)  # pure: mutates neither operand
+        return self._to_wire(merged)
 
 
 class DDSketchAgg(SketchAgg):
@@ -121,10 +160,11 @@ class DDSketchAgg(SketchAgg):
             return LogCollapsingHighestDenseSketch(self._alpha, self._bin_limit)
         return DDSketch(self._alpha)
 
-    def aggregate_block(self, block) -> DDSketch:
+    def aggregate_block(self, block) -> dict:
         sk = self._zero()
         if self._weight_col is None:
             sk.add_batch(_column_numpy(block, self._on_col))
+            return self._to_wire(sk)
         else:
             # aligned extraction (no null drop when weighted; assume non-null)
             if hasattr(block, "column_names"):
@@ -134,11 +174,10 @@ class DDSketchAgg(SketchAgg):
                 vals = block[self._on_col].to_numpy()
                 w = block[self._weight_col].to_numpy()
             sk.add_batch(np.asarray(vals, dtype=np.float64), np.asarray(w, dtype=np.float64))
-        return sk
+        return self._to_wire(sk)
 
-    def finalize(self, acc: DDSketch) -> dict:
-        if acc is None:
-            acc = self._zero()
+    def finalize(self, acc) -> dict:
+        acc = self._zero() if acc is None else self._from_wire(acc)
         empty = acc.count == 0
         out = {
             "count": float(acc.count),
@@ -185,17 +224,20 @@ class SpecAgg(AggregateFnV2):
         else:  # pandas
             arrays = {c: np.asarray(block[c]) for c in self._spec.columns}
         self._spec.accumulate(sk, arrays)
-        return sk
+        return self._spec.to_state(sk)  # Arrow-native partial state (see SketchAgg)
+
+    def _unwire(self, st):
+        return self._spec.from_state(st) if isinstance(st, dict) else st
 
     def combine(self, a, b):
         if a is None:
             return b
         if b is None:
             return a
-        return self._spec.merge(a, b)
+        return self._spec.to_state(self._spec.merge(self._unwire(a), self._unwire(b)))
 
     def finalize(self, acc) -> dict:
-        acc = acc if acc is not None else self._spec.zero()
+        acc = self._unwire(acc) if acc is not None else self._spec.zero()
         if self._emit_state:
             return self._spec.to_state(acc)
         return self._spec.finalize(acc)
@@ -231,16 +273,21 @@ class SketchStateMergeAgg(AggregateFnV2):
                 continue
             sk = self._spec.from_state(st)
             acc = sk if acc is None else self._spec.merge(acc, sk)
-        return acc
+        return None if acc is None else self._spec.to_state(acc)
+
+    def _unwire(self, st):
+        return self._spec.from_state(st) if isinstance(st, dict) else st
 
     def combine(self, a, b):
         if a is None:
             return b
         if b is None:
             return a
-        return self._spec.merge(a, b)
+        return self._spec.to_state(self._spec.merge(self._unwire(a), self._unwire(b)))
 
     def finalize(self, acc) -> dict:
+        if acc is not None:
+            acc = self._unwire(acc)
         if self._emit_state:
             if acc is None:
                 acc = self._spec.zero()
@@ -252,9 +299,8 @@ class DDSketchStateAgg(DDSketchAgg):
     """Variant that finalizes to the serialized sketch state (for checkpoints
     or further cross-dataset merging) instead of quantile scalars."""
 
-    def finalize(self, acc: DDSketch):
-        if acc is None:
-            acc = self._zero()
+    def finalize(self, acc):
+        acc = self._zero() if acc is None else self._from_wire(acc)
         st = acc.to_state()
         st["bins"] = np.asarray(st["bins"], dtype=np.float64)
         st["neg_bins"] = np.asarray(st["neg_bins"], dtype=np.float64)

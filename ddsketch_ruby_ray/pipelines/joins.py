@@ -37,7 +37,12 @@ import pyarrow.compute as pc
 
 from ..core.hashing import hash64_int
 
-__all__ = ["asof_join_pipeline", "range_join_pipeline", "hash_join_pipeline"]
+__all__ = [
+    "asof_join_pipeline",
+    "range_join_pipeline",
+    "hash_join_pipeline",
+    "broadcast_hash_join_pipeline",
+]
 
 _SIDE_RIGHT = 0
 _SIDE_LEFT = 1
@@ -241,20 +246,20 @@ def hash_join_pipeline(
             kcol = t.column(key_col)
             if kcol.null_count:
                 if keep_null_keys:
-                    t = t.set_column(
-                        t.schema.get_field_index(key_col), key_col,
-                        pc.fill_null(kcol, 0),
-                    )
-                    valid = pc.is_valid(kcol).combine_chunks().to_numpy(
+                    # fill ONLY the shuffle-key copy: a carried key COLUMN
+                    # must stay null in the output (SQL projects NULL, not 0)
+                    kcol = pc.fill_null(kcol, 0)
+                    valid = pc.is_valid(t.column(key_col)).combine_chunks().to_numpy(
                         zero_copy_only=False
                     )
                 else:
                     t = t.filter(pc.is_valid(kcol))
+                    kcol = t.column(key_col)
                     valid = np.ones(t.num_rows, dtype=bool)
             else:
                 valid = np.ones(t.num_rows, dtype=bool)
             n = t.num_rows
-            keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
             cols = {
                 "_part": pa.array(
                     (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
@@ -322,6 +327,102 @@ def hash_join_pipeline(
         return pa.table(out)
 
     return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
+
+
+def broadcast_hash_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    how: str = "inner",
+):
+    """Small-side BROADCAST equi-join: the classic planner win over
+    :func:`hash_join_pipeline` when one side is a dimension table.
+
+    Physical plan: materialize the RIGHT side once (it must fit in one
+    worker's memory — the caller's contract; use the AMS join-size /
+    KMV distinct estimates to decide), sort it by key, ``ray.put`` the
+    (sorted-keys, payload) build ONCE, and stream the left side through
+    ``map_batches`` probes that ``ray.get`` the build from the LOCAL object
+    store (zero-copy; the object ships to each node once, never per batch).
+    The big side's payload is never shuffled — no all-to-all at all.
+
+    Semantics are identical to ``hash_join_pipeline`` (same duplicate-key
+    multiplication, null-keys-never-match, left/semi/anti row policies), so
+    the two share one SQL oracle; the probe math is the same searchsorted +
+    repeat/arange expansion, just against the broadcast build instead of a
+    co-partitioned slice.
+    """
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
+    if how in ("semi", "anti") and right_payload:
+        raise ValueError(f"how={how!r} joins emit no right columns; pass right_payload=()")
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    rtypes = {f.name: f.type for f in right.schema().base_schema}
+
+    parts = [
+        t for t in ray.get(
+            right.select_columns([right_key] + right_payload).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if parts:
+        rt = pa.concat_tables(parts).combine_chunks()
+    else:
+        rt = pa.table({c: pa.array([], type=rtypes[c]) for c in [right_key] + right_payload})
+    kcol = rt.column(right_key)
+    if kcol.null_count:  # null keys never match
+        rt = rt.filter(pc.is_valid(kcol))
+    rkeys = rt.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rkeys, kind="stable")
+    rk = rkeys[order]
+    payload = rt.select(right_payload).take(pa.array(order)) if right_payload else None
+    build_ref = ray.put((rk, payload))  # ONCE; local-store zero-copy reads below
+
+    def probe(t: pa.Table) -> pa.Table:
+        rk, payload = ray.get(build_ref)
+        n = t.num_rows
+        kcol = t.column(left_key)
+        if kcol.null_count:
+            kvalid = pc.is_valid(kcol).combine_chunks().to_numpy(zero_copy_only=False)
+            lk = pc.fill_null(kcol, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            kvalid = np.ones(n, dtype=bool)
+            lk = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rk, lk, "left")
+        hi = np.searchsorted(rk, lk, "right")
+        counts = np.where(kvalid, hi - lo, 0)
+        if how in ("semi", "anti"):
+            sel = counts > 0 if how == "semi" else counts == 0
+            take = pa.array(np.flatnonzero(sel))
+            return pa.table({c: pc.take(t.column(c), take) for c in left_cols})
+        out_counts = np.maximum(counts, 1) if how == "left" else counts
+        total = int(out_counts.sum())
+        if total == 0:
+            return pa.table(
+                {c: pa.array([], type=t.schema.field(c).type) for c in left_cols}
+                | {c: pa.array([], type=rtypes[c]) for c in right_payload}
+            )
+        li = np.repeat(np.arange(n), out_counts)
+        starts = np.cumsum(out_counts) - out_counts
+        offs = np.arange(total) - np.repeat(starts, out_counts)
+        ri = np.repeat(lo, out_counts) + offs
+        matched = np.repeat(counts > 0, out_counts)
+        out = {c: pc.take(t.column(c), pa.array(li)) for c in left_cols}
+        if rk.size:
+            r_take = pa.array(np.minimum(ri, rk.size - 1), mask=~matched)
+            out |= {c: pc.take(payload.column(c), r_take) for c in right_payload}
+        else:
+            out |= {c: pa.nulls(total, type=rtypes[c]) for c in right_payload}
+        return pa.table(out)
+
+    return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def range_join_pipeline(

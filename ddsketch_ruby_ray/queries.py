@@ -552,6 +552,57 @@ def revenue_by_priority_join(sf_dir: str):
     )
 
 
+def revenue_by_priority_broadcast_join(sf_dir: str):
+    """Same join + aggregate as :func:`revenue_by_priority_join`, but through
+    the BROADCAST plan: orders (the dimension side) is ray.put once and every
+    lineitem batch probes it locally — the fact side's payload never crosses
+    an all-to-all shuffle.  Shares the shuffle variant's oracle SQL verbatim;
+    the driver comparing both green proves plan-equivalence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.joins import broadcast_hash_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = broadcast_hash_join_pipeline(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"],
+        right_payload=["o_orderpriority"],
+        how="inner",
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pa.array(rev),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.groupby("o_orderpriority").sum(["revenue_e4", "one"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pc.cast(t.column("sum(revenue_e4)"), pa.int64()),
+                "n_items": pc.cast(t.column("sum(one)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -1783,6 +1834,7 @@ QUERIES = {
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
+    "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
     "customers_no_urgent_orders": customers_no_urgent_orders,
     "customers_with_big_orders": customers_with_big_orders,
     "split_counts_by_lang": split_counts_by_lang,
@@ -2688,3 +2740,7 @@ FROM s
 
 
 ORACLE_SQL.update(_family_oracles())
+
+# The broadcast-plan join is semantically identical to the shuffle plan, so it
+# shares the exact oracle SQL — both green proves plan-equivalence.
+ORACLE_SQL["revenue_by_priority_broadcast_join"] = ORACLE_SQL["revenue_by_priority_join"]

@@ -287,3 +287,80 @@ class TestRangeJoin:
         )
         got = sorted(zip(df["lid"].astype(int), df["pay"].astype(int)))
         assert got == expect
+
+
+class TestBroadcastHashJoin:
+    """Plan-equivalence: the broadcast probe must match the shuffle join
+    bit-for-bit on every `how` (same duplicate multiplication, null-key and
+    unmatched-row policies), including on random data."""
+
+    def _both(self, lt, rt, how, payload=("pay",)):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import (
+            broadcast_hash_join_pipeline,
+            hash_join_pipeline,
+        )
+
+        kw = dict(
+            left_key="k",
+            right_key="k2",
+            left_cols=["lid", "k"],
+            right_payload=list(payload),
+            how=how,
+        )
+        a = hash_join_pipeline(rd.from_arrow(lt), rd.from_arrow(rt), **kw).to_pandas()
+        b = broadcast_hash_join_pipeline(
+            rd.from_arrow(lt), rd.from_arrow(rt), **kw
+        ).to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        return a, b
+
+    @pytest.mark.parametrize("how", ["inner", "left"])
+    def test_matches_shuffle_plan(self, ray_session, how):
+        import pandas as pd
+
+        lt = _left([1, 1, 2, 3, None], [0] * 5)
+        rt = _right([1, 2, 2, 4, None], [0] * 5, [10, 20, 21, 40, 99])
+        a, b = self._both(lt, rt, how)
+        pd.testing.assert_frame_equal(a, b)
+
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_semi_anti_match(self, ray_session, how):
+        import pandas as pd
+
+        lt = _left([1, 1, 2, 3, None], [0] * 5)
+        rt = _right([1, 1, 4, None], [0] * 4, [9, 9, 9, 9])
+        a, b = self._both(lt, rt, how, payload=())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_right_all_hows(self, ray_session):
+        import pandas as pd
+
+        lt = _left([1, 2], [0, 0])
+        rt = _right([], [], [])
+        for how in ("inner", "left"):
+            a, b = self._both(lt, rt, how)
+            pd.testing.assert_frame_equal(a, b)
+        for how in ("semi", "anti"):
+            a, b = self._both(lt, rt, how, payload=())
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_random_fuzz_vs_shuffle(self, ray_session):
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            nl, nr = int(rng.integers(1, 200)), int(rng.integers(0, 60))
+            lk = rng.integers(0, 20, size=nl).tolist()
+            rk = rng.integers(0, 20, size=nr).tolist()
+            lt = _left(lk, [0] * nl)
+            rt = _right(rk, [0] * nr, rng.integers(0, 1000, size=nr).tolist())
+            for how in ("inner", "left"):
+                a, b = self._both(lt, rt, how)
+                pd.testing.assert_frame_equal(a, b)
+            for how in ("semi", "anti"):
+                a, b = self._both(lt, rt, how, payload=())
+                pd.testing.assert_frame_equal(a, b)
