@@ -70,18 +70,31 @@ class TDigest:
             self.max = max(self.max, float(vals.max()))
 
     def _compress(self, vals: np.ndarray, wts: np.ndarray):
-        """Cluster sorted items by k_1 scale-function cell (vectorized).
+        """Cluster sorted items by scale-function cell (vectorized).
 
-        k_1(q) = (delta / 2pi) * asin(2q - 1); items whose cumulative-weight
-        midpoints fall in the same unit k-cell merge into one centroid.  k_1
-        spans delta/4 - (-delta/4), so at most ~delta/2 + 1 centroids survive,
-        with cell rank-width ~ 2pi sqrt(q(1-q)) / delta - tight at the tails.
+        Scale function k_sqrt(q) = (delta/4) * (sqrt(2q) - 1) for q < 1/2,
+        mirrored as (delta/4) * (1 - sqrt(2(1-q))) above - monotone, range
+        [-delta/4, delta/4] (so at most ~delta/2 + 1 centroids survive), with
+        cell rank-width ~ 4 sqrt(q)/delta at the low tail (and symmetrically
+        at the high tail) - the same sqrt-of-rank tail shrink as Dunning &
+        Ertl's k_1 = (delta/2pi) asin(2q-1), which it tracks within a small
+        constant.  Chosen over asin because sqrt is IEEE-754
+        correctly-rounded in BOTH numpy and DuckDB (asin/ln differ by up to
+        2 ulp between libm implementations), making the whole digest - and
+        therefore the quantile ESTIMATE itself - bit-exactly SQL-mirrorable
+        (functions/rank_oracle.py) when built through the canonical
+        single-compaction form (pipelines/canonical.py, buckets=1).
         """
         order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], wts[order]
         total = wts.sum()
         q = (np.cumsum(wts) - wts / 2.0) / total
-        k = (self.compression / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+        d4 = self.compression / 4.0
+        k = np.where(
+            q < 0.5,
+            d4 * (np.sqrt(2.0 * q) - 1.0),
+            d4 * (1.0 - np.sqrt(2.0 * (1.0 - q))),
+        )
         cells = np.floor(k).astype(np.int64)
         starts = np.concatenate([[0], np.nonzero(np.diff(cells))[0] + 1])
         seg_w = np.add.reduceat(wts, starts)

@@ -820,11 +820,15 @@ def cms_weighted_part_quantities(sf_dir: str):
 
 
 def tdigest_chars_by_lang(sf_dir: str):
-    """t-digest quantiles of doc length by lang, built through the CANONICAL
-    merge tree (pipelines/canonical.py): layout-independent, bit-reproducible
-    results.  Still rows-only for the driver - the t-digest clustering
-    algorithm is sequential and not SQL-expressible - but rows-only over a
-    deterministic value (pytest pins layout invariance + accuracy)."""
+    """t-digest quantiles of doc length by lang through the canonical
+    SINGLE-COMPACTION build (pipelines/canonical.py, buckets=1: per group one
+    batched insert of the ascending-sorted values).  With the k_sqrt scale
+    function (core/tdigest.py - IEEE-exact ops only) the whole digest is a
+    closed-form window-function expression, so the ESTIMATE itself is
+    oracle-backed (functions/rank_oracle.py) - round 2's last rows-only
+    sketch gap.  buckets=1 trades the per-group bucket parallelism for SQL
+    mirrorability; the bucketed variant stays exercised end-to-end by
+    tdigest_exact_fields_by_lang."""
     from .functions.family_specs import TDigestSpec
     from .pipelines.canonical import canonical_sketch_pipeline
 
@@ -834,12 +838,17 @@ def tdigest_chars_by_lang(sf_dir: str):
         TDigestSpec(on="n_chars", name="t", quantiles=QUANTILES),
         ("lang",),
         id_col="doc_id",
+        buckets=1,
     )
 
 
 def kll_chars_by_lang(sf_dir: str):
-    """KLL quantiles of doc length by lang via the canonical merge tree
-    (layout-independent; see tdigest_chars_by_lang)."""
+    """KLL quantiles of doc length by lang through the canonical
+    single-insert build (buckets=1).  One batched insert keeps exactly one
+    compactor level nonempty, so the survivors are closed-form positions of
+    the sorted group (deterministic counter-based coins) and the ESTIMATE is
+    oracle-backed via the unrolled cascade SQL (functions/rank_oracle.py);
+    see tdigest_chars_by_lang for the buckets=1 tradeoff."""
     from .functions.family_specs import KLLSpec
     from .pipelines.canonical import canonical_sketch_pipeline
 
@@ -849,6 +858,7 @@ def kll_chars_by_lang(sf_dir: str):
         KLLSpec(on="n_chars", name="k", quantiles=QUANTILES),
         ("lang",),
         id_col="doc_id",
+        buckets=1,
     )
 
 
@@ -1867,8 +1877,8 @@ QUERIES = {
     "bloom_text_membership": bloom_text_membership,
     "cms_user_frequencies": cms_user_frequencies,
     "cms_weighted_part_quantities": cms_weighted_part_quantities,
-    "tdigest_chars_by_lang": tdigest_chars_by_lang,  # rows-only (no oracle_sql)
-    "kll_chars_by_lang": kll_chars_by_lang,  # rows-only (no oracle_sql)
+    "tdigest_chars_by_lang": tdigest_chars_by_lang,
+    "kll_chars_by_lang": kll_chars_by_lang,
     "tdigest_exact_fields_by_lang": tdigest_exact_fields_by_lang,
     "kll_exact_fields_by_lang": kll_exact_fields_by_lang,
     "exact_dedup_docs": exact_dedup_docs,
@@ -2744,3 +2754,16 @@ ORACLE_SQL.update(_family_oracles())
 # The broadcast-plan join is semantically identical to the shuffle plan, so it
 # shares the exact oracle SQL — both green proves plan-equivalence.
 ORACLE_SQL["revenue_by_priority_broadcast_join"] = ORACLE_SQL["revenue_by_priority_join"]
+
+
+# Round-3: the t-digest / KLL quantile ESTIMATES are oracle-backed through the
+# canonical single-compaction build (functions/rank_oracle.py) - the only
+# remaining rows-only query is the multimodal decode (no SQL mirror exists).
+from .functions.rank_oracle import kll_group_quantiles_sql, tdigest_group_quantiles_sql  # noqa: E402
+
+ORACLE_SQL["tdigest_chars_by_lang"] = tdigest_group_quantiles_sql(
+    table="documents", key="lang", value="n_chars", compression=200.0, quantiles=QUANTILES
+)
+ORACLE_SQL["kll_chars_by_lang"] = kll_group_quantiles_sql(
+    table="documents", key="lang", value="n_chars", k=200, quantiles=QUANTILES
+)
