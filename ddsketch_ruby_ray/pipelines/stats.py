@@ -11,7 +11,10 @@ Scale shape: per-block vectorized pre-aggregation (one lexsort + reduceat
 per block emits one 6-counter row per group-in-block), a tiny keyed shuffle
 of those rows, and a per-partition finalize that accumulates in PYTHON ints
 (no int64 overflow at any corpus size: Σx² at 100 TB exceeds 2^63) before
-the one float conversion per group.
+the one float conversion per group.  The per-BLOCK partials are int64, so
+the pre-aggregation gates on max|x|·max|y|·block_rows < 2^63 and raises
+rather than wrapping — supported value range ~|x| < 7.5e8 at the default
+8k batch (rescale or shrink batches beyond that).
 """
 
 from __future__ import annotations
@@ -47,6 +50,21 @@ def grouped_corr_pipeline(
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
         y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # Exactness gate (ADVICE r2): the per-element products and reduceat
+        # block partials below are int64 and would WRAP silently past 2^63;
+        # only the finalize stage accumulates in Python ints.  Bound both
+        # with max|x|*max|y|*rows evaluated in Python ints (can't overflow)
+        # and fail loudly instead of corrupting the statistics.
+        if x.size:
+            mx = max(int(x.max()), -int(x.min()))
+            my = max(int(y.max()), -int(y.min()))
+            if max(mx * my, mx * mx, my * my) * x.size >= 2**63:
+                raise ValueError(
+                    "grouped_corr_pipeline: inputs exceed the exact-int64 "
+                    f"block pre-aggregation range (max|x|={mx}, max|y|={my}, "
+                    f"block rows={x.size}); rescale the inputs or shrink the "
+                    "batch size"
+                )
         order = np.argsort(g, kind="stable")
         g_s, x_s, y_s = g[order], x[order], y[order]
         new = np.empty(g_s.size, dtype=bool)

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.numeric import round_half_away
+
 __all__ = [
     "assign_sliding_windows",
     "sessionize_pipeline",
@@ -160,7 +162,7 @@ def ordered_analytics_pipeline(
         cols["_tb"] = t.column(tiebreak_col).cast(pa.int64())
         if value_col is not None:
             v = t.column(value_col).to_numpy(zero_copy_only=False)
-            cols["_v"] = pa.array(np.round(v * value_scale).astype(np.int64))
+            cols["_v"] = pa.array(round_half_away(v * value_scale).astype(np.int64))
         for c in carry_cols:
             cols[c] = t.column(c)
         return pa.table(cols)

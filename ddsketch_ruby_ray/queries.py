@@ -12,6 +12,7 @@ None of these functions calls ray.init(); the driver owns the session.
 
 from __future__ import annotations
 
+from .core.numeric import round_half_away
 from .functions import DDSketchAgg, ddsketch_group_sql, ddsketch_quantile_sql
 from .pipelines import documents_sketch_pipeline
 from .stages import unnest
@@ -529,7 +530,7 @@ def revenue_by_priority_join(sf_dir: str):
     def to_cents(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
         return pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),
@@ -580,7 +581,7 @@ def revenue_by_priority_broadcast_join(sf_dir: str):
     def to_cents(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.round(price * (1.0 - disc) * 1e4).astype(np.int64)
+        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
         return pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),

@@ -69,7 +69,19 @@ class PartitionedParquetSink:
 
     @staticmethod
     def _shard_id(path: str) -> str:
-        return os.path.splitext(os.path.basename(path))[0]
+        """Stable shard id: basename stem + short hash of the FULL path.
+
+        The stem alone collides when two input directories ship files with
+        the same basename (e.g. shard-0000.parquet in two dirs) — the second
+        would be silently skipped as already committed (ADVICE r2).  The
+        path hash disambiguates while keeping the id readable; resuming
+        therefore requires re-running with the same input paths, which the
+        manifest's ``input`` field records per entry.
+        """
+        import hashlib
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return f"{stem}-{hashlib.sha256(path.encode()).hexdigest()[:8]}"
 
     # -- processing --------------------------------------------------------
     def process(

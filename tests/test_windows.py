@@ -140,3 +140,28 @@ class TestOrderedAnalytics:
         a = self._run(tbl, parts=2, value_col="value")
         b = self._run(tbl, parts=17, value_col="value")
         assert a.equals(b)
+
+
+class TestRoundHalfAway:
+    """round_half_away must equal DuckDB round(x) on every finite double."""
+
+    def test_ties_and_fp_edges_match_duckdb(self):
+        import duckdb
+
+        from ddsketch_ruby_ray.core.numeric import round_half_away
+
+        v = np.array(
+            [2.5, -2.5, 3.5, -3.5, 0.5, -0.5, 0.49999999999999994,
+             -0.49999999999999994, 2.4999999999999996, 1e15 + 0.5, 0.0, -0.0,
+             7.0, -7.0],
+            dtype=np.float64,
+        )
+        got = round_half_away(v)
+        want = duckdb.sql(
+            "SELECT round(x) FROM (SELECT unnest($1::DOUBLE[]) AS x)",
+            params=[v.tolist()],
+        ).fetchnumpy()
+        key = list(want.keys())[0]
+        assert (got == want[key]).all(), (got, want[key])
+        # np.round (banker's) would get 2.5 -> 2; half-away must give 3
+        assert round_half_away(np.array([2.5]))[0] == 3.0
