@@ -62,6 +62,18 @@ def connected_components_pipeline(
             }
         )
 
+    # Partition count adapts to the EDGE count (num_partitions is the cap):
+    # the labels/messages tables are proportional to duplicate pairs, not the
+    # corpus, so a fixed 64-way split makes every half-iteration pay ~64
+    # groupby+repartition tasks even when the whole graph is a few KB --
+    # measured 43 s at sf0.01 for a 47-cluster result.  One partition per
+    # ~256k edge rows keeps per-task work meaningful at every scale.
+    # materialize first so count() doesn't re-run the (expensive) upstream
+    # pair-generation lineage when the edges map executes below.
+    pairs = pairs.materialize()
+    n_edges = 2 * pairs.count()
+    num_partitions = max(1, min(num_partitions, n_edges // 262_144 + 1))
+
     edges = pairs.map_batches(
         to_edges, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
@@ -71,14 +83,37 @@ def connected_components_pipeline(
     ).materialize()  # reused every iteration - pin the blocks once
 
     def init_labels(g: pa.Table) -> pa.Table:
+        """Initial labels = LOCAL component minimum within this partition.
+
+        Any component-member id is a valid starting label for min-label
+        propagation, so pre-contracting each partition's subgraph (a few
+        vectorized min-propagation + pointer-jump rounds over the local
+        edges) costs one pass and removes every intra-partition round from
+        the GLOBAL loop -- the classic local-contraction step; the global
+        iterations then only resolve cross-partition merges."""
         k = g.column("key").to_numpy(zero_copy_only=False)
-        uniq = np.unique(k)
+        o = g.column("other").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([k, o]))
+        u = np.searchsorted(nodes, k)
+        v = np.searchsorted(nodes, o)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, u, lab[v])
+            np.minimum.at(new, v, lab[u])
+            new = new[new]  # pointer jump: label of label
+            if (new == lab).all():
+                break
+            lab = new
         part = g.column("_part")[0].as_py()
+        # emit only this partition's OWN nodes (the key side; both edge
+        # directions exist, so every node keys its home partition)
+        mine = np.unique(u)
         return pa.table(
             {
-                "node": pa.array(uniq),
-                "label": pa.array(uniq),
-                "_part": pa.array(np.full(len(uniq), part, dtype=np.int32)),
+                "node": pa.array(nodes[mine]),
+                "label": pa.array(nodes[lab[mine]]),
+                "_part": pa.array(np.full(len(mine), part, dtype=np.int32)),
             }
         )
 

@@ -12,6 +12,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -62,14 +63,19 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         queries = {n: queries[n] for n in only}
     failures = 0
     for name, fn in queries.items():
+        t0 = time.perf_counter()
         try:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             print(f"[FAIL] {name}: ray query raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        ray_s = time.perf_counter() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(mine)} rows, cols={list(mine.columns)}")
+            print(
+                f"[rows-only] {name}: {len(mine)} rows, cols={list(mine.columns)}"
+                f" ({ray_s:.2f}s)"
+            )
             continue
         try:
             theirs = canon(con.execute(oracles[name]).fetchdf())
@@ -105,7 +111,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                     print(f"[FAIL] {name}.{col}: rows {bad.tolist()} mine={a[bad]} oracle={b[bad]}")
                     ok = False
         if ok:
-            print(f"[ok] {name}: {len(mine)} rows x {len(mine.columns)} cols")
+            print(f"[ok] {name}: {len(mine)} rows x {len(mine.columns)} cols ({ray_s:.2f}s)")
         else:
             failures += 1
 
