@@ -38,7 +38,12 @@ import pyarrow as pa
 from ..core.hashing import splitmix64
 from .dedup import _doc_shingle_hashes
 
-__all__ = ["ngram_jaccard_pairs_pipeline", "dup_fraction_pipeline"]
+__all__ = [
+    "ngram_jaccard_pairs_pipeline",
+    "dup_fraction_pipeline",
+    "dup_fraction_stages",
+    "resumable_dup_fraction_job",
+]
 
 
 def _run_bounds(sorted_vals: np.ndarray):
@@ -192,6 +197,20 @@ def dup_fraction_pipeline(
     ngram: int = 3,
     num_partitions: int = 64,
 ):
+    """See dup_fraction_stages (this is their composition)."""
+    postings, reduce = dup_fraction_stages(
+        key_col=key_col, text_col=text_col, ngram=ngram, num_partitions=num_partitions
+    )
+    return reduce(ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def dup_fraction_stages(
+    *,
+    key_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_partitions: int = 64,
+):
     """Per-document duplication score (the RefinedWeb-style curation signal):
     the fraction of a doc's distinct shingles that also appear in at least
     one OTHER document.
@@ -257,9 +276,6 @@ def dup_fraction_pipeline(
             }
         )
 
-    posted = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
-    partials = posted.groupby("_part").map_groups(df_reduce, batch_format="pyarrow")
-
     def key_part(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False)
         part = (hash64_int(k, 1) % np.uint64(num_partitions)).astype(np.int32)
@@ -295,8 +311,50 @@ def dup_fraction_pipeline(
             }
         )
 
-    return (
-        partials.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_part")
-        .map_groups(finalize, batch_format="pyarrow")
+    def reduce(posted):
+        partials = posted.groupby("_part").map_groups(df_reduce, batch_format="pyarrow")
+        return (
+            partials.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(finalize, batch_format="pyarrow")
+        )
+
+    return postings, reduce
+
+
+def resumable_dup_fraction_job(
+    input_files,
+    workdir: str,
+    *,
+    prepare,
+    key_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_partitions: int = 64,
+    read_columns=None,
+    max_shards: int | None = None,
+):
+    """Checkpointed per-doc duplication scoring over parquet shards.
+
+    Same two-phase contract as resumable_duplicate_spans_job: shingling is
+    checkpointed per input shard (exactly-once), the two keyed shuffles run
+    once all shards are committed and re-run alone on a crash."""
+    from ..state.staged import staged_shuffle_job
+
+    postings, reduce = dup_fraction_stages(
+        key_col=key_col, text_col=text_col, ngram=ngram, num_partitions=num_partitions
+    )
+
+    def phase_a(ds):
+        return prepare(ds).map_batches(
+            postings, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return staged_shuffle_job(
+        input_files,
+        workdir,
+        phase_a=phase_a,
+        phase_b=reduce,
+        read_columns=read_columns,
+        max_shards=max_shards,
     )

@@ -31,7 +31,11 @@ import pyarrow as pa
 from ..core.hashing import fold_windows, hash64_int
 from .dedup import _doc_token_hashes, _window_geometry
 
-__all__ = ["duplicate_spans_pipeline"]
+__all__ = [
+    "duplicate_spans_pipeline",
+    "duplicate_spans_stages",
+    "resumable_duplicate_spans_job",
+]
 
 
 def _doc_window_hashes(batch: pa.Table, text_col: str, n: int):
@@ -57,6 +61,24 @@ def duplicate_spans_pipeline(
 ):
     """-> Dataset[(key_col, span_start, span_end)] - maximal duplicated token
     spans, 1-based inclusive positions."""
+    postings, reduce = duplicate_spans_stages(
+        key_col=key_col, text_col=text_col, n=n, num_partitions=num_partitions
+    )
+    return reduce(ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def duplicate_spans_stages(
+    *,
+    key_col: str,
+    text_col: str,
+    n: int = 8,
+    num_partitions: int = 64,
+):
+    """The pipeline split at its stage boundary: ``(postings, reduce)``.
+
+    ``postings`` is the per-shard-pure map (checkpointable through
+    state/staged.py); ``reduce`` takes the posted Dataset through both keyed
+    shuffles to spans.  ``duplicate_spans_pipeline`` is their composition."""
 
     def postings(batch: pa.Table) -> pa.Table:
         flat, bounds = _doc_window_hashes(batch, text_col, n)
@@ -95,9 +117,6 @@ def duplicate_spans_pipeline(
         kept = order[keep]
         return pa.table({"key": pa.array(key[kept]), "p": pa.array(p[kept])})
 
-    posted = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
-    dups = posted.groupby("_part").map_groups(dup_reduce, batch_format="pyarrow")
-
     def key_part(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False)
         part = (hash64_int(k, 3) % np.uint64(num_partitions)).astype(np.int32)
@@ -133,8 +152,52 @@ def duplicate_spans_pipeline(
             }
         )
 
-    return (
-        dups.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_part")
-        .map_groups(spans, batch_format="pyarrow")
+    def reduce(posted):
+        dups = posted.groupby("_part").map_groups(dup_reduce, batch_format="pyarrow")
+        return (
+            dups.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(spans, batch_format="pyarrow")
+        )
+
+    return postings, reduce
+
+
+def resumable_duplicate_spans_job(
+    input_files,
+    workdir: str,
+    *,
+    prepare,
+    key_col: str,
+    text_col: str,
+    n: int = 8,
+    num_partitions: int = 64,
+    read_columns=None,
+    max_shards: int | None = None,
+):
+    """Checkpointed duplicate-span job over parquet shards (state/staged.py).
+
+    Phase A (per shard, exactly-once): ``prepare(shard_ds)`` derives
+    (key_col, text_col), then the postings map tokenizes + window-hashes —
+    the dominant cost of the longest wall in BASELINE.md.  Phase B reruns
+    only the two keyed shuffles on a crash.  ``prepare`` must be per-shard
+    pure (stateless derivation, e.g. doc id from path hash)."""
+    from ..state.staged import staged_shuffle_job
+
+    postings, reduce = duplicate_spans_stages(
+        key_col=key_col, text_col=text_col, n=n, num_partitions=num_partitions
+    )
+
+    def phase_a(ds):
+        return prepare(ds).map_batches(
+            postings, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return staged_shuffle_job(
+        input_files,
+        workdir,
+        phase_a=phase_a,
+        phase_b=reduce,
+        read_columns=read_columns,
+        max_shards=max_shards,
     )

@@ -126,3 +126,104 @@ class TestDuplicateSpans:
                 prev = p
             want.add((d, start, prev + n_win - 1))
         assert got == want
+
+
+class TestResumableStagedJobs:
+    """Two-phase checkpoint/resume for the postings pipelines
+    (state/staged.py): phase A (postings map) is exactly-once per input
+    shard, phase B (keyed shuffles) only runs when all shards committed, and
+    a resumed run is bit-identical to an uninterrupted one."""
+
+    def _write_shards(self, tmp_path, n_shards=4, docs_per=25, seed=7):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(seed)
+        header = " ".join(f"tok{i}" for i in range(12))  # cross-shard dup span
+        paths, did = [], 0
+        for s in range(n_shards):
+            texts, ids = [], []
+            for _ in range(docs_per):
+                body = " ".join(
+                    f"w{rng.integers(0, 5000)}"
+                    for _ in range(int(rng.integers(5, 40)))
+                )
+                texts.append(header + " " + body if did % 7 == 0 else body)
+                ids.append(did)
+                did += 1
+            t = pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+            )
+            p = tmp_path / f"in-{s:02d}.parquet"
+            pq.write_table(t, p)
+            paths.append(str(p))
+        return paths
+
+    def test_spans_crash_resume_matches_oneshot(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.spans import (
+            duplicate_spans_pipeline,
+            resumable_duplicate_spans_job,
+        )
+
+        paths = self._write_shards(tmp_path)
+        work = str(tmp_path / "work")
+        kw = dict(prepare=lambda ds: ds, key_col="doc_id", text_col="text", n=8)
+        # "killed" run: 2 of 4 shards commit; phase B must not have run
+        assert resumable_duplicate_spans_job(paths, work, max_shards=2, **kw) is None
+        import os
+
+        assert not os.path.exists(os.path.join(work, "final_DONE"))
+        got = (
+            resumable_duplicate_spans_job(paths, work, **kw)  # resume
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duplicate_spans_pipeline(
+                rd.read_parquet(paths), key_col="doc_id", text_col="text", n=8
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0  # the shared header must surface as spans
+        assert (got.values == want.values).all()
+        # idempotent: a third call just reads the committed output back
+        again = (
+            resumable_duplicate_spans_job(paths, work, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        assert (again.values == got.values).all()
+
+    def test_dup_fraction_crash_resume_matches_oneshot(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.postings import (
+            dup_fraction_pipeline,
+            resumable_dup_fraction_job,
+        )
+
+        paths = self._write_shards(tmp_path, seed=11)
+        work = str(tmp_path / "work")
+        kw = dict(prepare=lambda ds: ds, key_col="doc_id", text_col="text", ngram=3)
+        assert resumable_dup_fraction_job(paths, work, max_shards=3, **kw) is None
+        got = (
+            resumable_dup_fraction_job(paths, work, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            dup_fraction_pipeline(
+                rd.read_parquet(paths), key_col="doc_id", text_col="text", ngram=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0
+        assert (got.values == want.values).all()
