@@ -1,0 +1,573 @@
+"""Baseline JFIF (JPEG) codec in pure numpy — no PIL, no libjpeg.
+
+Closes the biggest ``strict=True`` hole in the media decode stage
+(stages/multimodal.py): baseline sequential DCT JPEGs — the
+highest-frequency compressed image format in any real corpus — now decode
+for real inside the actor pool, like PNG/PPM/PGM/WAV/Y4M already do.
+
+Scope (honest): BASELINE process only (SOF0, 8-bit, Huffman), 1 or 3
+components, sampling factors 1–2 (so 4:4:4, 4:2:2 and 4:2:0 all decode),
+restart markers supported.  Progressive (SOF2), arithmetic coding and
+12-bit raise ``NotImplementedError`` — the strict-mode contract, not a
+silent wrong answer.  The encoder emits 4:4:4 or 4:2:0 with the ITU T.81
+Annex K quantization + Huffman tables; it exists so tests and the media
+synthesizer can produce real JPEGs in a container with no image libraries.
+
+Everything is deterministic: entropy decode is exact; the only lossy steps
+(quantization, chroma averaging, the fixed-point-free float IDCT + color
+transforms) are fixed numpy expression trees, so the same bytes decode to
+the same pixels on every run/node — the property the fingerprinting stage
+requires.
+
+Hot-path shape: the per-symbol Huffman loop is sequential by nature (each
+code's length depends on the previous ones) and runs in Python over a
+pre-unstuffed ``np.unpackbits`` array; the heavy math (dequantize, zigzag,
+IDCT, upsample, color transform) is batched over ALL blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# zigzag[i] = raster index of the i-th coefficient in zigzag order
+ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# ITU T.81 Annex K.1 example quantization tables (quality ~50 reference)
+QUANT_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal DCT-II basis: A[u, x] = c(u) cos((2x+1) u pi / 16)
+_X = np.arange(8)
+_DCT_A = np.cos((2 * _X[None, :] + 1) * _X[:, None] * np.pi / 16) * np.sqrt(0.25)
+_DCT_A[0, :] = np.sqrt(0.125)
+
+
+# ---------------------------------------------------------------------------
+# Huffman table machinery (canonical codes per T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+def _build_decode_table(bits, vals):
+    """-> (mincode[17], maxcode[17], valptr[17], vals) for sequential decode."""
+    mincode = np.zeros(17, dtype=np.int64)
+    maxcode = np.full(17, -1, dtype=np.int64)
+    valptr = np.zeros(17, dtype=np.int64)
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        valptr[length] = k
+        mincode[length] = code
+        code += n
+        k += n
+        maxcode[length] = code - 1 if n else -1
+        code <<= 1
+    return mincode, maxcode, valptr, np.asarray(vals, dtype=np.int64)
+
+
+def _build_encode_table(bits, vals):
+    """-> {symbol: (code, length)}."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """Sequential MSB-first reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        p = self.pos
+        bits = self.bits
+        for i in range(n):
+            v = (v << 1) | int(bits[p + i])
+        self.pos = p + n
+        return v
+
+    def decode_symbol(self, table) -> int:
+        mincode, maxcode, valptr, vals = table
+        code = 0
+        p = self.pos
+        bits = self.bits
+        for length in range(1, 17):
+            code = (code << 1) | int(bits[p])
+            p += 1
+            if code <= maxcode[length]:
+                self.pos = p
+                return int(vals[valptr[length] + code - mincode[length]])
+        raise ValueError("invalid JPEG: huffman code longer than 16 bits")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes):
+    """-> (width, height, channels, uint8 array (h, w, c)).
+
+    Baseline sequential only; raises ``NotImplementedError`` for
+    progressive/arithmetic/12-bit and ``ValueError`` for corrupt streams.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("invalid JPEG: expected marker")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
+                qt[tq] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.int64
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + cnt])
+                tbl = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            data_start = pos
+            # entropy segment ends at the next non-RST marker
+            i = data_start
+            while i < n - 1:
+                if payload[i] == 0xFF and payload[i + 1] != 0x00 and not (
+                    0xD0 <= payload[i + 1] <= 0xD7
+                ):
+                    break
+                i += 1
+            ecs = payload[data_start:i]
+            pos = i
+            return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
+                                restart_interval, ecs)
+        # APPn / COM / others: skipped
+    raise ValueError("invalid JPEG: no SOS marker")
+
+
+def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
+    if frame is None:
+        raise ValueError("invalid JPEG: SOS before SOF")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        c = by_id[s["id"]]
+        c["dc_tbl"] = huff_dc[s["dc"]]
+        c["ac_tbl"] = huff_ac[s["ac"]]
+        c["coef"] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+        )
+        c["pred"] = 0
+
+    # split on restart markers (each interval resets DC predictions) and
+    # remove 0xFF00 byte stuffing in either case
+    if restart_interval:
+        segments = _split_restarts(ecs)
+    else:
+        segments = [ecs.replace(b"\xff\x00", b"\xff")]
+
+    mcu = 0
+    total_mcus = mcux * mcuy
+    for seg in segments:
+        for c in comps:
+            c["pred"] = 0
+        reader = _BitReader(seg)
+        limit = min(mcu + restart_interval, total_mcus) if restart_interval else total_mcus
+        while mcu < limit:
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = _decode_block(reader, c)
+                        c["coef"][my * c["v"] + v, mx * c["h"] + hh] = blk
+            mcu += 1
+    if mcu != total_mcus:
+        raise ValueError("invalid JPEG: entropy data ended early")
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        coef = c["coef"].reshape(-1, 64) * q[None, :]
+        blocks = coef[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        # IDCT for all blocks at once: x = A^T F A
+        pix = np.einsum("ux,nuv,vy->nxy", _DCT_A, blocks, _DCT_A)
+        nby, nbx = c["coef"].shape[:2]
+        plane = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        plane = np.clip(np.floor(plane + 128.5), 0, 255)
+        # upsample to full MCU-padded resolution, then crop
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        img = planes[0][:, :, None].astype(np.uint8)
+        return w, h, 1, img
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG (CMYK?)")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    img = np.stack([r, g, b], axis=-1)
+    img = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
+    return w, h, 3, img
+
+
+def _split_restarts(ecs: bytes):
+    """Split the entropy segment at RST0-7 markers (and unstuff each part)."""
+    parts, cur = [], bytearray()
+    i, n = 0, len(ecs)
+    while i < n:
+        if ecs[i] == 0xFF and i + 1 < n:
+            nxt = ecs[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                parts.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(ecs[i])
+        i += 1
+    parts.append(bytes(cur))
+    return parts
+
+
+def _decode_block(reader: _BitReader, c) -> np.ndarray:
+    blk = np.zeros(64, dtype=np.int64)
+    s = reader.decode_symbol(c["dc_tbl"])
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    c["pred"] += diff
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(c["ac_tbl"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("invalid JPEG: AC run past end of block")
+        blk[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return blk
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (nby, nbx, 8, 8)."""
+    hh, ww = plane.shape
+    return plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    hh, ww = plane.shape
+    ph = (-hh) % mult
+    pw = (-ww) % mult
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, *, subsample: bool = False) -> bytes:
+    """uint8 (h, w, c) with c in {1, 3} -> baseline JFIF bytes.
+
+    Annex K tables; ``subsample=True`` emits 4:2:0 (2x2 chroma averaging),
+    else 4:4:4.  Grayscale ignores ``subsample``.
+    """
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected (h, w, 1|3) uint8 image")
+    h, w, c = img.shape
+    f = img.astype(np.float64)
+    if c == 3:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cbp = _pad_to(cb, 2)
+            crp = _pad_to(cr, 2)
+            cb = 0.25 * (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2])
+            cr = 0.25 * (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2])
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        tqs = [0, 1, 1]
+        quants = [QUANT_LUMA, QUANT_CHROMA]
+    else:
+        planes = [f[:, :, 0]]
+        samp = [(1, 1)]
+        tqs = [0]
+        quants = [QUANT_LUMA]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # quantized zigzag blocks per component, in raster block order
+    qblocks = []
+    for plane, (sh, sv), tq in zip(planes, samp, tqs):
+        # pad each plane so the BLOCK grid covers ceil(mcu) MCUs exactly
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        target_w = mcux * 8 * sh
+        target_h = mcuy * 8 * sv
+        p = plane
+        p = np.pad(
+            p,
+            ((0, target_h - p.shape[0]), (0, target_w - p.shape[1])),
+            mode="edge",
+        )
+        blocks = _to_blocks(p - 128.0)
+        coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_A, blocks, _DCT_A)
+        # quant tables are stored in NATURAL (raster) order here; the DQT
+        # segment below re-orders them to zigzag as T.81 requires
+        q = quants[tq].astype(np.float64).reshape(8, 8)
+        # round half away from zero (sign-symmetric, the common libjpeg choice)
+        scaled = coef / q
+        qz = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        qblocks.append(qz.reshape(qz.shape[0], qz.shape[1], 64)[:, :, ZIGZAG].astype(np.int64))
+
+    dc_tbls = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tbls = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                ti = 0 if ci == 0 else 1
+                for v in range(sv):
+                    for hh in range(sh):
+                        blk = qblocks[ci][my * sv + v, mx * sh + hh]
+                        preds[ci] = _encode_block(
+                            writer, blk, preds[ci], dc_tbls[ti], ac_tbls[ti]
+                        )
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(x) for x in q[ZIGZAG]  # DQT is zigzag-ordered per T.81
+        )
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
+        out += bytes([ci + 1, (sh << 4) | sv, tq])
+    huffs = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (16, 0, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nc == 3:
+        huffs += [(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                  (16, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, th, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc | th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (ti << 4) | ti])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_block(writer, blk, pred, dc_tbl, ac_tbl) -> int:
+    dc = int(blk[0])
+    diff = dc - pred
+    s = _csize(diff)
+    code, length = dc_tbl[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _csize(v)
+        code, length = ac_tbl[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_tbl[0x00]  # EOB
+        writer.write(code, length)
+    return dc

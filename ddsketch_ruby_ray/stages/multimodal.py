@@ -285,21 +285,30 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
     """Deterministic media rows in REAL uncompressed formats (+ a stub row).
 
     id % 4 == 0 -> P6 PPM image; 1 -> P5 PGM; 2 -> WAV PCM-16 audio;
-    3 -> Y4M video (3 frames).  Every 8th row (id % 8 == 7) instead
-    carries a fake "jpeg" blob so the compressed-format stub path stays
-    exercised, and id % 8 == 5 carries a REAL zlib-compressed PNG
-    (alternating RGB/None-filter and gray/Up-filter) so the inflate +
-    unfilter decode path is exercised end-to-end.
+    3 -> Y4M video (3 frames).  Substitutions: id % 16 == 7 carries a REAL
+    baseline JPEG (alternating grayscale 4:4:4 / RGB 4:2:0 - the pure-numpy
+    codec in stages/jpeg.py decodes it for real); id % 16 == 15 carries a
+    fake "webp" blob so the unknown-compressed-format stub path stays
+    exercised; id % 8 == 5 carries a REAL zlib-compressed PNG (alternating
+    RGB/None-filter and gray/Up-filter) so the inflate + unfilter decode
+    path is exercised end-to-end.
     """
+    from .jpeg import encode_jpeg
+
     idx = np.asarray(batch["id"], dtype=np.int64)
     payloads, fmts = [], []
     for i in idx:
         i = int(i)
         w = 16 + i % 7 * 8
         h = 16 + i % 5 * 8
-        if i % 8 == 7:
-            payloads.append(b"JUNK" + _noise(i, 128).tobytes())
+        if i % 16 == 7:
+            c = 1 if i % 32 == 7 else 3
+            img = _noise(i, w * h * c).reshape(h, w, c)
+            payloads.append(encode_jpeg(img, subsample=(c == 3)))
             fmts.append("jpeg")
+        elif i % 16 == 15:
+            payloads.append(b"JUNK" + _noise(i, 128).tobytes())
+            fmts.append("webp")
         elif i % 8 == 5:
             c = 3 if i % 16 == 5 else 1
             img = _noise(i, w * h * c).reshape(h, w, c)
@@ -396,6 +405,17 @@ class ImageDecodeStage:
             )
         if payload[:8] == PNG_SIG:
             w, h, c, img = decode_png(payload)
+            return (
+                {"width": w, "height": h, "channels": c, "format": fmt},
+                self._pixel_embed(img),
+            )
+        if payload[:2] == b"\xff\xd8":
+            # REAL baseline JPEG decode, pure numpy (stages/jpeg.py);
+            # progressive/12-bit raise NotImplementedError from the codec,
+            # which is the strict-mode contract for unsupported variants
+            from .jpeg import decode_jpeg
+
+            w, h, c, img = decode_jpeg(payload)
             return (
                 {"width": w, "height": h, "channels": c, "format": fmt},
                 self._pixel_embed(img),

@@ -173,7 +173,12 @@ class TestImageDecode:
         assert df.loc[4, "meta"]["height"] == 16 + 4 % 5 * 8
         assert df.loc[4, "meta"]["channels"] == 3
         assert df.loc[1, "meta"]["channels"] == 1  # P5 gray
-        assert df.loc[7, "meta"]["width"] == 0  # compressed stub row
+        # REAL baseline JPEG decode: id=7 is a grayscale 4:4:4 JPEG
+        assert df.loc[7, "meta"]["width"] == 16 + 7 % 7 * 8
+        assert df.loc[7, "meta"]["height"] == 16 + 7 % 5 * 8
+        assert df.loc[7, "meta"]["channels"] == 1
+        assert df.loc[23, "meta"]["channels"] == 3  # RGB 4:2:0 JPEG
+        assert df.loc[15, "meta"]["width"] == 0  # unknown-format stub row
         # REAL PNG decode: id=5 is a zlib-compressed RGB PNG
         assert df.loc[5, "meta"]["width"] == 16 + 5 % 7 * 8
         assert df.loc[5, "meta"]["channels"] == 3
@@ -261,3 +266,77 @@ class TestAudioAndFrames:
         )
         df = out.to_pandas()
         assert len(df) == 30  # one row per (media, frame)
+
+
+class TestJPEGCodec:
+    """Baseline JFIF codec (stages/jpeg.py): pure-numpy encode + decode."""
+
+    def test_constant_images_round_trip_tightly(self):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        for val in (0, 63, 128, 200, 255):
+            img = np.full((24, 40, 1), val, dtype=np.uint8)
+            w, h, c, out = decode_jpeg(encode_jpeg(img))
+            assert (w, h, c) == (40, 24, 1)
+            assert np.abs(out.astype(int) - int(val)).max() <= 1
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_smooth_rgb_round_trip(self, subsample):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:33, 0:47]
+        img = np.stack(
+            [np.minimum(yy * 3, 255), np.minimum(xx * 2, 255),
+             np.minimum(yy + xx, 255)],
+            axis=-1,
+        ).astype(np.uint8)
+        payload = encode_jpeg(img, subsample=subsample)
+        w, h, c, out = decode_jpeg(payload)
+        assert (w, h, c) == (47, 33, 3)
+        # q50 quantization + (optionally) 2x2 chroma averaging on a smooth
+        # ramp: per-pixel error stays in single digits
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+    def test_content_sensitivity_and_determinism(self):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        b = a.copy()
+        b[8, 12] = 255 - b[8, 12]  # one-pixel change
+        pa_, pb = encode_jpeg(a), encode_jpeg(b)
+        assert pa_ != pb
+        assert encode_jpeg(a) == pa_  # bit-deterministic encode
+        da, db = decode_jpeg(pa_)[3], decode_jpeg(pb)[3]
+        assert not (da == db).all()
+        assert (decode_jpeg(pa_)[3] == da).all()  # deterministic decode
+
+    def test_non_baseline_raises_not_implemented(self):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.zeros((8, 8, 1), dtype=np.uint8)
+        payload = bytearray(encode_jpeg(img))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01not a jpeg")
+
+    def test_stage_decodes_real_jpeg_strict(self, ray_session):
+        from ddsketch_ruby_ray.stages.jpeg import encode_jpeg
+        from ddsketch_ruby_ray.stages.multimodal import ImageDecodeStage
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        stage = ImageDecodeStage(strict=True)  # strict: no stub fallback
+        meta, emb = stage._decode_one(encode_jpeg(img, subsample=True), "jpeg")
+        assert (meta["width"], meta["height"], meta["channels"]) == (32, 24, 3)
+        assert len(emb) == 16 and all(0.0 <= x <= 1.0 for x in emb)
+
+    def test_synthesizer_emits_real_jpegs(self, ray_session):
+        t = _media_tbl(64)
+        jp = t.filter(pa.compute.equal(t.column("format"), "jpeg"))
+        assert jp.num_rows > 0
+        for p in jp.column("payload").to_pylist():
+            assert p[:2] == b"\xff\xd8"
