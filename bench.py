@@ -226,6 +226,8 @@ def _dedup_job_rows(job: str) -> int:
         default = 4_000_000
     elif job == "spans":
         default = 1_000_000  # one postings row per TOKEN: the heaviest map
+    elif job == "pairs":
+        default = 16_000_000  # lang x repo: ~1.8M groups at this size
     else:
         default = 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
@@ -263,6 +265,22 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     def add_key(t: pa.Table) -> pa.Table:
         key = (hash256_str(t.column("path"), lanes=1)[0] >> np.uint64(1)).astype(np.int64)
         return pa.table({"doc_id": pa.array(key), "text": t.column("content")})
+
+    if job == "pairs":
+        # extreme-cardinality regime: DDSketch aggregation over lang x repo
+        # (~groups proportional to rows) through the vectorized pairs plan -
+        # no per-group Python anywhere (pipelines/pairs.py)
+        from ddsketch_ruby_ray.pipelines.corpus import corpus_sketch_pipeline
+
+        t0 = time.perf_counter()
+        ds = read_corpus(path, ["repo", "lang", "content"])
+        n = corpus_sketch_pipeline(
+            ds, group_keys=("lang", "repo"), strategy="pairs"
+        ).count()
+        sec = time.perf_counter() - t0
+        ray.shutdown()
+        print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
+        return
 
     if job == "asof":
         # temporal-join throughput: 16M synthetic events as-of-joined to a
