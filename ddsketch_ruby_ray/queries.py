@@ -1200,6 +1200,34 @@ def ivf_knn_top5(sf_dir: str):
     )
 
 
+def embedding_quantize_stats(sf_dir: str):
+    """Symmetric int8 quantization of the embedding table (the ANN
+    shuffle-volume scale path, pipelines/quantize.py): per-vector exact
+    integer summaries of the int8 codes of the row-normalized vectors.
+    Calibration (global max |v6|) is an exact integer distributed reduce;
+    the encode mirrors the SQL oracle's float64 expression tree op-for-op,
+    so every code - and these stats - is bit-exact."""
+    from .pipelines.quantize import embedding_quantize_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_quantize_pipeline(ds, id_col="vec_id", vec_col="embedding")
+
+
+def quantized_knn_top5(sf_dir: str):
+    """Top-5 neighbors by EXACT int64 dot product of the int8 codes - the
+    quantized ANN baseline (4x less broadcast + shuffle volume than float32;
+    rank-equivalent to approximate cosine since codes quantize the
+    NORMALIZED vectors symmetrically; recall vs exact cosine pytest-pinned
+    in test_quantize.py)."""
+    from .pipelines.quantize import quantized_knn_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantized_knn_pipeline(
+        ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5,
+        queries_table=_query_vectors(sf_dir),
+    )
+
+
 def srp_neardup(sf_dir: str):
     """SRP-LSH near-dup pairs (the 10^12-row scale path: only same-bucket
     pairs are scored).  Oracle-backed: exact-integer projections make the
@@ -1896,6 +1924,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
+    "embedding_quantize_stats": embedding_quantize_stats,
+    "quantized_knn_top5": quantized_knn_top5,
     "ivf_knn_top5": ivf_knn_top5,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "srp_neardup": srp_neardup,
@@ -2537,6 +2567,8 @@ def _family_oracles() -> dict:
             SELECT node, min(anc) AS cluster FROM reach GROUP BY node
         """,
         "simhash_docs": simhash_sql(**dedup_kw),
+        "embedding_quantize_stats": "WITH qz_vecs AS (\n  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM embeddings\n),\nqz_nrm AS (\n  SELECT vec_id, v,\n         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0\n              ELSE sqrt(list_dot_product(v, v)) END AS nrm\n  FROM qz_vecs\n),\n-- mirrors pipelines/quantize.py::_normalized_e6: v6 = round(x_hat * 1e6)\n-- (1e-6 pre-rounding absorbs the <=1-ulp norm disagreement, the repo's\n-- standing normalization-mirror convention; round() is half-away on both)\nqz_flat AS (\n  SELECT vec_id, generate_subscripts(v, 1) AS d,\n         CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6\n  FROM qz_nrm\n),\nqz_amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM qz_flat),\n-- mirrors _encode: q = round(v6 * 127.0 / a6), exact-integer operands\nqz_codes AS (\n  SELECT vec_id, d, CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q\n  FROM qz_flat, qz_amax\n)\nSELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum, min(q) AS q_min,\n       max(q) AS q_max, max(CASE WHEN d = 1 THEN q END) AS q_first\nFROM qz_codes GROUP BY vec_id\n",
+        "quantized_knn_top5": "WITH qz_vecs AS (\n  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM embeddings\n),\nqz_nrm AS (\n  SELECT vec_id, v,\n         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0\n              ELSE sqrt(list_dot_product(v, v)) END AS nrm\n  FROM qz_vecs\n),\n-- mirrors pipelines/quantize.py::_normalized_e6: v6 = round(x_hat * 1e6)\n-- (1e-6 pre-rounding absorbs the <=1-ulp norm disagreement, the repo's\n-- standing normalization-mirror convention; round() is half-away on both)\nqz_flat AS (\n  SELECT vec_id, generate_subscripts(v, 1) AS d,\n         CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6\n  FROM qz_nrm\n),\nqz_amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM qz_flat),\n-- mirrors _encode: q = round(v6 * 127.0 / a6), exact-integer operands\nqz_codes AS (\n  SELECT vec_id, d, CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q\n  FROM qz_flat, qz_amax\n),\nqz_scores AS (\n  SELECT cq.vec_id AS query_id, cd.vec_id AS neighbor_id,\n         CAST(sum(cq.q * cd.q) AS BIGINT) AS score\n  FROM qz_codes cq JOIN qz_codes cd USING (d)\n  WHERE cq.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9) AND cd.vec_id <> cq.vec_id\n  GROUP BY 1, 2\n)\nSELECT query_id, neighbor_id, score FROM (\n  SELECT qz_scores.*, row_number() OVER (\n           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn\n  FROM qz_scores) qz_ranked\nWHERE rn <= 5\n",
         "knn_cosine_top5": knn_sql(
             table="embeddings",
             id_col="vec_id",
