@@ -274,8 +274,11 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
 
         t0 = time.perf_counter()
         ds = read_corpus(path, ["repo", "lang", "content"])
+        # partition count scales with input so each finalize task stays
+        # ~100k pair rows (pairs ~ 2 rows per input row in this regime)
         n = corpus_sketch_pipeline(
-            ds, group_keys=("lang", "repo"), strategy="pairs"
+            ds, group_keys=("lang", "repo"), strategy="pairs",
+            num_partitions=max(64, rows // 62_500),
         ).count()
         sec = time.perf_counter() - t0
         ray.shutdown()

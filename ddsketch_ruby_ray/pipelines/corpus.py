@@ -162,6 +162,7 @@ def grouped_sketch_pipeline(
     prefixes: dict | None = None,
     strategy: str = "states",
     salt: int = 0,
+    num_partitions: int = 64,
 ):
     """rows -> per-group sketch results, flat columns.
 
@@ -189,7 +190,8 @@ def grouped_sketch_pipeline(
         from .pairs import ddsketch_pairs_pipeline
 
         return ddsketch_pairs_pipeline(
-            ds, specs, group_keys, derive=derive, prefixes=prefixes, batch_size=batch_size
+            ds, specs, group_keys, derive=derive, prefixes=prefixes,
+            batch_size=batch_size, num_partitions=num_partitions,
         )
     if strategy == "rows":
         from ..functions.aggregates import SpecAgg
@@ -248,6 +250,7 @@ def corpus_sketch_pipeline(
     concurrency=None,
     verify_sha256: bool = False,
     strategy: str = "states",
+    num_partitions: int = 64,
 ):
     """content corpus -> per-group sketch summary of byte length + line count.
 
@@ -290,6 +293,7 @@ def corpus_sketch_pipeline(
         concurrency=concurrency,
         prefixes=prefixes,
         strategy=strategy,
+        num_partitions=num_partitions,
     )
 
 

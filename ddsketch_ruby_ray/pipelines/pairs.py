@@ -101,7 +101,8 @@ def ddsketch_pairs_pipeline(
     def _empty_pairs() -> pa.Table:
         cols = {
             "_part": pa.array([], pa.int32()),
-            "_g": pa.array([], pa.string()),
+            "_gh0": pa.array([], pa.int64()),
+            "_gh1": pa.array([], pa.int64()),
         }
         for kc in group_keys:
             cols[kc] = pa.array([], pa.string())  # placeholder; typed below
@@ -133,14 +134,21 @@ def ddsketch_pairs_pipeline(
         dict_arr = gcomp.dictionary_encode()
         gcodes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         gdict = dict_arr.dictionary  # distinct composite strings
-        # deterministic partition per DISTINCT group (hash the composite string)
-        part_of_group = (hash256_str(gdict, lanes=1)[0] % np.uint64(num_partitions)).astype(
-            np.int32
-        )
+        # deterministic partition + 128-bit IDENTITY per DISTINCT group: the
+        # composite string itself never ships (two sha256 lanes, the same
+        # collision-free-at-any-realistic-scale convention as exact_dedup) -
+        # the shuffle stays fully numeric and the finalize never materializes
+        # per-row Python strings (measured: the object-array storm inflated
+        # 64 concurrent finalize tasks 10-40x over their single-task cost)
+        glanes = hash256_str(gdict, lanes=2)
+        part_of_group = (glanes[0] % np.uint64(num_partitions)).astype(np.int32)
+        gh0 = glanes[0].astype(np.int64)
+        gh1 = glanes[1].astype(np.int64)
 
         out = {
             "_part": [],
-            "_g": [],
+            "_gh0": [],
+            "_gh1": [],
             "_m": [],
             "_side": [],
             "_k": [],
@@ -150,7 +158,6 @@ def ddsketch_pairs_pipeline(
             "_vmax": [],
         }
         rep_rows = []  # representative batch row per pair row (native key values)
-        gdict_np = np.asarray(gdict.to_pylist(), dtype=object)
         for mi, col in enumerate(value_cols):
             mp = mappings[mi]
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
@@ -186,7 +193,8 @@ def ddsketch_pairs_pipeline(
             v_max = np.maximum.reduceat(vs, starts)
             gsel = gs[starts]
             out["_part"].append(part_of_group[gsel])
-            out["_g"].append(gdict_np[gsel])
+            out["_gh0"].append(gh0[gsel])
+            out["_gh1"].append(gh1[gsel])
             out["_m"].append(np.full(starts.size, mi, dtype=np.int8))
             out["_side"].append(ss[starts])
             out["_k"].append(ks[starts])
@@ -199,7 +207,8 @@ def ddsketch_pairs_pipeline(
         rep = pa.array(np.concatenate(rep_rows))
         cols = {
             "_part": pa.array(np.concatenate(out["_part"]), pa.int32()),
-            "_g": pa.array(np.concatenate(out["_g"]).tolist(), pa.string()),
+            "_gh0": pa.array(np.concatenate(out["_gh0"]), pa.int64()),
+            "_gh1": pa.array(np.concatenate(out["_gh1"]), pa.int64()),
         }
         for kc in group_keys:  # native-dtype key values (nulls preserved)
             cols[kc] = batch.column(kc).take(rep)
@@ -221,9 +230,8 @@ def ddsketch_pairs_pipeline(
     )
 
     def finalize_partition(pt: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        g = pt.column("_g").to_numpy(zero_copy_only=False)
+        gh0 = pt.column("_gh0").to_numpy(zero_copy_only=False)
+        gh1 = pt.column("_gh1").to_numpy(zero_copy_only=False)
         m = pt.column("_m").to_numpy(zero_copy_only=False)
         side = pt.column("_side").to_numpy(zero_copy_only=False)
         k = pt.column("_k").to_numpy(zero_copy_only=False)
@@ -232,10 +240,20 @@ def ddsketch_pairs_pipeline(
         vmin = pt.column("_vmin").to_numpy(zero_copy_only=False)
         vmax = pt.column("_vmax").to_numpy(zero_copy_only=False)
 
-        gid, guniques = pd.factorize(pd.Series(g), sort=True)
-        n_groups = len(guniques)
-        # representative input row per group (native key values)
-        _, grp_first = np.unique(gid, return_index=True)  # ordered by gid value
+        # numeric factorize over the 128-bit group identity (no Python
+        # strings anywhere in this task - see stage A comment)
+        gorder = np.lexsort((gh1, gh0))
+        gnew = np.empty(len(gorder), dtype=bool)
+        if len(gorder):
+            gnew[0] = True
+            gnew[1:] = (gh0[gorder][1:] != gh0[gorder][:-1]) | (
+                gh1[gorder][1:] != gh1[gorder][:-1]
+            )
+        gid = np.empty(len(gorder), dtype=np.int64)
+        gid[gorder] = np.cumsum(gnew) - 1
+        n_groups = int(gnew.sum())
+        # representative input row per group (native key values), by gid
+        grp_first = gorder[np.flatnonzero(gnew)]
 
         order = np.lexsort((k, side, m, gid))
         gid_, m_, side_, k_ = gid[order], m[order], side[order], k[order]
