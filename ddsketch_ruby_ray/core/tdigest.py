@@ -88,7 +88,10 @@ class TDigest:
         order = np.argsort(vals, kind="stable")
         vals, wts = vals[order], wts[order]
         total = wts.sum()
-        q = (np.cumsum(wts) - wts / 2.0) / total
+        # clip: with fractional weights, cumsum can exceed sum by ~1 ulp,
+        # sending 2*(1-q) negative and sqrt to NaN (the old arcsin form
+        # carried the same guard as np.clip(2q-1, -1, 1))
+        q = np.clip((np.cumsum(wts) - wts / 2.0) / total, 0.0, 1.0)
         d4 = self.compression / 4.0
         k = np.where(
             q < 0.5,

@@ -16,9 +16,11 @@ n-grams also occurs in the held-out benchmark corpus.  Two asymmetric sides:
     (searchsorted) against the broadcast array.  Text never shuffles;
     nothing materializes.
 
-Hashes are sha256 lane 0 of the shingle string — identical on both sides
-and in the SQL oracle (functions/dedup_oracle.py::decontam_sql), so the
-driver compare is bit-exact including any collisions.
+Shingle identity is the splitmix64 fold of the shingle's per-token sha256
+hashes (core/hashing.py::fold_windows, the shared ``_doc_shingle_hashes``
+contract) — identical on both corpus and benchmark sides and in the SQL
+oracle (functions/dedup_oracle.py::decontam_sql mirrors the same fold), so
+the driver compare is bit-exact including any collisions.
 """
 
 from __future__ import annotations

@@ -501,17 +501,47 @@ def customers_with_big_orders(sf_dir: str):
     )
 
 
-def revenue_by_priority_join(sf_dir: str):
-    """INNER hash join lineitem x orders -> exact revenue per order priority.
-
-    Revenue is accumulated as integer 1e-4 currency units
-    (round(price * (1 - discount) * 1e4) is within 1e-9 of an integer because
-    both factors carry <= 2 decimals), so the sum is associative and
-    bit-reproducible in SQL regardless of Ray's block/merge order."""
+def _revenue_by_priority_reduce(joined):
+    """Shared reduce for the shuffle and broadcast revenue-join plans: exact
+    integer 1e-4 currency units (round(price * (1 - discount) * 1e4) is
+    within 1e-9 of an integer because both factors carry <= 2 decimals), so
+    the sum is associative and bit-reproducible in SQL regardless of Ray's
+    block/merge order.  One body for both plans keeps the rounding/casting
+    conventions in lockstep - the pair exists to prove plan-equivalence."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pa.array(rev),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.groupby("o_orderpriority").sum(["revenue_e4", "one"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_e4": pc.cast(t.column("sum(revenue_e4)"), pa.int64()),
+                "n_items": pc.cast(t.column("sum(one)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_by_priority_join(sf_dir: str):
+    """INNER hash join lineitem x orders -> exact revenue per order priority
+    through the SHUFFLE plan (both sides hash co-partitioned); reduce shared
+    with the broadcast plan (see _revenue_by_priority_reduce)."""
     from .pipelines.joins import hash_join_pipeline
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -526,31 +556,7 @@ def revenue_by_priority_join(sf_dir: str):
         right_payload=["o_orderpriority"],
         how="inner",
     )
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
-        return pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "revenue_e4": pa.array(rev),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            }
-        )
-
-    agg = joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-    out = agg.groupby("o_orderpriority").sum(["revenue_e4", "one"])
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "revenue_e4": pc.cast(t.column("sum(revenue_e4)"), pa.int64()),
-                "n_items": pc.cast(t.column("sum(one)"), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _revenue_by_priority_reduce(joined)
 
 
 def revenue_by_priority_broadcast_join(sf_dir: str):
@@ -559,10 +565,6 @@ def revenue_by_priority_broadcast_join(sf_dir: str):
     lineitem batch probes it locally — the fact side's payload never crosses
     an all-to-all shuffle.  Shares the shuffle variant's oracle SQL verbatim;
     the driver comparing both green proves plan-equivalence."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from .pipelines.joins import broadcast_hash_join_pipeline
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -577,31 +579,7 @@ def revenue_by_priority_broadcast_join(sf_dir: str):
         right_payload=["o_orderpriority"],
         how="inner",
     )
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
-        return pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "revenue_e4": pa.array(rev),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            }
-        )
-
-    agg = joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-    out = agg.groupby("o_orderpriority").sum(["revenue_e4", "one"])
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "revenue_e4": pc.cast(t.column("sum(revenue_e4)"), pa.int64()),
-                "n_items": pc.cast(t.column("sum(one)"), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return _revenue_by_priority_reduce(joined)
 
 
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------

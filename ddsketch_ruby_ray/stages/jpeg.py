@@ -189,8 +189,16 @@ def decode_jpeg(payload: bytes):
     """-> (width, height, channels, uint8 array (h, w, c)).
 
     Baseline sequential only; raises ``NotImplementedError`` for
-    progressive/arithmetic/12-bit and ``ValueError`` for corrupt streams.
+    progressive/arithmetic/12-bit/non-interleaved and ``ValueError`` for
+    corrupt or truncated streams.
     """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error):
+        raise ValueError("invalid JPEG: truncated stream") from None
+
+
+def _decode_jpeg(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -279,15 +287,26 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
     if frame is None:
         raise ValueError("invalid JPEG: SOS before SOF")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(scan) != len(comps):
+        # spec-legal baseline can split components across sequential scans;
+        # this decoder only handles the (ubiquitous) single interleaved scan
+        raise NotImplementedError(
+            f"non-interleaved JPEG scan ({len(scan)} of {len(comps)} components)"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     by_id = {c["id"]: c for c in comps}
     for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError(f"invalid JPEG: scan component {s['id']} not in frame")
         c = by_id[s["id"]]
-        c["dc_tbl"] = huff_dc[s["dc"]]
-        c["ac_tbl"] = huff_ac[s["ac"]]
+        try:
+            c["dc_tbl"] = huff_dc[s["dc"]]
+            c["ac_tbl"] = huff_ac[s["ac"]]
+        except KeyError as e:
+            raise ValueError(f"invalid JPEG: undefined huffman table {e}") from None
         c["coef"] = np.zeros(
             (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
         )
@@ -302,19 +321,23 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
 
     mcu = 0
     total_mcus = mcux * mcuy
-    for seg in segments:
-        for c in comps:
-            c["pred"] = 0
-        reader = _BitReader(seg)
-        limit = min(mcu + restart_interval, total_mcus) if restart_interval else total_mcus
-        while mcu < limit:
-            my, mx = divmod(mcu, mcux)
+    try:
+        for seg in segments:
             for c in comps:
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        blk = _decode_block(reader, c)
-                        c["coef"][my * c["v"] + v, mx * c["h"] + hh] = blk
-            mcu += 1
+                c["pred"] = 0
+            reader = _BitReader(seg)
+            limit = min(mcu + restart_interval, total_mcus) if restart_interval else total_mcus
+            while mcu < limit:
+                my, mx = divmod(mcu, mcux)
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            blk = _decode_block(reader, c)
+                            c["coef"][my * c["v"] + v, mx * c["h"] + hh] = blk
+                mcu += 1
+    except IndexError:
+        # _BitReader ran off the end of the unstuffed segment
+        raise ValueError("invalid JPEG: truncated entropy data") from None
     if mcu != total_mcus:
         raise ValueError("invalid JPEG: entropy data ended early")
 

@@ -56,16 +56,39 @@ def staged_shuffle_job(
 
     sink = PartitionedParquetSink(os.path.join(workdir, "postings"))
     sink.process(input_files, phase_a, read_columns=read_columns, max_shards=max_shards)
-    pending = set(map(sink._shard_id, input_files)) - sink.done_shards()
+    shard_ids = sorted(map(sink._shard_id, input_files))
+    pending = set(shard_ids) - sink.done_shards()
     if pending:
         return None  # phase A incomplete (max_shards); call again to resume
 
     final_dir = os.path.join(workdir, "final")
     done_marker = os.path.join(workdir, "final_DONE")  # sibling: the output
-    # dir must hold only parquet for the read-back
-    if not os.path.exists(done_marker):
-        shutil.rmtree(final_dir, ignore_errors=True)  # crashed attempt
-        phase_b(sink.output_dataset()).write_parquet(final_dir)
+    # dir must hold only parquet for the read-back.  The marker records the
+    # SHARD SET the final output was reduced from: re-running with extra
+    # input shards re-runs phase B over the grown postings instead of
+    # silently returning the stale output (review r3).
+    stamp = "\n".join(shard_ids)
+    done = (
+        os.path.exists(done_marker) and open(done_marker).read() == stamp
+    )
+    if not done:
+        shutil.rmtree(final_dir, ignore_errors=True)  # crashed/stale attempt
+        if os.path.exists(done_marker):
+            os.remove(done_marker)
+        # reduce over exactly THIS call's shard set (the sink may hold
+        # committed parts from other invocations of the same workdir)
+        import glob as _glob
+
+        want = set(shard_ids)
+        files = [
+            f
+            for p in sink.manifest()["parts"]
+            if p["shard"] in want
+            for f in sorted(
+                _glob.glob(os.path.join(sink.dir, f"part-{p['shard']}", "*.parquet"))
+            )
+        ]
+        phase_b(rd.read_parquet(files)).write_parquet(final_dir)
         with open(done_marker, "w") as f:
-            f.write("ok")
+            f.write(stamp)
     return rd.read_parquet(final_dir)

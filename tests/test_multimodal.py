@@ -340,3 +340,22 @@ class TestJPEGCodec:
         assert jp.num_rows > 0
         for p in jp.column("payload").to_pylist():
             assert p[:2] == b"\xff\xd8"
+
+    def test_corrupt_streams_raise_value_error(self):
+        """Error contract (review r3): corrupt/truncated streams raise
+        ValueError; structurally-valid-but-unsupported raise
+        NotImplementedError -- never IndexError/KeyError."""
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((16, 16, 1), 90, dtype=np.uint8)
+        payload = encode_jpeg(img)
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 2])  # truncated mid-stream
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:40])  # truncated inside a header segment
+        # undefined huffman table id in SOS
+        mut = bytearray(payload)
+        i = mut.index(b"\xff\xda")
+        mut[i + 6] = 0x33  # dc table 3 / ac table 3: never defined
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(mut))

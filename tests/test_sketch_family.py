@@ -400,6 +400,23 @@ class TestTDigest:
         with pytest.raises(ValueError):
             t.add_batch(np.array([1.0]), np.array([0.0]))
 
+    def test_fractional_weights_no_nan_cells(self):
+        """cumsum(w) can exceed sum(w) by ~1 ulp with fractional weights; the
+        unclipped q then sends sqrt(2*(1-q)) to NaN and the cell index to
+        INT64_MIN (review r3) - the compress must clip q to [0, 1]."""
+        rng = np.random.default_rng(41)
+        vals = rng.uniform(0.1, 100.0, 899)
+        wts = rng.uniform(0.1, 3.0, 899)
+        t = TDigest(100)
+        with np.errstate(invalid="raise"):  # any NaN in the scale fn raises
+            t.add_batch(vals, wts)
+            t._flush()
+        assert np.isfinite(t.means).all()
+        assert abs(t.count - wts.sum()) < 1e-9
+        sd = np.sort(vals)
+        rank = np.searchsorted(sd, t.quantile(0.5)) / len(sd)
+        assert abs(rank - 0.5) < 0.1
+
     def test_compression_bounds_centroids(self):
         t = TDigest(100)
         t.add_batch(np.random.default_rng(2).uniform(0, 1, 100_000))

@@ -227,3 +227,34 @@ class TestResumableStagedJobs:
         )
         assert len(got) > 0
         assert (got.values == want.values).all()
+
+    def test_adding_shards_reruns_reduce(self, ray_session, tmp_path):
+        """A completed job re-run with EXTRA input shards must re-reduce over
+        the grown postings, not return the stale final output (review r3)."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.spans import (
+            duplicate_spans_pipeline,
+            resumable_duplicate_spans_job,
+        )
+
+        paths = self._write_shards(tmp_path, n_shards=3, seed=23)
+        work = str(tmp_path / "work")
+        kw = dict(prepare=lambda ds: ds, key_col="doc_id", text_col="text", n=8)
+        first = resumable_duplicate_spans_job(paths[:2], work, **kw).to_pandas()
+        grown = (
+            resumable_duplicate_spans_job(paths, work, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duplicate_spans_pipeline(
+                rd.read_parquet(paths), key_col="doc_id", text_col="text", n=8
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        assert len(grown) > len(first)  # shard 3's header copies joined in
+        assert (grown.values == want.values).all()
