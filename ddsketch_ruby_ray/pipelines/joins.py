@@ -199,8 +199,8 @@ def hash_join_pipeline(
     how: str = "inner",
     num_partitions: int = 64,
 ):
-    """Large-large equi-join (``how`` = ``"inner"`` | ``"left"`` | ``"semi"``
-    | ``"anti"``) on int64 keys.
+    """Large-large equi-join (``how`` = ``"inner"`` | ``"left"`` | ``"right"``
+    | ``"full"`` | ``"semi"`` | ``"anti"``) on int64 keys.
 
     The relational staple neither the reference nor Ray Data 2.49's Dataset
     API provides.  Same physical plan as the temporal joins: both sides
@@ -211,12 +211,15 @@ def hash_join_pipeline(
 
     Semantics match SQL exactly: one output row per matching (left, right)
     pair (duplicate keys multiply); ``how="left"`` keeps unmatched left rows
-    with null payload.  ``"semi"`` / ``"anti"`` emit each left row AT MOST
-    ONCE — with EXISTS / NOT EXISTS semantics respectively — and require an
-    empty ``right_payload`` (the curation filter shapes: keep rows whose key
-    is / is not in a blocklist too large to broadcast).  NULL keys never
-    match (null-key right rows are filtered in the normalizer; null-key left
-    rows are dropped for inner/semi, kept unmatched for left/anti).
+    with null payload, ``"right"`` keeps unmatched RIGHT rows with null left
+    columns (and drops unmatched left rows), ``"full"`` keeps both.
+    ``"semi"`` / ``"anti"`` emit each left row AT MOST ONCE — with EXISTS /
+    NOT EXISTS semantics respectively — and require an empty
+    ``right_payload`` (the curation filter shapes: keep rows whose key is /
+    is not in a blocklist too large to broadcast).  NULL keys never match:
+    null-key left rows are dropped for inner/right/semi and kept unmatched
+    for left/anti/full; null-key right rows are dropped for
+    inner/left/semi/anti and kept unmatched for right/full.
 
     Scale: the shuffle carries only the projected columns; skewed keys cost
     sort time within one partition, and output size is the true join
@@ -225,8 +228,10 @@ def hash_join_pipeline(
     intent).  For a small build side prefer ``pipelines/probe.py``'s
     broadcast build-then-probe instead of this shuffle.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right', 'full', 'semi' or 'anti', got {how!r}"
+        )
     if how in ("semi", "anti") and right_payload:
         raise ValueError(f"how={how!r} joins emit no right columns; pass right_payload=()")
     left_cols = list(left_cols)
@@ -240,7 +245,9 @@ def hash_join_pipeline(
     out_order = left_cols + right_payload
 
     def _norm(side: int, key_col: str, own_cols, other_cols, other_types):
-        keep_null_keys = side == _SIDE_LEFT and how in ("left", "anti")
+        keep_null_keys = (
+            side == _SIDE_LEFT and how in ("left", "anti", "full")
+        ) or (side == _SIDE_RIGHT and how in ("right", "full"))
 
         def norm(t: pa.Table) -> pa.Table:
             kcol = t.column(key_col)
@@ -296,10 +303,37 @@ def hash_join_pipeline(
             {c: pa.array([], type=ltypes[c]) for c in left_cols}
             | {c: pa.array([], type=rtypes[c]) for c in right_payload}
         )
-        if l_idx.size == 0:
-            return empty
-        r_order = r_idx[np.argsort(key[r_idx], kind="stable")]
+        # build side: only VALID-key right rows participate in matching
+        # (null-key right rows exist only for right/full and are emitted
+        # unmatched below — a filled 0 key must never match a real left 0)
+        r_build = r_idx[kvalid[r_idx]] if r_idx.size else r_idx
+        r_order = r_build[np.argsort(key[r_build], kind="stable")]
         rk = key[r_order]
+
+        def _unmatched_right():
+            """right/full: rows no valid left key matches + null-key rows."""
+            lkv = (
+                np.sort(key[l_idx][kvalid[l_idx]])
+                if l_idx.size
+                else np.empty(0, dtype=np.int64)
+            )
+            if lkv.size:
+                has = np.searchsorted(lkv, rk, "right") > np.searchsorted(lkv, rk, "left")
+            else:
+                has = np.zeros(rk.size, dtype=bool)
+            un = np.concatenate([r_order[~has], r_idx[~kvalid[r_idx]]])
+            if un.size == 0:
+                return None
+            r_take = pa.array(un)
+            out = {c: pa.nulls(un.size, type=ltypes[c]) for c in left_cols}
+            out |= {c: pc.take(pt.column(c), r_take) for c in right_payload}
+            return pa.table(out)
+
+        if l_idx.size == 0:
+            if how in ("right", "full") and r_idx.size:
+                extra = _unmatched_right()
+                return extra if extra is not None else empty
+            return empty
         lk = key[l_idx]
         lo = np.searchsorted(rk, lk, "left")
         hi = np.searchsorted(rk, lk, "right")
@@ -308,10 +342,11 @@ def hash_join_pipeline(
             sel = counts > 0 if how == "semi" else counts == 0
             l_take = pa.array(l_idx[sel])
             return pa.table({c: pc.take(pt.column(c), l_take) for c in left_cols})
-        out_counts = np.maximum(counts, 1) if how == "left" else counts
+        out_counts = np.maximum(counts, 1) if how in ("left", "full") else counts
         total = int(out_counts.sum())
+        extra = _unmatched_right() if how in ("right", "full") else None
         if total == 0:
-            return empty
+            return extra if extra is not None else empty
         li = np.repeat(np.arange(l_idx.size), out_counts)
         starts = np.cumsum(out_counts) - out_counts
         offset = np.arange(total) - np.repeat(starts, out_counts)
@@ -324,7 +359,10 @@ def hash_join_pipeline(
             out |= {c: pc.take(pt.column(c), r_take) for c in right_payload}
         else:
             out |= {c: pa.nulls(total, type=rtypes[c]) for c in right_payload}
-        return pa.table(out)
+        out_t = pa.table(out)
+        if extra is not None:
+            out_t = pa.concat_tables([out_t, extra])
+        return out_t
 
     return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
 

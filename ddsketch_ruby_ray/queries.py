@@ -501,6 +501,70 @@ def customers_with_big_orders(sf_dir: str):
     )
 
 
+def urgent_orders_right_join(sf_dir: str):
+    """RIGHT hash equi-join: high-quantity returned lineitems against URGENT
+    orders — every urgent order appears at least once; orders with no such
+    lineitem carry null lineitem columns.  The mirror of the LEFT join's
+    unmatched-row policy, exercised as its own mode so BOTH unmatched-side
+    paths of ``hash_join_pipeline`` are driver-verified."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import hash_join_pipeline
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        filter=pads.field("l_quantity") > 45.0,
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_join_pipeline(
+        li,
+        urgent,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_orderkey", "l_linenumber", "l_quantity"],
+        right_payload=["o_orderkey", "o_totalprice"],
+        how="right",
+    )
+
+
+def customer_orders_full_join(sf_dir: str):
+    """FULL OUTER hash equi-join: BUILDING-segment customers × orders over
+    $300k.  Unmatched rows survive on BOTH sides (customers with no big
+    order; big orders of non-BUILDING customers) — the reconciliation shape
+    (set union with payload) the snapshot-diff pipeline uses on content
+    identity, here as a first-class join mode on an integer key."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import hash_join_pipeline
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300000.0,
+    )
+    return hash_join_pipeline(
+        cust,
+        big,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        left_cols=["c_custkey", "c_acctbal"],
+        right_payload=["o_custkey", "o_orderkey", "o_totalprice"],
+        how="full",
+    )
+
+
 def _revenue_by_priority_reduce(joined):
     """Shared reduce for the shuffle and broadcast revenue-join plans: exact
     integer 1e-4 currency units (round(price * (1 - discount) * 1e4) is
@@ -1852,6 +1916,8 @@ QUERIES = {
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
     "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
+    "urgent_orders_right_join": urgent_orders_right_join,
+    "customer_orders_full_join": customer_orders_full_join,
     "customers_no_urgent_orders": customers_no_urgent_orders,
     "customers_with_big_orders": customers_with_big_orders,
     "split_counts_by_lang": split_counts_by_lang,
@@ -1985,6 +2051,20 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
           ON o.o_orderkey = l.l_orderkey
         WHERE l.l_returnflag = 'R'
+    """,
+    "urgent_orders_right_join": """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+               o.o_orderkey, o.o_totalprice
+        FROM (SELECT * FROM lineitem WHERE l_quantity > 45.0) l
+        RIGHT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON o.o_orderkey = l.l_orderkey
+    """,
+    "customer_orders_full_join": """
+        SELECT c.c_custkey, c.c_acctbal,
+               o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+          ON o.o_custkey = c.c_custkey
     """,
     "customers_no_urgent_orders": """
         SELECT c_custkey, c_acctbal, c_mktsegment FROM customer c

@@ -214,6 +214,92 @@ class TestHashJoin:
             )
             assert got == exp, how
 
+    def test_right_keeps_unmatched_right(self, ray_session):
+        lt = _left([1, 1, 3], [0, 0, 0])
+        rt = _right([1, 2], [0, 0], [10, 20])
+        df = self._join(lt, rt, "right")
+        # both left rows with k=1 match pay=10; right k=2 survives with null left
+        got = sorted(
+            (int(p), None if np.isnan(l) else int(l))
+            for p, l in zip(df["pay"], df["lid"].astype(float))
+        )
+        assert got == [(10, 0), (10, 1), (20, None)]
+        # unmatched LEFT row (k=3) is dropped by right join
+        assert 2 not in set(df["lid"].dropna().astype(int))
+
+    def test_full_keeps_both_sides(self, ray_session):
+        lt = _left([1, 3], [0, 0])
+        rt = _right([1, 2], [0, 0], [10, 20])
+        df = self._join(lt, rt, "full")
+        assert len(df) == 3
+        matched = df[df["pay"] == 10]
+        assert matched["lid"].tolist() == [0]
+        assert df["pay"].dropna().astype(int).tolist().count(20) == 1
+        # the unmatched left row is present with null payload
+        assert df["pay"].isna().sum() == 1
+
+    def test_right_full_null_keys(self, ray_session):
+        lt = pa.table(
+            {
+                "lid": pa.array([0, 1], pa.int64()),
+                "k": pa.array([None, 0], pa.int64()),  # real left key 0
+                "ts": _us([0, 0]),
+            }
+        )
+        rt = pa.table(
+            {
+                "k2": pa.array([None, 0], pa.int64()),  # null right key must NOT match left 0
+                "ts2": _us([0, 0]),
+                "pay": pa.array([99, 10], pa.int64()),
+            }
+        )
+        right = self._join(lt, rt, "right")
+        # matched: (lid=1, pay=10); unmatched null-key right row: (null, 99)
+        assert sorted(right["pay"].astype(int)) == [10, 99]
+        assert right.loc[right["pay"] == 99, "lid"].isna().all()
+        full = self._join(lt, rt, "full")
+        # + unmatched null-key left row
+        assert len(full) == 3 and full["pay"].isna().sum() == 1
+
+    def test_right_full_empty_sides(self, ray_session):
+        # empty left: right/full still emit every right row unmatched
+        for how in ("right", "full"):
+            df = self._join(_left([], []), _right([1, 2], [0, 0], [10, 20]), how)
+            assert sorted(df["pay"].astype(int)) == [10, 20]
+            assert df["lid"].isna().all()
+        # empty right: right drops everything, full keeps left unmatched
+        assert len(self._join(_left([1], [0]), _right([], [], []), "right")) == 0
+        df = self._join(_left([1], [0]), _right([], [], []), "full")
+        assert len(df) == 1 and df["pay"].isna().all()
+
+    def test_right_full_match_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(23)
+        lt = _left(rng.integers(0, 40, 300), np.zeros(300, dtype=np.int64))
+        rt = _right(
+            rng.integers(20, 60, 150), np.zeros(150, dtype=np.int64), np.arange(150)
+        )
+        con = duckdb.connect()
+        con.register("l", lt.select(["lid", "k"]).to_pandas())
+        con.register("r", rt.select(["k2", "pay"]).to_pandas())
+        for how, sqljoin in [("right", "RIGHT JOIN"), ("full", "FULL JOIN")]:
+            df = self._join(lt, rt, how, num_partitions=7)
+            got = sorted(
+                (
+                    -1 if np.isnan(l) else int(l),
+                    -1 if np.isnan(p) else int(p),
+                )
+                for l, p in zip(df["lid"].astype(float), df["pay"].astype(float))
+            )
+            exp = sorted(
+                (-1 if l is None else int(l), -1 if p is None else int(p))
+                for l, p in con.execute(
+                    f"SELECT l.lid, r.pay FROM l {sqljoin} r ON r.k2 = l.k"
+                ).fetchall()
+            )
+            assert got == exp, how
+
     def test_matches_duckdb(self, ray_session):
         import duckdb
 
