@@ -21,6 +21,7 @@ __all__ = [
     "duplicate_spans_sql",
     "simhash_sql",
     "decontam_sql",
+    "repetition_scores_sql",
 ]
 
 _TWO64 = "18446744073709551616"
@@ -375,4 +376,86 @@ SELECT d.{key} AS {key},
        CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
        CAST(coalesce(p.n_hits, 0) > 0 AS BIGINT) AS contaminated
 FROM {table} d LEFT JOIN per p ON p.key = d.{key}
+"""
+
+
+def repetition_scores_sql(*, table: str, key: str, text: str) -> str:
+    """(key, n_tokens, dup_tokens, n_bigrams, top_bigram_count,
+    top_bigram_chars, n_trigrams, dup_trigrams) mirroring
+    pipelines/repetition.py::repetition_scores_pipeline.
+
+    Token / n-gram identity is the same sha256-lane + splitmix64 fold as the
+    engine (collisions identical on both sides); the top-bigram tie resolves
+    to the smaller fold hash on both sides; ``arg_min(glen, p)`` matches the
+    engine's earliest-position gram length; zero-token docs are restored by
+    the LEFT JOINs with all-zero metrics.
+    """
+    tok_hash = f"({sha_lane_sql('tok', 0)})::HUGEINT"
+    return f"""
+WITH big AS (
+  WITH toksh AS (
+    SELECT key, list({tok_hash} ORDER BY pos) AS hs,
+           list(length(tok) ORDER BY pos) AS ls
+    FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+  ),
+  wins AS (
+    SELECT key, i.i AS p, hs, ls
+    FROM toksh, LATERAL (
+      SELECT unnest(range(1, greatest(len(hs) - 1, 0) + 1)) AS i
+    ) i
+  ),
+  glens AS (SELECT key, p, ls[p] + ls[p + 1] + 1 AS glen FROM wins),
+  {_window_fold_ctes(2, variable_width=False)}
+  SELECT wh.key, wh.p, wh.h, g.glen
+  FROM wh JOIN glens g ON g.key = wh.key AND g.p = wh.p
+),
+tri AS (
+  WITH toksh AS (
+    SELECT key, list({tok_hash} ORDER BY pos) AS hs
+    FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+  ),
+  wins AS (
+    SELECT key, i.i AS p, hs
+    FROM toksh, LATERAL (
+      SELECT unnest(range(1, greatest(len(hs) - 2, 0) + 1)) AS i
+    ) i
+  ),
+  {_window_fold_ctes(3, variable_width=False)}
+  SELECT key, p, h FROM wh
+),
+tokagg AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) - count(DISTINCT {tok_hash}) AS BIGINT) AS dup_tokens
+  FROM ({_tokens_cte(table, key, text)}) GROUP BY key
+),
+bgruns AS (
+  SELECT key, h, count(*) AS cnt, arg_min(glen, p) AS glen
+  FROM big GROUP BY key, h
+),
+bgtop AS (
+  SELECT key, cnt, glen FROM (
+    SELECT key, cnt, glen,
+           row_number() OVER (PARTITION BY key ORDER BY cnt DESC, h ASC) AS rn
+    FROM bgruns
+  ) WHERE rn = 1
+),
+bgn AS (SELECT key, CAST(count(*) AS BIGINT) AS n_bigrams FROM big GROUP BY key),
+trin AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_trigrams
+  FROM tri GROUP BY key
+)
+SELECT d.{key} AS {key},
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bt.cnt, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(bt.cnt * bt.glen, 0) AS BIGINT) AS top_bigram_chars,
+       CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(tr.dup_trigrams, 0) AS BIGINT) AS dup_trigrams
+FROM {table} d
+LEFT JOIN tokagg t ON t.key = d.{key}
+LEFT JOIN bgn b ON b.key = d.{key}
+LEFT JOIN bgtop bt ON bt.key = d.{key}
+LEFT JOIN trin tr ON tr.key = d.{key}
 """

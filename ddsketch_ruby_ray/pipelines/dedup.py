@@ -186,8 +186,9 @@ def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-def _doc_token_hashes(batch: pa.Table, text_col: str):
-    """Per batch: flat uint64 TOKEN-hash array + per-doc boundaries.
+def _doc_token_hashes(batch: pa.Table, text_col: str, with_lengths: bool = False):
+    """Per batch: flat uint64 TOKEN-hash array + per-doc boundaries
+    (``with_lengths`` adds the per-token char-length array, same order).
 
     Fully vectorized: one Arrow ``split_pattern`` over the whole column, one
     empty-token filter, one ``dictionary_encode`` so sha256 runs once per
@@ -211,10 +212,18 @@ def _doc_token_hashes(batch: pa.Table, text_col: str):
     bounds = cs[offsets]  # per-doc boundaries into the kept-token stream
     kept = flat.filter(pa.array(nonempty))
     if not len(kept):
+        if with_lengths:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64), bounds
         return np.zeros(0, dtype=np.uint64), bounds
     de = kept.dictionary_encode()
     uniq_h = hash256_str(de.dictionary, lanes=1)[0]
-    tokh = uniq_h[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tokh = uniq_h[idx]
+    if with_lengths:
+        uniq_len = (
+            pc.utf8_length(de.dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return tokh, uniq_len[idx], bounds
     return tokh, bounds
 
 

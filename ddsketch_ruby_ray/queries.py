@@ -1837,6 +1837,17 @@ def decontaminate_docs(sf_dir: str):
     )
 
 
+
+def repetition_scores_docs(sf_dir: str):
+    """Gopher-style within-doc repetition signals (exact integer
+    numerators): duplicate tokens/trigrams + top-bigram coverage, one
+    stateless vectorized map pass (pipelines/repetition.py)."""
+    from .pipelines.repetition import repetition_scores_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_scores_pipeline(ds, key_col="doc_id", text_col="text")
+
+
 _PII_ENRICH_SQL = (
     "coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)"
@@ -1982,6 +1993,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "decontaminate_docs": decontaminate_docs,
+    "repetition_scores_docs": repetition_scores_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "winnow_fingerprints_docs": winnow_fingerprints_docs,
 }
@@ -2151,6 +2163,7 @@ def _family_oracles() -> dict:
         lsh_pairs_sql,
         minhash_signature_sql,
         ngram_jaccard_sql,
+        repetition_scores_sql,
         simhash_sql,
     )
     from .functions.similarity_oracle import (
@@ -2610,6 +2623,9 @@ def _family_oracles() -> dict:
             text="text",
             bench_where="doc_id % 23 = 0",
             n=8,
+        ),
+        "repetition_scores_docs": repetition_scores_sql(
+            table="documents", key="doc_id", text="text"
         ),
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({jaccard_pairs_sql(**dedup_kw)}),
