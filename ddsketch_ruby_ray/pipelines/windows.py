@@ -29,6 +29,7 @@ __all__ = [
     "assign_sliding_windows",
     "sessionize_pipeline",
     "ordered_analytics_pipeline",
+    "moving_window_pipeline",
 ]
 
 
@@ -199,6 +200,103 @@ def ordered_analytics_pipeline(
             out["cum_value"] = pa.array(cs - base)
         # first-event gap is NULL (SQL lag semantics)
         out["prev_gap_us"] = pa.array(gap, pa.int64(), mask=new_key)
+        return pa.table(out)
+
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def moving_window_pipeline(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    frame: int,
+    value_scale: float = 1e6,
+    carry_cols=(),
+    num_partitions: int = 64,
+):
+    """Per-key FRAME-based moving aggregates: sum / min / max / count over
+    ``ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW`` (the feature-
+    engineering staple: trailing-k averages, rolling extrema).
+
+    Same physical plan as :func:`ordered_analytics_pipeline` — ONE
+    hash-partition shuffle of the projected columns, then one lexsort +
+    vectorized scan per partition.  Values are quantized to
+    ``round_half_away(value * value_scale)`` int64 once at the map stage, so
+    every aggregate is exact-integer and bit-reproducible in the SQL mirror
+    (``sum/min/max OVER (... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``).
+
+    ``frame`` is a small constant (the rolling-feature width): the moving
+    min/max use ``frame - 1`` vectorized shift-and-compare passes, O(n·k)
+    total work with no per-row Python; the moving sum is one cumsum.
+    Emits one row per input row: ``carry_cols..., key_col, rn,
+    frame_count (= min(rn, frame)), mov_sum, mov_min, mov_max``.
+    """
+    from ..core.hashing import hash64_int
+
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    carry_cols = list(carry_cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        cols = {
+            "_part": pa.array(part),
+            key_col: pa.array(keys),
+            "_ts": t.column(ts_col).cast(pa.int64()),
+            "_tb": t.column(tiebreak_col).cast(pa.int64()),
+            "_v": pa.array(round_half_away(v * value_scale).astype(np.int64)),
+        }
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        n = pt.num_rows
+        keys = pt.column(key_col).to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        tb = pt.column("_tb").to_numpy(zero_copy_only=False)
+        v = pt.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts, keys))
+        k_s, v_s = keys[order], v[order]
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        key_start = np.repeat(starts, lens)
+        rn = pos - key_start + 1
+        # frame start: max(pos - frame + 1, key start)
+        f0 = np.maximum(pos - (frame - 1), key_start)
+        cnt = pos - f0 + 1
+        cs = np.cumsum(v_s)
+        msum = cs - np.where(f0 > 0, cs[np.maximum(f0 - 1, 0)], 0)
+        mmin = v_s.copy()
+        mmax = v_s.copy()
+        for j in range(1, frame):
+            live = rn > j  # row j-back is in the same key's frame
+            idx = np.flatnonzero(live)
+            if not idx.size:
+                break
+            # setitem form: fancy-indexed `out=` would write into a temp copy
+            mmin[idx] = np.minimum(mmin[idx], v_s[idx - j])
+            mmax[idx] = np.maximum(mmax[idx], v_s[idx - j])
+        take = pa.array(order)
+        out = {c: pc.take(pt.column(c), take) for c in carry_cols}
+        out[key_col] = pa.array(k_s)
+        out["rn"] = pa.array(rn)
+        out["frame_count"] = pa.array(cnt)
+        out["mov_sum"] = pa.array(msum)
+        out["mov_min"] = pa.array(mmin)
+        out["mov_max"] = pa.array(mmax)
         return pa.table(out)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

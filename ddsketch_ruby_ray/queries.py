@@ -363,6 +363,25 @@ def user_running_totals(sf_dir: str):
     )
 
 
+def user_moving_stats(sf_dir: str):
+    """Per-user FRAME-based rolling features over the events log: trailing-5
+    sum/min/max of the (1e-6-quantized) value — the feature-engineering
+    rolling-window staple, one hash-partition + lexsort + O(frame) vectorized
+    shift passes (pipelines/windows.py::moving_window_pipeline)."""
+    from .pipelines.windows import moving_window_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return moving_window_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_col="value",
+        frame=5,
+        carry_cols=["event_id"],
+    )
+
+
 def asof_last_urgent_order(sf_dir: str):
     """LEFT as-of join: for each event, the user's most recent URGENT order
     at/before the event time (ties on o_orderdate -> max o_orderkey, matching
@@ -1922,6 +1941,7 @@ QUERIES = {
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
+    "user_moving_stats": user_moving_stats,
     "asof_last_urgent_order": asof_last_urgent_order,
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
@@ -2055,6 +2075,24 @@ ORACLE_SQL = {
                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "user_moving_stats": """
+        SELECT event_id, user_id,
+               rn, frame_count, mov_sum, mov_min, mov_max
+        FROM (
+          SELECT event_id, user_id,
+                 row_number() OVER w AS rn,
+                 CAST(least(row_number() OVER w, 5) AS BIGINT) AS frame_count,
+                 CAST(sum(v) OVER f AS BIGINT) AS mov_sum,
+                 CAST(min(v) OVER f AS BIGINT) AS mov_min,
+                 CAST(max(v) OVER f AS BIGINT) AS mov_max
+          FROM (SELECT event_id, user_id, ts,
+                       CAST(round(value * 1000000.0) AS BIGINT) AS v
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 f AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
     """,
     "lineitem_urgent_left_join": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,

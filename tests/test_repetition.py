@@ -98,3 +98,90 @@ def test_multiline_docs_extra_spaces(ray_session):
     # "q w" occurs 3x (len 3); "w q" occurs 2x
     assert df.iloc[1]["top_bigram_count"] == 3
     assert df.iloc[1]["top_bigram_chars"] == 9
+
+
+class TestMovingWindow:
+    """moving_window_pipeline edge cases (pipelines/windows.py)."""
+
+    def _run(self, keys, ts, vals, frame=3):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import moving_window_pipeline
+
+        t = pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "ts": pa.array(
+                    np.asarray(ts, dtype=np.int64) * 1_000_000, pa.timestamp("us")
+                ),
+                "eid": pa.array(range(len(keys)), pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+            }
+        )
+        df = moving_window_pipeline(
+            rd.from_arrow(t),
+            key_col="k",
+            ts_col="ts",
+            tiebreak_col="eid",
+            value_col="v",
+            frame=frame,
+            value_scale=1.0,
+            carry_cols=["eid"],
+        ).to_pandas()
+        return df.sort_values("eid").reset_index(drop=True)
+
+    def test_basic_frame(self, ray_session):
+        df = self._run([1, 1, 1, 1], [0, 1, 2, 3], [5.0, 1.0, 4.0, 2.0], frame=3)
+        assert df["mov_sum"].tolist() == [5, 6, 10, 7]
+        assert df["mov_min"].tolist() == [5, 1, 1, 1]
+        assert df["mov_max"].tolist() == [5, 5, 5, 4]
+        assert df["frame_count"].tolist() == [1, 2, 3, 3]
+
+    def test_keys_isolated(self, ray_session):
+        df = self._run([1, 2, 1, 2], [0, 0, 1, 1], [10.0, 20.0, 1.0, 2.0], frame=2)
+        by_key = {(int(k), int(r)): int(s) for k, r, s in zip(df["k"], df["rn"], df["mov_sum"])}
+        assert by_key == {(1, 1): 10, (1, 2): 11, (2, 1): 20, (2, 2): 22}
+
+    def test_frame_one(self, ray_session):
+        df = self._run([1, 1], [0, 1], [3.0, 7.0], frame=1)
+        assert df["mov_sum"].tolist() == [3, 7]
+        assert df["mov_min"].tolist() == [3, 7]
+
+    def test_matches_duckdb_fuzz(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        n, k = 400, 4
+        keys = rng.integers(0, 12, n)
+        ts = rng.integers(0, 1000, n)
+        vals = np.round(rng.normal(0, 50, n), 3)
+        df = self._run(keys, ts, vals, frame=k)
+        con = duckdb.connect()
+        import pandas as pd
+
+        con.register(
+            "e",
+            pd.DataFrame(
+                {"k": keys, "ts": ts, "eid": np.arange(n), "v": np.round(vals)}
+            ),
+        )
+        exp = con.execute(
+            f"""
+            SELECT eid, CAST(sum(v) OVER f AS BIGINT) AS ms,
+                   CAST(min(v) OVER f AS BIGINT) AS mn,
+                   CAST(max(v) OVER f AS BIGINT) AS mx
+            FROM e
+            WINDOW f AS (PARTITION BY k ORDER BY ts, eid
+                         ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+            ORDER BY eid
+            """
+        ).fetchdf()
+        # engine quantizes round(v * 1.0) half-away; regenerate to match:
+        from ddsketch_ruby_ray.core.numeric import round_half_away
+
+        qv = round_half_away(vals * 1.0).astype(np.int64)
+        # recompute engine run on the quantized values via scale=1 on ints
+        df2 = self._run(keys, ts, qv.astype(float), frame=k)
+        assert df2["mov_sum"].tolist() == exp["ms"].tolist()
+        assert df2["mov_min"].tolist() == exp["mn"].tolist()
+        assert df2["mov_max"].tolist() == exp["mx"].tolist()
