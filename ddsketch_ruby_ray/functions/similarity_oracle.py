@@ -245,3 +245,77 @@ scored AS (
 )
 SELECT a, b, cos4 FROM scored WHERE cos4 >= {thr4}
 """
+
+
+def kmeans_sql(
+    *, table: str, id_col: str, vec_col: str, k: int = 8, iters: int = 3
+) -> str:
+    """(id, cluster, dist2) mirroring pipelines/kmeans.py::kmeans_pipeline.
+
+    The whole integer-k-means run is replayed in SQL: the SQ8 code CTEs
+    (identical to the embedding_quantize_stats oracle), the k-smallest-id
+    seeds, and one (distance, argmin-assignment, rounded-centroid-update)
+    CTE block per unrolled Lloyd round.  Every reduction is an integer sum
+    or an exact-input float64 divide + half-away round, so any evaluation
+    order matches the engine bit-for-bit; ties and empty clusters follow
+    the same (smallest cid, keep-previous-centroid) rules.
+    """
+    assert k >= 1 and iters >= 1
+    head = f"""
+WITH qz_vecs AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS v FROM {table}),
+qz_nrm AS (
+  SELECT id, v,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(v, v)) END AS nrm
+  FROM qz_vecs
+),
+qz_flat AS (
+  SELECT id, generate_subscripts(v, 1) AS d,
+         CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6
+  FROM qz_nrm
+),
+qz_amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM qz_flat),
+codes AS (
+  SELECT id, d, CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q
+  FROM qz_flat, qz_amax
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, id
+  FROM (SELECT id FROM qz_vecs ORDER BY id LIMIT {k})
+),
+c0 AS (SELECT i.cid, c.d, c.q AS cq FROM init i JOIN codes c ON c.id = i.id)"""
+    blocks = []
+    for t in range(1, iters):
+        blocks.append(f""",
+d{t} AS (
+  SELECT x.id, c.cid, sum((x.q - c.cq) * (x.q - c.cq)) AS dist
+  FROM codes x JOIN c{t - 1} c ON c.d = x.d GROUP BY x.id, c.cid
+),
+a{t} AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT a.cid, x.d, CAST(round(sum(x.q)::DOUBLE / count(*)) AS BIGINT) AS cq
+  FROM a{t} a JOIN codes x ON x.id = a.id GROUP BY a.cid, x.d
+),
+c{t} AS (
+  SELECT c.cid, c.d, coalesce(s.cq, c.cq) AS cq
+  FROM c{t - 1} c LEFT JOIN s{t} s ON s.cid = c.cid AND s.d = c.d
+)""")
+    tail = f""",
+dfin AS (
+  SELECT x.id, c.cid, sum((x.q - c.cq) * (x.q - c.cq)) AS dist
+  FROM codes x JOIN c{iters - 1} c ON c.d = x.d GROUP BY x.id, c.cid
+)
+SELECT id AS {id_col}, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist2
+FROM (
+  SELECT id, cid, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+  FROM dfin
+) WHERE rn = 1
+"""
+    return head + "".join(blocks) + tail

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ..core.hashing import hash256_str
 
-__all__ = ["grouped_corr_pipeline"]
+__all__ = ["grouped_corr_pipeline", "grouped_zscore_pipeline"]
 
 
 def grouped_corr_pipeline(
@@ -131,3 +131,98 @@ def grouped_corr_pipeline(
         .groupby("_part")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def grouped_zscore_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    carry_cols=(),
+):
+    """Per-group z-score normalization of an INTEGER-valued column, emitted
+    as exact milli-units: ``z_e3 = round_half_away(1000 * (n·x − S) /
+    sqrt(n·Q − S²))`` with per-group exact integer sums S = Σx, Q = Σx²
+    (the feature-standardization staple).
+
+    Two streaming passes: (1) per-block vectorized (group, n, S, Q)
+    partials — a KB-sized take_all (G groups × blocks rows, NOT data) merged
+    in Python ints on the driver; (2) a stateless per-row map with the tiny
+    stats table captured in the closure.  Nothing shuffles.
+
+    Exactness: the identity (x − S/n)/σ = (n·x − S)/sqrt(n·Q − S²) uses one
+    integer numerator and one integer radicand, each converted to float64
+    ONCE, so the divide/sqrt/round chain is bit-identical to the SQL mirror.
+    Gates (raise, never wrap/round silently): per-block int64 pre-agg needs
+    max(x)²·block_rows < 2^63; the float conversions need |n·x − S| and
+    n·Q − S² below 2^53.  Groups with n < 2 or zero variance emit NULL.
+    """
+    carry_cols = list(carry_cols)
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if x.size:
+            mx = max(int(x.max()), -int(x.min()), 1)
+            if mx * mx * x.size >= 2**63:
+                raise OverflowError(
+                    f"zscore preagg would overflow int64: max|x|={mx}, rows={x.size}"
+                )
+        order = np.argsort(g, kind="stable")
+        g_s, x_s = g[order], x[order]
+        first = np.empty(x_s.size, dtype=bool)
+        if x_s.size:
+            first[0] = True
+            first[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                group_col: pa.array(g_s[starts]),
+                "n": pa.array(np.diff(np.append(starts, x_s.size)).astype(np.int64)),
+                "s": pa.array(np.add.reduceat(x_s, starts) if x_s.size else np.array([], np.int64)),
+                "q": pa.array(
+                    np.add.reduceat(x_s * x_s, starts) if x_s.size else np.array([], np.int64)
+                ),
+            }
+        )
+
+    # G × num_blocks tiny rows — a broadcast-table materialization, not data
+    parts = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    stats: dict = {}
+    for r in parts:
+        n0, s0, q0 = stats.get(r[group_col], (0, 0, 0))
+        stats[r[group_col]] = (n0 + int(r["n"]), s0 + int(r["s"]), q0 + int(r["q"]))
+    for gname, (n, s, q) in stats.items():
+        rad = n * q - s * s
+        if rad >= 2**53 or n * max(abs(s), 1) >= 2**62:
+            raise OverflowError(f"zscore stats for group {gname!r} exceed float64 exactness")
+
+    den = {g: (math.sqrt(float(n * q - s * s)) if n >= 2 and n * q - s * s > 0 else 0.0)
+           for g, (n, s, q) in stats.items()}
+    ns = {g: n for g, (n, s, q) in stats.items()}
+    ss = {g: s for g, (n, s, q) in stats.items()}
+
+    from ..core.numeric import round_half_away
+
+    def zmap(t: pa.Table) -> pa.Table:
+        col = t.column(group_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()
+        dvals = de.dictionary.to_pylist()
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_arr = np.array([ns.get(v, 0) for v in dvals], dtype=np.int64)[idx]
+        s_arr = np.array([ss.get(v, 0) for v in dvals], dtype=np.int64)[idx]
+        d_arr = np.array([den.get(v, 0.0) for v in dvals], dtype=np.float64)[idx]
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = d_arr > 0.0
+        num = (n_arr * x - s_arr).astype(np.float64)
+        z = np.divide(num, d_arr, out=np.zeros_like(num), where=ok)
+        ze3 = round_half_away(1000.0 * z).astype(np.int64)
+        out = {c: t.column(c) for c in carry_cols}
+        out[group_col] = t.column(group_col)
+        out[value_col] = t.column(value_col)
+        out["z_e3"] = pa.array(ze3, pa.int64(), mask=~ok)
+        return pa.table(out)
+
+    return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)

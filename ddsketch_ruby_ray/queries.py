@@ -1867,6 +1867,42 @@ def repetition_scores_docs(sf_dir: str):
     return repetition_scores_pipeline(ds, key_col="doc_id", text_col="text")
 
 
+
+def kmeans_clusters_embeddings(sf_dir: str):
+    """Integer k-means (k=8, 3 Lloyd rounds) over the SQ8-quantized
+    embeddings: each round is one streaming assignment pass + a KB
+    centroid reduce; distances/centroids exact integers end-to-end
+    (pipelines/kmeans.py)."""
+    from .pipelines.kmeans import kmeans_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_pipeline(ds, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+
+
+
+def zscore_chars_by_lang(sf_dir: str):
+    """Per-lang z-score standardization of doc lengths in exact milli-units:
+    two streaming passes, exact integer group sums, one float divide/sqrt
+    in SQL-identical order (pipelines/stats.py::grouped_zscore_pipeline)."""
+    from .pipelines.stats import grouped_zscore_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_zscore_pipeline(
+        ds, group_col="lang", value_col="n_chars", carry_cols=["doc_id"]
+    )
+
+
+def top_priced_lineitems(sf_dir: str):
+    """Global distributed sort + limit: the 100 most expensive lineitems
+    with a fully deterministic tiebreak — Ray Data's native sort operator
+    (range-partitioned exchange) surfaced directly."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(100)
+
+
 _PII_ENRICH_SQL = (
     "coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)"
@@ -2001,6 +2037,7 @@ QUERIES = {
     "knn_cosine_top5": knn_cosine_top5,
     "embedding_quantize_stats": embedding_quantize_stats,
     "quantized_knn_top5": quantized_knn_top5,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "ivf_knn_top5": ivf_knn_top5,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "srp_neardup": srp_neardup,
@@ -2008,6 +2045,8 @@ QUERIES = {
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
     "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
+    "zscore_chars_by_lang": zscore_chars_by_lang,
+    "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
     "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
@@ -2101,6 +2140,26 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
           ON o.o_orderkey = l.l_orderkey
         WHERE l.l_returnflag = 'R'
+    """,
+    "zscore_chars_by_lang": """
+        WITH s AS (
+          SELECT lang, count(*) AS n,
+                 sum(n_chars) AS sx, sum(n_chars * n_chars) AS q
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               CASE WHEN s.n >= 2 AND (s.n * s.q - s.sx * s.sx) > 0
+                    THEN CAST(round(1000.0 * ((s.n * d.n_chars - s.sx)::DOUBLE
+                              / sqrt((s.n * s.q - s.sx * s.sx)::DOUBLE)))
+                         AS BIGINT)
+                    ELSE NULL END AS z_e3
+        FROM documents d JOIN s USING (lang)
+    """,
+    "top_priced_lineitems": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
     """,
     "urgent_orders_right_join": """
         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
@@ -2206,6 +2265,7 @@ def _family_oracles() -> dict:
     )
     from .functions.similarity_oracle import (
         ivf_knn_sql,
+        kmeans_sql,
         knn_sql,
         neardup_sql,
         srp_neardup_sql,
@@ -2696,6 +2756,13 @@ def _family_oracles() -> dict:
             k=5,
             n_lists=8,
             n_probe=3,
+        ),
+        "kmeans_clusters_embeddings": kmeans_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            k=8,
+            iters=3,
         ),
         "embedding_neardup_pairs": neardup_sql(
             table="embeddings",
