@@ -42,6 +42,7 @@ __all__ = [
     "range_join_pipeline",
     "hash_join_pipeline",
     "broadcast_hash_join_pipeline",
+    "bloom_prefilter_join_pipeline",
 ]
 
 _SIDE_RIGHT = 0
@@ -531,3 +532,76 @@ def range_join_pipeline(
         return pa.table(out)
 
     return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
+
+
+def bloom_prefilter_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    how: str = "inner",
+    m_bits: int = 1 << 23,
+    k: int = 7,
+    num_partitions: int = 64,
+):
+    """Bloom-semi-join pushdown: a sketch as a PLANNER optimization.
+
+    When the right side is selective but too large (or too hot) to broadcast
+    whole, the classic 100-TB plan is: build a Bloom filter over the right
+    side's join keys (KB-MB state, distributed OR-merge), broadcast the
+    FILTER, and drop every left row whose key cannot match BEFORE the join's
+    all-to-all — the big side's shuffle volume shrinks by the join
+    selectivity while the result is bit-identical to the plain join (Bloom
+    filters have no false negatives, and the exact join removes the false
+    positives the filter lets through).  Oracle = the plain SQL JOIN.
+
+    Restricted to ``how in ("inner", "semi")``: those are the modes where a
+    non-matching left row produces no output, so dropping it early is
+    semantics-preserving (a left/full/anti join must KEEP unmatched rows).
+
+    Sizing: ``m_bits`` defaults to 8 Mbit (1 MiB) ≈ 1% false positives at
+    ~800k distinct build keys; at 100 TB size it from the KMV distinct
+    estimate of the build side and keep the broadcast ≤ a few hundred MB.
+    """
+    import ray
+
+    from ..functions.family_specs import BloomSpec
+    from .probe import _broadcast, build_sketch
+
+    if how not in ("inner", "semi"):
+        raise ValueError(
+            f"bloom prefilter preserves semantics only for 'inner'/'semi', got {how!r}"
+        )
+
+    filt = build_sketch(right, BloomSpec(right_key, m_bits=m_bits, k=k, kind="int"))
+    ref = _broadcast(filt)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        f = ray.get(ref)  # local object store, zero-copy after first fetch
+        kcol = t.column(left_key)
+        if kcol.null_count:  # null keys never match inner/semi
+            valid = pc.is_valid(kcol).combine_chunks().to_numpy(zero_copy_only=False)
+            v = pc.fill_null(kcol, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            valid = None
+            v = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = f.hash_pair_ints(v)
+        keep = f.contains_hash_pairs(h1, h2)
+        if valid is not None:
+            keep &= valid
+        return t if keep.all() else t.filter(pa.array(keep))
+
+    pre = left.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join_pipeline(
+        pre,
+        right,
+        left_key=left_key,
+        right_key=right_key,
+        left_cols=left_cols,
+        right_payload=right_payload,
+        how=how,
+        num_partitions=num_partitions,
+    )

@@ -1892,6 +1892,38 @@ def zscore_chars_by_lang(sf_dir: str):
     )
 
 
+def bloom_prefiltered_revenue_join(sf_dir: str):
+    """Bloom-semi-join pushdown: the HIGH-VALUE orders subset (~13% of
+    orders) is sketched into a broadcast Bloom filter that prunes lineitem
+    rows BEFORE the join's all-to-all; the exact hash join then removes the
+    filter's false positives, so the result — and the oracle — is the plain
+    JOIN with a WHERE on the build side (pipelines/joins.py::
+    bloom_prefilter_join_pipeline).  Same reduce as the other revenue-join
+    plans; a third driver-green plan-equivalence proof."""
+    import pyarrow.compute as pc_
+
+    from .pipelines.joins import bloom_prefilter_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def high_value(t):
+        keep = pc_.greater_equal(t.column("o_totalprice"), 400000.0)
+        return t.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    build = orders.map_batches(high_value, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bloom_prefilter_join_pipeline(
+        li,
+        build,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"],
+        right_payload=["o_orderpriority"],
+        how="inner",
+    )
+    return _revenue_by_priority_reduce(joined)
+
+
 def top_priced_lineitems(sf_dir: str):
     """Global distributed sort + limit: the 100 most expensive lineitems
     with a fully deterministic tiebreak — Ray Data's native sort operator
@@ -1983,6 +2015,7 @@ QUERIES = {
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
     "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
+    "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
     "customers_no_urgent_orders": customers_no_urgent_orders,
@@ -2196,6 +2229,16 @@ ORACLE_SQL = {
                count(*) AS n_items
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "bloom_prefiltered_revenue_join": """
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                             AS BIGINT)) AS BIGINT) AS revenue_e4,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_totalprice >= 400000.0
         GROUP BY o.o_orderpriority
     """,
     "dd_stats_by_lang": """

@@ -450,3 +450,77 @@ class TestBroadcastHashJoin:
             for how in ("semi", "anti"):
                 a, b = self._both(lt, rt, how, payload=())
                 pd.testing.assert_frame_equal(a, b)
+
+
+class TestBloomPrefilterJoin:
+    """Bloom-semi-join pushdown must be bit-identical to the shuffle plan
+    (no false negatives; false positives removed by the exact join)."""
+
+    def _both(self, lt, rt, how, payload=("pay",), m_bits=1 << 12):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import (
+            bloom_prefilter_join_pipeline,
+            hash_join_pipeline,
+        )
+
+        kw = dict(
+            left_key="k",
+            right_key="k2",
+            left_cols=["lid", "k"],
+            right_payload=list(payload),
+            how=how,
+        )
+        a = bloom_prefilter_join_pipeline(
+            rd.from_arrow(lt), rd.from_arrow(rt), m_bits=m_bits, **kw
+        ).to_pandas()
+        b = hash_join_pipeline(rd.from_arrow(lt), rd.from_arrow(rt), **kw).to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        return a, b
+
+    @pytest.mark.parametrize("how", ["inner", "semi"])
+    def test_matches_shuffle_plan(self, ray_session, how):
+        import pandas as pd
+
+        lt = _left([1, 1, 2, 3, None], [0] * 5)
+        rt = _right([1, 2, 2, 4, None], [0] * 5, [10, 20, 21, 40, 99])
+        payload = ("pay",) if how == "inner" else ()
+        a, b = self._both(lt, rt, how, payload=payload)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_rejects_outer_modes(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import bloom_prefilter_join_pipeline
+
+        lt, rt = _left([1], [0]), _right([1], [0], [1])
+        for how in ("left", "right", "full", "anti"):
+            with pytest.raises(ValueError):
+                bloom_prefilter_join_pipeline(
+                    rd.from_arrow(lt),
+                    rd.from_arrow(rt),
+                    left_key="k",
+                    right_key="k2",
+                    left_cols=["lid"],
+                    right_payload=[],
+                    how=how,
+                )
+
+    def test_tiny_filter_fuzz(self, ray_session):
+        # deliberately tiny m_bits -> high false-positive rate; the exact
+        # join must still make the result identical to the shuffle plan
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        for trial in range(3):
+            nl, nr = int(rng.integers(50, 300)), int(rng.integers(0, 80))
+            lt = _left(rng.integers(0, 50, size=nl).tolist(), [0] * nl)
+            rt = _right(
+                rng.integers(0, 50, size=nr).tolist(),
+                [0] * nr,
+                rng.integers(0, 1000, size=nr).tolist(),
+            )
+            a, b = self._both(lt, rt, "inner", m_bits=64)
+            pd.testing.assert_frame_equal(a, b)
