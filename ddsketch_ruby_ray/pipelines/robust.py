@@ -1,0 +1,96 @@
+"""Robust (median/MAD) outlier detection — the quality-filtering staple.
+
+Mean/stddev outlier rules break on the heavy-tailed length/score
+distributions of web corpora (the outliers corrupt the very statistics that
+are supposed to catch them).  The robust alternative is median absolute
+deviation: flag x where |x − median| > k · MAD, with
+MAD = median(|x − median|).  Neither statistic exists in Ray Data, and a
+naive implementation needs two global sorts; here both medians come from
+:mod:`.selection`'s sketch-guided EXACT selection (DDSketch bucket counts
+locate the k-th value's single bucket; only that bucket is rescanned), so
+the whole operator is four streaming passes and two KB-sized broadcasts —
+no global sort, no driver materialization of data rows.
+
+Exactness: for an INTEGER value column the floor-rank median is an actual
+data value (an int), deviations are exact int64, and the flag comparison
+``dev > k·mad`` is pure integer arithmetic — the SQL mirror (row_number
+floor-rank medians + integer compare) matches bit-for-bit.
+
+Scale shape: pass 1/3 are the flagship grouped sketch build (KB states
+shuffle); pass 2/4 are map-only with a tiny per-group dict broadcast via
+``ray.put``.  Skew-free: no keyed row shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .selection import sketch_exact_quantile_pipeline
+
+__all__ = ["mad_outlier_pipeline"]
+
+
+def mad_outlier_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    alpha: float = 0.01,
+    carry_cols=(),
+):
+    """-> Dataset[(carry_cols…, group_col, value_col, dev, mad)] — the rows
+    whose integer ``value_col`` deviates from their group's exact median by
+    MORE than ``k`` times the group's exact MAD (strict, integer compare).
+
+    Groups whose MAD is 0 (over half the rows share the median value) flag
+    every row off the median — the documented MAD edge case; callers who
+    want a floor can clamp ``mad`` upstream.
+    """
+    import ray
+
+    carry_cols = list(carry_cols)
+
+    med_rows = sketch_exact_quantile_pipeline(
+        ds, group_col=group_col, value_col=value_col, q=0.5, alpha=alpha
+    ).take_all()  # one row per group (KB)
+    med = {r[group_col]: int(r["exact_p50"]) for r in med_rows}
+    med_ref = ray.put(med)
+
+    def _gather(col, mapping: dict) -> np.ndarray:
+        """Vectorized per-row lookup: one dict probe per DISTINCT group."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()
+        lut = np.array([mapping.get(v, 0) for v in de.dictionary.to_pylist()], np.int64)
+        return lut[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gm = _gather(t.column(group_col), m)
+        return t.append_column("_dev", pa.array(np.abs(x - gm)))
+
+    with_dev = ds.map_batches(add_dev, batch_format="pyarrow", zero_copy_batch=True)
+
+    mad_rows = sketch_exact_quantile_pipeline(
+        with_dev, group_col=group_col, value_col="_dev", q=0.5, alpha=alpha
+    ).take_all()
+    mad = {r[group_col]: int(r["exact_p50"]) for r in mad_rows}
+    mad_ref = ray.put(mad)
+    out_cols = carry_cols + [group_col, value_col]
+
+    def flag(t: pa.Table) -> pa.Table:
+        m, md = ray.get(med_ref), ray.get(mad_ref)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gm = _gather(t.column(group_col), m)
+        gmad = _gather(t.column(group_col), md)
+        dev = np.abs(x - gm)
+        keep = dev > k * gmad
+        out = t.select(out_cols).filter(pa.array(keep))
+        return out.append_column("dev", pa.array(dev[keep])).append_column(
+            "mad", pa.array(gmad[keep])
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -1892,6 +1892,20 @@ def zscore_chars_by_lang(sf_dir: str):
     )
 
 
+def mad_outlier_docs(sf_dir: str):
+    """Robust outlier filter: docs whose n_chars deviates from their lang's
+    EXACT median by more than 2x the lang's EXACT median-absolute-deviation.
+    Both medians via the sketch-guided exact selection (no global sort);
+    integer compare end-to-end (pipelines/robust.py)."""
+    from .pipelines.robust import mad_outlier_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return mad_outlier_pipeline(
+        ds, group_col="lang", value_col="n_chars", k=2, alpha=ALPHA,
+        carry_cols=["doc_id"],
+    )
+
+
 def bloom_prefiltered_revenue_join(sf_dir: str):
     """Bloom-semi-join pushdown: the HIGH-VALUE orders subset (~13% of
     orders) is sketched into a broadcast Bloom filter that prunes lineitem
@@ -2029,6 +2043,7 @@ QUERIES = {
     "dd_outlier_orders": dd_outlier_orders,
     "dd_rollup_lang_source": dd_rollup_lang_source,
     "exact_median_chars_by_lang": exact_median_chars_by_lang,
+    "mad_outlier_docs": mad_outlier_docs,
     "dd_cube_lang_source": dd_cube_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
     "dd_drift_train_val": dd_drift_train_val,
@@ -2240,6 +2255,32 @@ ORACLE_SQL = {
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE o.o_totalprice >= 400000.0
         GROUP BY o.o_orderpriority
+    """,
+    "mad_outlier_docs": """
+        WITH med AS (
+          SELECT lang, n_chars AS med FROM (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+          ) WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        ),
+        dev AS (
+          SELECT d.doc_id, d.lang, d.n_chars,
+                 abs(d.n_chars - m.med) AS dev
+          FROM documents d JOIN med m USING (lang)
+        ),
+        mad AS (
+          SELECT lang, dev AS mad FROM (
+            SELECT lang, dev,
+                   row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM dev
+          ) WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        )
+        SELECT v.doc_id, v.lang, v.n_chars, v.dev, m.mad
+        FROM dev v JOIN mad m USING (lang)
+        WHERE v.dev > 2 * m.mad
     """,
     "dd_stats_by_lang": """
         SELECT lang,
