@@ -140,7 +140,7 @@ def merge_sketch_states(
     table.
     """
     if coalesce:
-        states = coalesce_states(states, coalesce)
+        states = coalesce_states(states, coalesce, specs=specs, group_keys=group_keys)
     aggs = [SketchStateMergeAgg(spec) for spec in specs]
     if group_keys:
         states = _encode_null_keys(states, group_keys)

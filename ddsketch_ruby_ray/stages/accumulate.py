@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..functions.specs import SketchSpec
 
-__all__ = ["SketchStateAccumulator", "group_codes", "coalesce_states"]
+__all__ = ["SketchStateAccumulator", "StateBlockMerger", "group_codes", "coalesce_states"]
 
 
 def group_codes(batch: pa.Table, group_keys: Sequence[str]):
@@ -118,7 +118,7 @@ class SketchStateAccumulator:
         return group_codes(batch, self.group_keys)
 
 
-def coalesce_states(states, target_blocks: int = 8):
+def coalesce_states(states, target_blocks: int = 8, specs=None, group_keys=()):
     """Coalesce the (tiny) state table into few blocks before the groupby.
 
     The sort-shuffle behind ``groupby().aggregate()`` launches one map task
@@ -126,5 +126,66 @@ def coalesce_states(states, target_blocks: int = 8):
     KB-sized state blocks that is O(blocks^2) object-store traffic for no
     work.  States are orders of magnitude smaller than the input, so a cheap
     repartition first makes the wide step negligible at any scale.
+
+    With ``specs`` the coalesced blocks are also LOCALLY pre-merged
+    (:class:`StateBlockMerger`), so the downstream aggregate sorts/encodes
+    O(target_blocks x groups) state rows instead of one per reader batch.
     """
-    return states.repartition(target_blocks)
+    out = states.repartition(target_blocks)
+    if specs is not None:
+        out = out.map_batches(
+            StateBlockMerger(specs, group_keys),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+    return out
+
+
+class StateBlockMerger:
+    """map_batches callable: merge state rows per group WITHIN one block.
+
+    The local combiner between the accumulate stage and the global state
+    shuffle.  Fused read tasks emit one state row per (parquet row-group,
+    group) — a 125k-row file with 8k-row row-groups yields 16x more state
+    rows than blocks.  Merging them down to one row per group per coalesced
+    block keeps the groupby aggregate's sort/encode work at
+    O(target_blocks x groups) regardless of reader batching.  Merge
+    associativity (base_sketch.rb:146-171 semantics) makes the result
+    bit-identical with or without this stage.
+    """
+
+    def __init__(self, specs: Sequence[SketchSpec], group_keys: Sequence[str] = ()):
+        self.specs = list(specs)
+        self.group_keys = tuple(group_keys)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if self.group_keys and n:
+            inverse, first = group_codes(t, self.group_keys)
+            order = np.argsort(inverse, kind="stable")
+            sorted_inv = inverse[order]
+            boundaries = np.searchsorted(sorted_inv, np.arange(len(first) + 1))
+            group_rows = [order[boundaries[g] : boundaries[g + 1]] for g in range(len(first))]
+        else:
+            first = np.zeros(1 if n else 0, dtype=np.int64)
+            group_rows = [np.arange(n)] if n else []
+
+        out_cols: dict[str, object] = {}
+        for k in self.group_keys:
+            out_cols[k] = t.column(k).take(pa.array(first))
+        for spec in self.specs:
+            col = t.column(spec.name).to_pylist()
+            merged = []
+            for rows in group_rows:
+                acc = None
+                for i in rows:
+                    st = col[i]
+                    if st is None:
+                        continue
+                    sk = spec.from_state(st)
+                    acc = sk if acc is None else spec.merge(acc, sk)
+                merged.append(None if acc is None else spec.to_state(acc))
+            out_cols[spec.name] = pa.array(merged, type=spec.state_type())
+        names = list(self.group_keys) + [s.name for s in self.specs]
+        return pa.Table.from_arrays([out_cols[c] for c in names], names=names)
