@@ -17,12 +17,14 @@ the value order by the tiebreak column ascending, mirroring SQL's
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["per_group_topk"]
+__all__ = ["per_group_topk", "grouped_sum_global_topk"]
 
 
 def per_group_topk(
@@ -78,3 +80,92 @@ def per_group_topk(
         return pa.table(cols)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def grouped_sum_global_topk(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    carry_cols: Sequence[str] = (),
+    k: int,
+    num_partitions: int = 64,
+):
+    """SUM(``value_col``) per int64 group, then the GLOBAL top-k groups by
+    that sum (ties -> smallest group key).  ``carry_cols`` must be
+    functionally dependent on the group (constant within it) - each group's
+    first occurrence is carried through, any Arrow type.
+
+    The classic top-k pushdown, three stages:
+
+      1. block-local combine: every input block collapses to one row per
+         (block, group) with a lexsort + reduceat - the shuffle then moves
+         at most ``blocks x groups-per-block`` partial rows, never raw rows;
+      2. hash co-partition by group + per-partition vectorized final sum;
+         each partition emits only its LOCAL top-k (k rows, not its groups);
+      3. the P x k survivors (KB-sized) go through the native sort + limit.
+
+    ``value_col`` must be int64 (exact, associative - callers quantize
+    floats first); overflow raises rather than wrapping.
+    """
+    carry_cols = list(carry_cols)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        if v.dtype != np.int64:
+            raise TypeError(f"{value_col} must be int64, got {v.dtype}")
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        new_g = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new_g[0] = True
+            new_g[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new_g)
+        sums = np.add.reduceat(v[order], starts) if starts.size else v[:0]
+        # exactness gate: a float64 shadow sum detects int64 wraparound (the
+        # shadow is inexact but within 2^11 of the true value for any block
+        # that did NOT wrap; a wrap is off by ~2^64)
+        if starts.size:
+            chk = np.add.reduceat(v[order].astype(np.float64), starts)
+            if not np.allclose(sums.astype(np.float64), chk, rtol=1e-9, atol=4096.0):
+                raise OverflowError(f"int64 overflow combining {value_col}")
+        first = pa.array(order[starts])
+        cols = {
+            group_col: pa.array(g_s[starts]),
+            value_col: pa.array(sums),
+        }
+        for c in carry_cols:
+            cols[c] = t.column(c).take(first)
+        part = (hash64_int(g_s[starts]) % np.uint64(num_partitions)).astype(np.int32)
+        cols["_part"] = pa.array(part)
+        return pa.table(cols)
+
+    parted = ds.map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        g = pt.column(group_col).to_numpy(zero_copy_only=False)
+        v = pt.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        new_g = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new_g[0] = True
+            new_g[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new_g)
+        sums = np.add.reduceat(v[order], starts) if starts.size else v[:0]
+        gu = g_s[starts]
+        # local top-k by (sum desc, group asc); int64 negation is exact here
+        # (sums are quantized currency units, far from INT64_MIN)
+        top = np.lexsort((gu, -sums))[:k]
+        first = pa.array(order[starts[top]])
+        cols = {
+            group_col: pa.array(gu[top]),
+            value_col: pa.array(sums[top]),
+        }
+        for c in carry_cols:
+            cols[c] = pt.column(c).take(first)
+        return pa.table(cols)
+
+    local = parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+    return local.sort([value_col, group_col], descending=[True, False]).limit(k)

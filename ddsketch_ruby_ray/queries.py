@@ -665,6 +665,96 @@ def revenue_by_priority_broadcast_join(sf_dir: str):
     return _revenue_by_priority_reduce(joined)
 
 
+def building_top_orders(sf_dir: str):
+    """TPC-H-Q3-shaped composition: the 10 highest-revenue unshipped orders
+    of BUILDING-segment customers.  Exercises the engine pieces end-to-end —
+    a SEMI join (orders of qualifying customers), an INNER join carrying
+    typed payload (orderdate timestamp + priority), block-local combining of
+    the fact side BEFORE any shuffle, and the top-k pushdown (each hash
+    partition emits only its local top-10; the global sort sees P x 10 rows).
+    Revenue in exact 1e-4 currency units (same convention as
+    revenue_by_priority_join) so the sums are associative and the SQL mirror
+    is bit-exact."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.joins import hash_join_pipeline
+    from .pipelines.topk import grouped_sum_global_topk
+
+    cutoff = pa.scalar(datetime.datetime(1998, 6, 1), type=pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    qualifying = hash_join_pipeline(
+        orders,
+        cust,
+        left_key="o_custkey",
+        right_key="c_custkey",
+        left_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        right_payload=(),
+        how="semi",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = round_half_away(price * (1.0 - disc) * 1e4).astype(np.int64)
+        g = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        new_g = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new_g[0] = True
+            new_g[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new_g)
+        sums = np.add.reduceat(rev[order], starts) if starts.size else rev[:0]
+        return pa.table(
+            {"l_orderkey": pa.array(g_s[starts]), "revenue_e4": pa.array(sums)}
+        )
+
+    partials = li.map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join_pipeline(
+        partials,
+        qualifying,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_orderkey", "revenue_e4"],
+        right_payload=["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+    return grouped_sum_global_topk(
+        joined,
+        group_col="l_orderkey",
+        value_col="revenue_e4",
+        carry_cols=["o_orderdate", "o_orderpriority"],
+        k=10,
+    )
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def hll_users_by_event_type(sf_dir: str):
@@ -2029,6 +2119,7 @@ QUERIES = {
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
     "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
+    "building_top_orders": building_top_orders,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -2236,6 +2327,21 @@ ORACLE_SQL = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
         )
+    """,
+    "building_top_orders": """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4)
+                             AS BIGINT)) AS BIGINT) AS revenue_e4,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_e4 DESC, l.l_orderkey
+        LIMIT 10
     """,
     "revenue_by_priority_join": """
         SELECT o.o_orderpriority,
