@@ -319,3 +319,39 @@ FROM (
 ) WHERE rn = 1
 """
     return head + "".join(blocks) + tail
+
+
+def semdedup_sql(
+    *,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.92,
+) -> str:
+    """(id, cluster, is_dup) mirroring pipelines/semdedup.py.
+
+    The k-means assignment replays via :func:`kmeans_sql` as a nested CTE;
+    the within-cluster prune is a self-join on the cluster id restricted to
+    smaller-id partners, thresholded on the shared ``cos4`` convention
+    (floor(cos * 1e4 + 0.5) absorbs BLAS-vs-SQL fp noise both ways).
+    """
+    thr4 = int(threshold * 10_000 + 0.5)
+    inner = kmeans_sql(table=table, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    cos = _cos_expr("vx.v", "vy.v")
+    return f"""
+WITH assigned AS MATERIALIZED ({inner}),
+sd_vecs AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS v FROM {table}),
+dup AS (
+  SELECT y.{id_col} AS id, 1 AS is_dup
+  FROM assigned x
+  JOIN assigned y ON y.cluster = x.cluster AND y.{id_col} > x.{id_col}
+  JOIN sd_vecs vx ON vx.id = x.{id_col}
+  JOIN sd_vecs vy ON vy.id = y.{id_col}
+  WHERE CAST(floor(({cos}) * 10000 + 0.5) AS BIGINT) >= {thr4}
+  GROUP BY y.{id_col}
+)
+SELECT a.{id_col}, a.cluster, CAST(coalesce(d.is_dup, 0) AS BIGINT) AS is_dup
+FROM assigned a LEFT JOIN dup d ON d.id = a.{id_col}
+"""

@@ -1970,6 +1970,19 @@ def kmeans_clusters_embeddings(sf_dir: str):
 
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
+    integer k-means buckets the embedding space, then each cluster prunes
+    rows whose cosine to a smaller-id cluster-mate rounds to >= 0.35
+    (pipelines/semdedup.py).  is_dup=0 rows are the curated corpus."""
+    from .pipelines.semdedup import semdedup_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_pipeline(
+        ds, id_col="vec_id", vec_col="embedding", k=8, iters=3, threshold=0.35
+    )
+
+
 def zscore_chars_by_lang(sf_dir: str):
     """Per-lang z-score standardization of doc lengths in exact milli-units:
     two streaming passes, exact integer group sums, one float divide/sqrt
@@ -2177,6 +2190,7 @@ QUERIES = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "quantized_knn_top5": quantized_knn_top5,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+    "semdedup_embeddings": semdedup_embeddings,
     "ivf_knn_top5": ivf_knn_top5,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "srp_neardup": srp_neardup,
@@ -2458,6 +2472,7 @@ def _family_oracles() -> dict:
         kmeans_sql,
         knn_sql,
         neardup_sql,
+        semdedup_sql,
         srp_neardup_sql,
     )
     from .functions.text_oracle import (
@@ -2953,6 +2968,14 @@ def _family_oracles() -> dict:
             vec_col="embedding",
             k=8,
             iters=3,
+        ),
+        "semdedup_embeddings": semdedup_sql(
+            table="embeddings",
+            id_col="vec_id",
+            vec_col="embedding",
+            k=8,
+            iters=3,
+            threshold=0.35,
         ),
         "embedding_neardup_pairs": neardup_sql(
             table="embeddings",
