@@ -30,6 +30,7 @@ __all__ = [
     "sessionize_pipeline",
     "ordered_analytics_pipeline",
     "moving_window_pipeline",
+    "ranked_analytics_pipeline",
 ]
 
 
@@ -297,6 +298,88 @@ def moving_window_pipeline(
         out["mov_sum"] = pa.array(msum)
         out["mov_min"] = pa.array(mmin)
         out["mov_max"] = pa.array(mmax)
+        return pa.table(out)
+
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def ranked_analytics_pipeline(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    carry_cols=(),
+    ntile: int = 4,
+    num_partitions: int = 64,
+):
+    """Tie-aware per-key ranks: ``rank()``, ``dense_rank()``, ``ntile(B)``
+    OVER (PARTITION BY key ORDER BY value DESC, tiebreak ASC).
+
+    Complements :func:`ordered_analytics_pipeline` (whose ``rn`` is the
+    tie-UNaware row_number): ``rnk`` repeats with gaps across value ties,
+    ``dense_rnk`` repeats without gaps, and ``tile`` buckets each key's rows
+    into ``ntile`` near-equal groups (SQL sizing: the first ``n mod B``
+    buckets get one extra row).  Same physical plan as every ordered
+    analytic here — ONE hash co-partition of the projected columns, then a
+    single lexsort + boundary-vectorized scan per partition; skewed keys
+    cost sort time only, no per-key Python at any cardinality.
+    """
+    from ..core.hashing import hash64_int
+
+    carry_cols = list(carry_cols)
+    if ntile < 1:
+        raise ValueError("ntile must be >= 1")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+        cols = {"_part": pa.array(part), key_col: pa.array(keys)}
+        cols["_v"] = t.column(value_col)
+        cols["_tb"] = t.column(tiebreak_col).cast(pa.int64())
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        n = pt.num_rows
+        keys = pt.column(key_col).to_numpy(zero_copy_only=False)
+        v = pt.column("_v").to_numpy(zero_copy_only=False)
+        tb = pt.column("_tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, -v, keys))  # value DESC, tiebreak ASC per key
+        k_s, v_s = keys[order], v[order]
+        new_key = np.empty(n, dtype=bool)
+        new_val = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = k_s[1:] != k_s[:-1]
+            new_val[0] = True
+            new_val[1:] = new_key[1:] | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        key_start = np.repeat(starts, lens)
+        # rank(): 1 + offset of the tie-group's first row within the key
+        tie_start = np.maximum.accumulate(np.where(new_val, pos, -1))
+        rnk = tie_start - key_start + 1
+        # dense_rank(): count of tie-group boundaries within the key so far
+        nv_cum = np.cumsum(new_val.astype(np.int64))
+        dense = nv_cum - np.repeat(nv_cum[starts], lens) + 1
+        # ntile(B): position-based; first (n_g mod B) buckets get q+1 rows
+        p = pos - key_start
+        n_g = np.repeat(lens, lens)
+        q, r = n_g // ntile, n_g % ntile
+        cut = r * (q + 1)
+        small = np.where(q > 0, q, 1)  # q==0 -> every row its own bucket
+        tile = np.where(p < cut, p // np.maximum(q + 1, 1), r + (p - cut) // small) + 1
+        take = pa.array(order)
+        out = {c: pc.take(pt.column(c), take) for c in carry_cols}
+        out[key_col] = pa.array(k_s)
+        out["rnk"] = pa.array(rnk)
+        out["dense_rnk"] = pa.array(dense)
+        out["tile"] = pa.array(tile.astype(np.int64))
         return pa.table(out)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

@@ -1970,6 +1970,23 @@ def kmeans_clusters_embeddings(sf_dir: str):
 
 
 
+def user_value_ranks(sf_dir: str):
+    """Tie-aware window ranks per user: rank / dense_rank / ntile(4) over
+    event value DESC (pipelines/windows.py::ranked_analytics_pipeline) —
+    the tie-handling complement of user_running_totals' row_number."""
+    from .pipelines.windows import ranked_analytics_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return ranked_analytics_pipeline(
+        ds,
+        key_col="user_id",
+        value_col="value",
+        tiebreak_col="event_id",
+        carry_cols=["event_id"],
+        ntile=4,
+    )
+
+
 def semdedup_embeddings(sf_dir: str):
     """SemDeDup semantic dedup (cluster-then-prune, Abbas et al. 2023):
     integer k-means buckets the embedding space, then each cluster prunes
@@ -2127,6 +2144,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_moving_stats": user_moving_stats,
+    "user_value_ranks": user_value_ranks,
     "asof_last_urgent_order": asof_last_urgent_order,
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
@@ -2267,6 +2285,15 @@ ORACLE_SQL = {
                epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "user_value_ranks": """
+        SELECT event_id, user_id,
+               CAST(rank() OVER v AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM events
+        WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
+               w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
     """,
     "user_moving_stats": """
         SELECT event_id, user_id,

@@ -165,3 +165,73 @@ class TestRoundHalfAway:
         assert (got == want[key]).all(), (got, want[key])
         # np.round (banker's) would get 2.5 -> 2; half-away must give 3
         assert round_half_away(np.array([2.5]))[0] == 3.0
+
+
+class TestRankedAnalytics:
+    def _run(self, tbl, parts=5, ntile=4):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import ranked_analytics_pipeline
+
+        out = ranked_analytics_pipeline(
+            rd.from_arrow(tbl).repartition(3),
+            key_col="k",
+            value_col="v",
+            tiebreak_col="eid",
+            carry_cols=["eid"],
+            ntile=ntile,
+            num_partitions=parts,
+        )
+        return out.to_pandas().sort_values("eid").reset_index(drop=True)
+
+    def _tbl(self, n, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "eid": pa.array(np.arange(n), pa.int64()),
+                "k": pa.array(rng.integers(0, 9, n), pa.int64()),
+                # small integer-valued floats -> plenty of rank ties
+                "v": pa.array(rng.integers(-3, 4, n).astype(np.float64)),
+            }
+        )
+
+    def test_matches_duckdb_rank_trio(self, ray_session):
+        import duckdb
+
+        for seed, b in ((7, 4), (8, 3), (9, 1)):
+            tbl = self._tbl(1_500, seed=seed)
+            got = self._run(tbl, ntile=b)
+            con = duckdb.connect()
+            con.register("t", tbl.to_pandas())
+            exp = con.execute(
+                f"""SELECT eid, k,
+                           CAST(rank() OVER v AS BIGINT) AS rnk,
+                           CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
+                           CAST(ntile({b}) OVER w AS BIGINT) AS tile
+                    FROM t
+                    WINDOW v AS (PARTITION BY k ORDER BY v DESC),
+                           w AS (PARTITION BY k ORDER BY v DESC, eid ASC)
+                    ORDER BY eid"""
+            ).fetchdf()
+            for c in ("rnk", "dense_rnk", "tile"):
+                assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (seed, c)
+
+    def test_tiny_groups_ntile_one_row_buckets(self, ray_session):
+        # groups smaller than the bucket count: every row its own bucket
+        tbl = pa.table(
+            {
+                "eid": pa.array([0, 1, 2], pa.int64()),
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "v": pa.array([5.0, 5.0, 1.0]),
+            }
+        )
+        got = self._run(tbl, ntile=4)
+        assert got.rnk.tolist() == [1, 1, 1]
+        assert got.dense_rnk.tolist() == [1, 1, 1]
+        assert got.tile.tolist() == [1, 2, 1]
+
+    def test_partition_count_invariance(self, ray_session):
+        tbl = self._tbl(700, seed=10)
+        assert self._run(tbl, parts=2).equals(self._run(tbl, parts=13))
