@@ -136,7 +136,10 @@ def _prepare_scaling(num_cpus: int = 32) -> None:
     DataContext.get_current().enable_progress_bars = False
     from ddsketch_ruby_ray.sources.corpus import write_corpus
 
-    write_corpus(path, _scaling_rows(), num_blocks=128)
+    # 512 blocks: at 32 cpus the fused read+accumulate runs 16 task waves, so
+    # one straggler costs ~1/16th of the stage instead of ~1/4th at 128 blocks
+    # (the measured tail was the largest non-scaling term after the combiner)
+    write_corpus(path, _scaling_rows(), num_blocks=512)
     with open(os.path.join(path, "_DONE"), "w") as f:
         f.write("ok")
     ray.shutdown()

@@ -122,12 +122,31 @@ def _decode_null_keys(out, group_keys):
     return out.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _auto_coalesce_blocks() -> int:
+    """Coalesce target for the state table: ~one block per cluster CPU.
+
+    The local-combiner stage (StateBlockMerger) runs one task per coalesced
+    block; a FIXED target (the old default, 8) serializes that stage into an
+    8-task tail whatever the cluster size — profiled at 1.6 s of the 16M-row
+    flagship's 7.7 s wall on 32 cpus.  One block per CPU keeps the combiner
+    a single fully-parallel wave at any cluster size while the downstream
+    aggregate still sorts only O(cpus x groups) KB-sized rows.
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:  # pragma: no cover - cluster introspection unavailable
+        cpus = 0
+    return max(8, cpus)
+
+
 def merge_sketch_states(
     states,
     specs: Sequence[SketchSpec],
     group_keys: Sequence[str] = (),
     *,
-    coalesce: int | None = 8,
+    coalesce: int | str | None = "auto",
 ):
     """Stage 2: shuffle + merge the state table; finalize one row per group.
 
@@ -139,6 +158,8 @@ def merge_sketch_states(
     its own group) at the cost of one int32 per key on the KB-sized state
     table.
     """
+    if coalesce == "auto":
+        coalesce = _auto_coalesce_blocks()
     if coalesce:
         states = coalesce_states(states, coalesce, specs=specs, group_keys=group_keys)
     aggs = [SketchStateMergeAgg(spec) for spec in specs]
@@ -158,7 +179,7 @@ def grouped_sketch_pipeline(
     derive=None,
     batch_size: int | None = None,
     concurrency=None,
-    coalesce: int | None = 8,
+    coalesce: int | str | None = "auto",
     prefixes: dict | None = None,
     strategy: str = "states",
     salt: int = 0,

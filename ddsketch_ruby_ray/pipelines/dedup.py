@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "exact_dedup_pipeline",
     "exact_dedup_rows_pipeline",
+    "normalized_dedup_pipeline",
     "minhash_signatures",
     "lsh_candidate_pairs_pipeline",
     "jaccard_pairs_pipeline",
@@ -121,6 +122,31 @@ def exact_dedup_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int
         return pa.table({key_col: part_tbl.column(key_col).take(pa.array(win))})
 
     return hashed.groupby("_part").map_groups(keep_min, batch_format="pyarrow")
+
+
+def normalized_dedup_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int = 64):
+    """Keep the first (min key) row per NORMALIZED text: -> Dataset[key_col].
+
+    The standard near-exact curation dedup: documents differing only in
+    letter case or whitespace runs are duplicates.  Normalization =
+    ``lower(text)`` -> collapse every ``\\s+`` run to one space -> trim edge
+    spaces, applied with pyarrow's RE2 kernels (DuckDB's regexp_replace is
+    RE2 too, so the SQL mirror is byte-identical); then the exact-dedup plan
+    runs unchanged on the normalized bytes (block-local pre-dedup, 24 B/row
+    shuffle, vectorized min-key per partition — see exact_dedup_pipeline).
+    """
+    import pyarrow.compute as pc
+
+    def norm_stage(t: pa.Table) -> pa.Table:
+        c = pc.utf8_lower(t.column(text_col))
+        c = pc.replace_substring_regex(c, pattern=r"\s+", replacement=" ")
+        c = pc.utf8_trim(c, characters=" ")
+        return t.set_column(t.schema.get_field_index(text_col), text_col, c)
+
+    normed = ds.map_batches(norm_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup_pipeline(
+        normed, key_col=key_col, text_col=text_col, num_partitions=num_partitions
+    )
 
 
 def exact_dedup_rows_pipeline(ds, *, key_col: str, text_col: str, num_partitions: int = 64):

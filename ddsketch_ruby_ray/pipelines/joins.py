@@ -39,6 +39,7 @@ from ..core.hashing import hash64_int
 
 __all__ = [
     "asof_join_pipeline",
+    "broadcast_asof_join_pipeline",
     "range_join_pipeline",
     "hash_join_pipeline",
     "broadcast_hash_join_pipeline",
@@ -459,6 +460,80 @@ def broadcast_hash_join_pipeline(
             out |= {c: pc.take(payload.column(c), r_take) for c in right_payload}
         else:
             out |= {c: pa.nulls(total, type=rtypes[c]) for c in right_payload}
+        return pa.table(out)
+
+    return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_asof_join_pipeline(
+    left,
+    right,
+    *,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    tiebreak: str,
+):
+    """Small-side BROADCAST as-of join: semantics identical to
+    :func:`asof_join_pipeline` (LEFT; greatest ``right_ts <= left_ts`` per
+    key; timestamp ties -> greatest ``tiebreak``), shares its SQL oracle.
+
+    Physical plan: the right side (a dimension-sized table by the caller's
+    contract — use the AMS/KMV estimates to decide) is materialized ONCE,
+    lexsorted by (key, ts, tiebreak) and ``ray.put``; the big left side
+    streams through ``map_batches`` probes reading the build zero-copy from
+    each node's local object store.  No all-to-all at all — the classic
+    planner alternative when the shuffle plan's exchange would dominate.
+
+    The probe math is the SAME ``_merge_rank`` the shuffle plan runs per
+    partition, here per batch against the full build.
+    """
+    import ray
+
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    rtypes = {f.name: f.type for f in right.schema().base_schema}
+    rcols = [right_key, right_ts, tiebreak] + [
+        c for c in right_payload if c not in (right_key, right_ts, tiebreak)
+    ]
+
+    parts = [
+        t
+        for t in ray.get(right.select_columns(rcols).to_arrow_refs())
+        if t.num_rows
+    ]
+    if parts:
+        rt_tbl = pa.concat_tables(parts).combine_chunks()
+    else:
+        rt_tbl = pa.table({c: pa.array([], type=rtypes[c]) for c in rcols})
+    rk = rt_tbl.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+    rts = rt_tbl.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rtb = rt_tbl.column(tiebreak).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((rtb, rts, rk))
+    rk, rts = rk[order], rts[order]
+    payload = (
+        rt_tbl.select(right_payload).take(pa.array(order)) if right_payload else None
+    )
+    build_ref = ray.put((rk, rts, payload))
+
+    def probe(t: pa.Table) -> pa.Table:
+        rk, rts, payload = ray.get(build_ref)
+        lk = t.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = t.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = {c: t.column(c) for c in left_cols}
+        if rk.size == 0:
+            for c in right_payload:
+                out[c] = pa.nulls(t.num_rows, type=rtypes[c])
+            return pa.table(out)
+        pos = _merge_rank(rk, rts, lk, lt, inclusive=True)
+        cand = pos - 1
+        matched = (cand >= 0) & (rk[np.maximum(cand, 0)] == lk)
+        r_take = pa.array(np.maximum(cand, 0), mask=~matched)
+        for c in right_payload:
+            out[c] = pc.take(payload.column(c), r_take)
         return pa.table(out)
 
     return left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

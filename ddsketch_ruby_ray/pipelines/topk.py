@@ -41,9 +41,36 @@ def per_group_topk(
     smallest (``ascending=True``) ``value_col`` per group (ties -> smallest
     ``tiebreak_col`` first).  Group keys may be strings or ints.  The
     ascending mode over an unsigned hash column is the per-group bottom-k
-    uniform sample (stages/sampling.py)."""
+    uniform sample (stages/sampling.py).
+
+    Top-k pushdown: the map side first collapses every BLOCK to its local
+    per-group top-k (the global top-k per group is a subset of the union of
+    block-local top-ks), so the shuffle carries at most k rows per (block,
+    group) instead of the raw input — for k=1 (arg_max) on billions of rows
+    the all-to-all drops to one row per (block, group)."""
+
+    def _topk_rows(t: pa.Table) -> pa.Table:
+        """Rows with rank < k per group, any column set preserved."""
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        tb = t.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        # descending: lexsort on -v (ints negate exactly; uint64 value columns
+        # are only supported in ascending mode, where no negation happens)
+        order = np.lexsort((tb, v if ascending else -v, g))
+        g_s = g[order]
+        n = len(order)
+        if not n:
+            return t
+        pos = np.arange(n)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = g_s[1:] != g_s[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_g, pos, -1))
+        keep = (pos - seg_start) < k
+        return t.take(pa.array(order[keep]))
 
     def add_part(t: pa.Table) -> pa.Table:
+        t = _topk_rows(t)  # block-local pushdown before the shuffle
         col = t.column(group_col)
         if pa.types.is_integer(col.type):
             h = hash64_int(col.to_numpy(zero_copy_only=False).astype(np.int64))
@@ -57,27 +84,7 @@ def per_group_topk(
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
 
     def per_partition(pt: pa.Table) -> pa.Table:
-        g = pt.column(group_col).to_numpy(zero_copy_only=False)
-        v = pt.column(value_col).to_numpy(zero_copy_only=False)
-        tb = pt.column(tiebreak_col).to_numpy(zero_copy_only=False)
-        # descending: lexsort on -v (ints negate exactly; uint64 value columns
-        # are only supported in ascending mode, where no negation happens)
-        order = np.lexsort((tb, v if ascending else -v, g))
-        g_s = g[order]
-        n = len(order)
-        pos = np.arange(n)
-        new_g = np.empty(n, dtype=bool)
-        new_g[0] = True
-        new_g[1:] = g_s[1:] != g_s[:-1]
-        seg_start = np.maximum.accumulate(np.where(new_g, pos, -1))
-        keep = (pos - seg_start) < k
-        idx = pa.array(order[keep])
-        cols = {
-            c: pt.column(c).take(idx)
-            for c in pt.column_names
-            if c != "_part"
-        }
-        return pa.table(cols)
+        return _topk_rows(pt.drop_columns(["_part"]))
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
 

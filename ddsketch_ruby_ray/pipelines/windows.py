@@ -31,6 +31,7 @@ __all__ = [
     "ordered_analytics_pipeline",
     "moving_window_pipeline",
     "ranked_analytics_pipeline",
+    "funnel_pipeline",
 ]
 
 
@@ -383,3 +384,99 @@ def ranked_analytics_pipeline(
         return pa.table(out)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def funnel_pipeline(
+    ds,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    next_type: str,
+    window_s: int,
+    num_partitions: int = 64,
+):
+    """Two-stage event funnel: of the users whose stream contains
+    ``first_type``, how many performed ``next_type`` within ``window_s``
+    seconds of their FIRST ``first_type`` event (inclusive bounds)?
+
+    -> one-row pandas DataFrame (stage1_users, stage2_users).
+
+    The classic product-analytics sequence query, not expressible in Ray
+    Data's Dataset API.  Plan: the map side filters to the two event types
+    and projects (user, ts, flag) — everything else is pruned before the
+    shuffle; users co-locate by hash; each partition resolves every user's
+    funnel with one lexsort + two reduceats; only per-partition COUNTS
+    (two ints) leave the reduce.  Skewed users cost sort time only.
+    """
+    import pandas as pd
+
+    from ..core.hashing import hash64_int
+
+    win_us = int(window_s) * 1_000_000
+
+    def project(t: pa.Table) -> pa.Table:
+        et = t.column(type_col)
+        keep = pc.or_(pc.equal(et, first_type), pc.equal(et, next_type))
+        t = t.filter(keep)
+        users = t.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(users) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                user_col: pa.array(users),
+                "_ts": t.column(ts_col).cast(pa.int64()),
+                "_is_first": pc.equal(t.column(type_col), first_type),
+            }
+        )
+
+    parted = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        n = pt.num_rows
+        if not n:
+            return pa.table(
+                {"stage1_users": pa.array([0], pa.int64()),
+                 "stage2_users": pa.array([0], pa.int64())}
+            )
+        u = pt.column(user_col).to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        is_a = pt.column("_is_first").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s, a_s = u[order], ts[order], is_a[order]
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new_u)
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64)
+        # first A per user: min position among A rows (sentinel n = none)
+        a_pos = np.where(a_s, pos, n)
+        first_a = np.minimum.reduceat(a_pos, starts)
+        has_a = first_a < n
+        # stage 2: any B row in [first_a_ts, first_a_ts + win]
+        fa_ts = np.repeat(np.where(has_a, ts_s[np.minimum(first_a, n - 1)], 0), lens)
+        fa_ok = np.repeat(has_a, lens)
+        hit = (~a_s) & fa_ok & (ts_s >= fa_ts) & (ts_s <= fa_ts + win_us)
+        s2 = np.maximum.reduceat(hit.astype(np.int64), starts)
+        return pa.table(
+            {
+                "stage1_users": pa.array([int(has_a.sum())], pa.int64()),
+                "stage2_users": pa.array([int(s2[has_a].sum())], pa.int64()),
+            }
+        )
+
+    partials = parted.groupby("_part").map_groups(
+        per_partition, batch_format="pyarrow"
+    )
+    # KB-sized: one (s1, s2) row per partition
+    agg = partials.sum(["stage1_users", "stage2_users"])
+    return pd.DataFrame(
+        [
+            {
+                "stage1_users": int(agg["sum(stage1_users)"]),
+                "stage2_users": int(agg["sum(stage2_users)"]),
+            }
+        ]
+    )

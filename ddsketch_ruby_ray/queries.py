@@ -412,6 +412,35 @@ def asof_last_urgent_order(sf_dir: str):
     )
 
 
+def asof_last_urgent_order_broadcast(sf_dir: str):
+    """Same as-of join as :func:`asof_last_urgent_order`, but through the
+    BROADCAST plan: the urgent-order dimension side is ray.put once and every
+    event batch probes it locally — no all-to-all at all.  Shares the
+    shuffle variant's oracle verbatim; both green proves plan-equivalence."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import broadcast_asof_join_pipeline
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return broadcast_asof_join_pipeline(
+        events,
+        urgent,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
 def events_within_hour_pairs(sf_dir: str):
     """INNER range join (self): all (event a, event b) pairs of the SAME user
     with b.ts in [a.ts - 1h, a.ts] - the 'recent context per event' shape of
@@ -757,6 +786,31 @@ def building_top_orders(sf_dir: str):
 
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
+def exact_distinct_users_by_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact baseline the
+    HLL/KMV estimates are judged against (pipelines/distinct.py: block-local
+    pair dedup, pair-keyed shuffle so hot groups spread, partial counts)."""
+    from .pipelines.distinct import exact_distinct_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return exact_distinct_pipeline(ds, group_col="event_type", value_col="user_id")
+
+
+def argmax_events_by_type(sf_dir: str):
+    """Per event_type, the single highest-value event row (SQL arg_max with
+    a deterministic event_id tiebreak) — per_group_topk with k=1."""
+    from .pipelines.topk import per_group_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id", "value"])
+    return per_group_topk(
+        ds,
+        group_col="event_type",
+        value_col="value",
+        tiebreak_col="event_id",
+        k=1,
+    )
+
+
 def hll_users_by_event_type(sf_dir: str):
     """HLL distinct user_id per event_type (splitmix64 int hashing)."""
     from .functions.family_specs import HLLSpec
@@ -1060,6 +1114,38 @@ def exact_dedup_docs(sf_dir: str):
     from .pipelines.dedup import exact_dedup_pipeline
 
     return exact_dedup_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+
+
+def normalized_dedup_docs(sf_dir: str):
+    """Near-exact dedup under case/whitespace normalization.  The synthetic
+    corpus carries no case/space variants, so a deterministic variant copy
+    of every doc (doc_id + 10^7, upper(text) + trailing spaces) is unioned
+    in first — mirrored verbatim in the oracle — and the normalize(lower,
+    collapse \\s+, trim) + min-key dedup collapses each variant back onto
+    its original (pipelines/dedup.py::normalized_dedup_pipeline)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.dedup import normalized_dedup_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def variant(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(
+                    t.column("doc_id"), pa.scalar(10_000_000, pa.int64())
+                ),
+                "text": pc.binary_join_element_wise(
+                    pc.utf8_upper(t.column("text")), "  ", ""
+                ),
+            }
+        )
+
+    variants = ds.map_batches(variant, batch_format="pyarrow", zero_copy_batch=True)
+    return normalized_dedup_pipeline(
+        ds.union(variants), key_col="doc_id", text_col="text"
+    )
 
 
 def exact_dedup_rows(sf_dir: str):
@@ -1970,6 +2056,24 @@ def kmeans_clusters_embeddings(sf_dir: str):
 
 
 
+def funnel_click_purchase(sf_dir: str):
+    """Two-stage funnel: users with a click, and those purchasing within an
+    hour of their FIRST click (pipelines/windows.py::funnel_pipeline —
+    filter-projected shuffle, per-partition vectorized funnel, counts only)."""
+    from .pipelines.windows import funnel_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_pipeline(
+        ds,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        first_type="click",
+        next_type="purchase",
+        window_s=3600,
+    )
+
+
 def user_value_ranks(sf_dir: str):
     """Tie-aware window ranks per user: rank / dense_rank / ntile(4) over
     event value DESC (pipelines/windows.py::ranked_analytics_pipeline) —
@@ -2145,7 +2249,9 @@ QUERIES = {
     "user_running_totals": user_running_totals,
     "user_moving_stats": user_moving_stats,
     "user_value_ranks": user_value_ranks,
+    "funnel_click_purchase": funnel_click_purchase,
     "asof_last_urgent_order": asof_last_urgent_order,
+    "asof_last_urgent_order_broadcast": asof_last_urgent_order_broadcast,
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
@@ -2173,6 +2279,8 @@ QUERIES = {
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
     "weighted_sample_docs": weighted_sample_docs,
+    "exact_distinct_users_by_event_type": exact_distinct_users_by_event_type,
+    "argmax_events_by_type": argmax_events_by_type,
     "hll_users_by_event_type": hll_users_by_event_type,
     "hll_users_per_window": hll_users_per_window,
     "hll_props_by_event_type": hll_props_by_event_type,
@@ -2193,6 +2301,7 @@ QUERIES = {
     "kll_exact_fields_by_lang": kll_exact_fields_by_lang,
     "exact_dedup_docs": exact_dedup_docs,
     "exact_dedup_rows": exact_dedup_rows,
+    "normalized_dedup_docs": normalized_dedup_docs,
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
@@ -2286,6 +2395,22 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    "funnel_click_purchase": """
+        WITH a AS (
+          SELECT user_id, min(ts) AS first_a FROM events
+          WHERE event_type = 'click' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT a.user_id FROM a WHERE EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+              AND b.ts >= a.first_a
+              AND b.ts <= a.first_a + INTERVAL 3600 SECOND
+          )
+        )
+        SELECT (SELECT count(*) FROM a) AS stage1_users,
+               (SELECT count(*) FROM s2) AS stage2_users
+    """,
     "user_value_ranks": """
         SELECT event_id, user_id,
                CAST(rank() OVER v AS BIGINT) AS rnk,
@@ -2368,6 +2493,18 @@ ORACLE_SQL = {
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
         )
+    """,
+    "exact_distinct_users_by_event_type": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+    "argmax_events_by_type": """
+        SELECT event_id, event_type, user_id, value FROM (
+          SELECT e.*, row_number() OVER (
+                   PARTITION BY event_type ORDER BY value DESC, event_id ASC
+                 ) AS rn
+          FROM events e
+        ) WHERE rn = 1
     """,
     "building_top_orders": """
         SELECT l.l_orderkey,
@@ -2934,6 +3071,14 @@ def _family_oracles() -> dict:
             FROM per_sess GROUP BY user_id
         """,
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
+        "normalized_dedup_docs": r"""
+            SELECT min(doc_id) AS doc_id FROM (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, upper(text) || '  ' FROM documents
+            )
+            GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        """,
         "exact_dedup_rows": """
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
@@ -3203,9 +3348,10 @@ FROM s
 
 ORACLE_SQL.update(_family_oracles())
 
-# The broadcast-plan join is semantically identical to the shuffle plan, so it
-# shares the exact oracle SQL — both green proves plan-equivalence.
+# The broadcast-plan joins are semantically identical to the shuffle plans, so
+# they share the exact oracle SQL — both green proves plan-equivalence.
 ORACLE_SQL["revenue_by_priority_broadcast_join"] = ORACLE_SQL["revenue_by_priority_join"]
+ORACLE_SQL["asof_last_urgent_order_broadcast"] = ORACLE_SQL["asof_last_urgent_order"]
 
 
 # Round-3: the t-digest / KLL quantile ESTIMATES are oracle-backed through the

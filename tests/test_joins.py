@@ -524,3 +524,81 @@ class TestBloomPrefilterJoin:
             )
             a, b = self._both(lt, rt, "inner", m_bits=64)
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestBroadcastAsofJoin:
+    def test_matches_shuffle_plan(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import (
+            asof_join_pipeline,
+            broadcast_asof_join_pipeline,
+        )
+
+        rng = np.random.default_rng(17)
+        nl, nr = 3000, 400
+        left = pa.table(
+            {
+                "eid": pa.array(np.arange(nl), pa.int64()),
+                "k": pa.array(rng.integers(0, 50, nl), pa.int64()),
+                "ts": pa.array(rng.integers(0, 1000, nl), pa.timestamp("us")),
+            }
+        )
+        right = pa.table(
+            {
+                "k2": pa.array(rng.integers(0, 60, nr), pa.int64()),
+                "rts": pa.array(rng.integers(0, 1000, nr), pa.timestamp("us")),
+                "oid": pa.array(np.arange(nr), pa.int64()),
+                "pay": pa.array(rng.normal(size=nr)),
+            }
+        )
+        kw = dict(
+            left_key="k", left_ts="ts", right_key="k2", right_ts="rts",
+            left_cols=["eid", "k"], right_payload=["oid", "pay"], tiebreak="oid",
+        )
+        a = (
+            asof_join_pipeline(
+                rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right).repartition(3),
+                num_partitions=8, **kw,
+            )
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        b = (
+            broadcast_asof_join_pipeline(
+                rd.from_arrow(left).repartition(4),
+                rd.from_arrow(right).repartition(3), **kw,
+            )
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_empty_build_side(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import broadcast_asof_join_pipeline
+
+        left = pa.table(
+            {
+                "eid": pa.array([1, 2], pa.int64()),
+                "k": pa.array([7, 8], pa.int64()),
+                "ts": pa.array([10, 20], pa.timestamp("us")),
+            }
+        )
+        right = pa.table(
+            {
+                "k2": pa.array([], pa.int64()),
+                "rts": pa.array([], pa.timestamp("us")),
+                "oid": pa.array([], pa.int64()),
+            }
+        )
+        out = broadcast_asof_join_pipeline(
+            rd.from_arrow(left), rd.from_arrow(right),
+            left_key="k", left_ts="ts", right_key="k2", right_ts="rts",
+            left_cols=["eid", "k"], right_payload=["oid"], tiebreak="oid",
+        ).to_pandas()
+        assert len(out) == 2 and out.oid.isna().all()

@@ -235,3 +235,76 @@ class TestRankedAnalytics:
     def test_partition_count_invariance(self, ray_session):
         tbl = self._tbl(700, seed=10)
         assert self._run(tbl, parts=2).equals(self._run(tbl, parts=13))
+
+
+class TestFunnel:
+    def _run(self, tbl, window_s=100, parts=4):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import funnel_pipeline
+
+        return funnel_pipeline(
+            rd.from_arrow(tbl).repartition(3),
+            user_col="u",
+            ts_col="ts",
+            type_col="et",
+            first_type="A",
+            next_type="B",
+            window_s=window_s,
+            num_partitions=parts,
+        )
+
+    @staticmethod
+    def _tbl(rows):
+        us = [r[0] for r in rows]
+        ts = [r[1] * 1_000_000 for r in rows]
+        et = [r[2] for r in rows]
+        return pa.table(
+            {
+                "u": pa.array(us, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "et": pa.array(et, pa.string()),
+            }
+        )
+
+    def test_hand_cases(self, ray_session):
+        tbl = self._tbl(
+            [
+                (1, 10, "A"), (1, 50, "B"),          # converts (within 100 s)
+                (2, 10, "A"), (2, 500, "B"),         # too late
+                (3, 10, "B"), (3, 20, "A"),          # B before first A only
+                (4, 10, "A"), (4, 10, "B"),          # same-instant B counts
+                (5, 10, "B"),                        # never clicked
+                (6, 99, "A"),                        # clicked, no B
+                (7, 30, "A"), (7, 5, "A"), (7, 80, "B"),  # first A at t=5
+                (1, 999, "C"),                       # other types ignored
+            ]
+        )
+        got = self._run(tbl)
+        assert got.stage1_users.tolist() == [6]  # users 1,2,3,4,6,7 clicked
+        assert got.stage2_users.tolist() == [3]  # users 1,4,7 converted
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        n = 4000
+        tbl = pa.table(
+            {
+                "u": pa.array(rng.integers(0, 300, n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 10_000, n) * 1_000_000, pa.timestamp("us")),
+                "et": pa.array(rng.choice(["A", "B", "C"], n).tolist(), pa.string()),
+            }
+        )
+        got = self._run(tbl, window_s=500, parts=7)
+        con = duckdb.connect()
+        con.register("t", tbl.to_pandas())
+        exp = con.execute(
+            """WITH a AS (SELECT u, min(ts) AS fa FROM t WHERE et = 'A' GROUP BY u),
+               s2 AS (SELECT a.u FROM a WHERE EXISTS (
+                 SELECT 1 FROM t b WHERE b.u = a.u AND b.et = 'B'
+                   AND b.ts >= a.fa AND b.ts <= a.fa + INTERVAL 500 SECOND))
+               SELECT (SELECT count(*) FROM a) s1, (SELECT count(*) FROM s2) s2"""
+        ).fetchone()
+        assert (got.stage1_users[0], got.stage2_users[0]) == exp
