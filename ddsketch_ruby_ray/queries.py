@@ -1116,6 +1116,19 @@ def exact_dedup_docs(sf_dir: str):
     return exact_dedup_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def chunk_documents(sf_dir: str):
+    """Fixed-size overlapping chunks (200 chars, 50 overlap) per document —
+    the context-window precursor to sequence packing.  One vectorized
+    byte-gather per block builds every chunk; no shuffle at all
+    (pipelines/chunk.py)."""
+    from .pipelines.chunk import chunk_documents_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents_pipeline(
+        ds, key_col="doc_id", text_col="text", chunk_size=200, overlap=50
+    )
+
+
 def normalized_dedup_docs(sf_dir: str):
     """Near-exact dedup under case/whitespace normalization.  The synthetic
     corpus carries no case/space variants, so a deterministic variant copy
@@ -2302,6 +2315,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "exact_dedup_rows": exact_dedup_rows,
     "normalized_dedup_docs": normalized_dedup_docs,
+    "chunk_documents": chunk_documents,
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
@@ -3071,6 +3085,18 @@ def _family_oracles() -> dict:
             FROM per_sess GROUP BY user_id
         """,
         "exact_dedup_docs": exact_dedup_sql(**dedup_kw),
+        "chunk_documents": """
+            WITH mx AS (
+              SELECT CAST(ceil(max(length(text)) / 150.0) AS BIGINT) AS m
+              FROM documents
+            ),
+            ids AS (SELECT unnest(range((SELECT m FROM mx))) AS i)
+            SELECT d.doc_id, ids.i AS chunk_id,
+                   substring(d.text, CAST(ids.i * 150 + 1 AS BIGINT), 200) AS chunk,
+                   length(substring(d.text, CAST(ids.i * 150 + 1 AS BIGINT), 200))
+                     AS chunk_len
+            FROM documents d JOIN ids ON ids.i * 150 < length(d.text)
+        """,
         "normalized_dedup_docs": r"""
             SELECT min(doc_id) AS doc_id FROM (
               SELECT doc_id, text FROM documents
