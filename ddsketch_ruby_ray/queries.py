@@ -1191,6 +1191,18 @@ def jaccard_dedup_pairs(sf_dir: str):
     return jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def levenshtein_dedup_pairs(sf_dir: str):
+    """LSH candidates verified by exact EDIT distance <= 40 — the
+    character-level near-dup verify (pipelines/dedup.py::
+    edit_distance_pairs_pipeline); texts attach to pairs via two hash
+    co-partition joins, DP per candidate pair only."""
+    from .pipelines.dedup import edit_distance_pairs_pipeline
+
+    return edit_distance_pairs_pipeline(
+        _docs(sf_dir), key_col="doc_id", text_col="text", max_dist=40
+    )
+
+
 def dedup_clusters(sf_dir: str):
     """Near-dup CLUSTER assignment: the verified Jaccard pairs are edges of
     a similarity graph; every clustered doc maps to its component's minimum
@@ -2319,6 +2331,7 @@ QUERIES = {
     "minhash_signatures_docs": minhash_signatures_docs,
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
+    "levenshtein_dedup_pairs": levenshtein_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
     "duplicate_spans_docs": duplicate_spans_docs,
@@ -3114,6 +3127,14 @@ def _family_oracles() -> dict:
         """,
         "minhash_signatures_docs": minhash_signature_sql(**dedup_kw),
         "lsh_candidate_pairs": lsh_pairs_sql(**dedup_kw),
+        "levenshtein_dedup_pairs": f"""
+            WITH lev_pairs AS ({lsh_pairs_sql(**dedup_kw)})
+            SELECT p.a, p.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+            FROM lev_pairs p
+            JOIN documents da ON da.doc_id = p.a
+            JOIN documents db ON db.doc_id = p.b
+            WHERE levenshtein(da.text, db.text) <= 40
+        """,
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
         "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
         "dup_fraction_docs": dup_fraction_sql(**dedup_kw),

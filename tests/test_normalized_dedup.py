@@ -55,3 +55,68 @@ class TestNormalizedDedup:
                 seen[k] = i
                 want.append(i)
         assert got == sorted(want)
+
+
+class TestLevenshtein:
+    def test_dp_matches_duckdb(self):
+        import duckdb
+        import numpy as np
+
+        from ddsketch_ruby_ray.pipelines.dedup import _levenshtein
+
+        rng = np.random.default_rng(2)
+        con = duckdb.connect()
+        cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting")]
+        for _ in range(200):
+            a = "".join(rng.choice(list("abcd "), rng.integers(0, 25)).tolist())
+            b = "".join(rng.choice(list("abcd "), rng.integers(0, 25)).tolist())
+            cases.append((a, b))
+        for a, b in cases:
+            got = _levenshtein(a.encode(), b.encode())
+            if a == "" or b == "":  # duckdb levenshtein('', x) handles fine
+                want = max(len(a), len(b))
+            else:
+                want = con.execute(
+                    "SELECT levenshtein(?, ?)", [a, b]
+                ).fetchone()[0]
+            assert got == want, (a, b, got, want)
+
+    def test_pipeline_finds_planted_near_dups(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.dedup import edit_distance_pairs_pipeline
+
+        rng = np.random.default_rng(6)
+        words = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(rng.choice(words, 30).tolist()) for _ in range(40)
+        ]
+        # plant near-dups: copies of docs 0..4 with one word changed
+        for i in range(5):
+            toks = texts[i].split(" ")
+            toks[7] = "CHANGED"
+            texts.append(" ".join(toks))
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = edit_distance_pairs_pipeline(
+            rd.from_arrow(t).repartition(3),
+            key_col="id",
+            text_col="text",
+            max_dist=10,
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        planted = {(i, 40 + i) for i in range(5)}
+        got = set(zip(out.a, out.b))
+        assert planted <= got
+        # every reported distance is the true DP distance
+        from ddsketch_ruby_ray.pipelines.dedup import _levenshtein
+
+        for _, r in out.iterrows():
+            assert r.lev == _levenshtein(
+                texts[r.a].encode(), texts[r.b].encode()
+            ) <= 10
