@@ -2206,6 +2206,34 @@ _PII_ENRICH_SQL = (
 )
 
 
+_BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts_docs(sf_dir: str):
+    """Whitespace vs BPE-ish token counts per doc.  The BPE-ish count uses a
+    GPT-2-style segmentation regex (letters / digits / punctuation runs with
+    leading-space absorption; RE2 has no lookahead so contraction splits are
+    approximated) — the standard cheap estimator of trained-tokenizer token
+    counts for data budgeting.  Both sides count the SAME RE2 pattern."""
+    import pyarrow as pa
+
+    from .stages.text import _re_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ws_tokens": _re_count(col, "[^ ]+"),
+                "bpe_ish_tokens": _re_count(col, _BPE_ISH),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pii_scrub_docs(sf_dir: str):
     """PII detect + redact over documents.  The synthetic corpus carries no
     PII, so each row is first enriched with deterministic doc_id-derived
@@ -2358,6 +2386,7 @@ QUERIES = {
     "curation_split_counts": curation_split_counts,
     "lang_id_docs": lang_id_docs,
     "pii_scrub_docs": pii_scrub_docs,
+    "bpe_token_counts_docs": bpe_token_counts_docs,
     "decontaminate_docs": decontaminate_docs,
     "repetition_scores_docs": repetition_scores_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3313,6 +3342,14 @@ FROM s
             FROM deduped GROUP BY lang
         """,
         "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        "bpe_token_counts_docs": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+                     AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT)
+                     AS bpe_ish_tokens
+            FROM documents
+        """,
         "pii_scrub_docs": pii_scrub_sql(
             table="documents", key_col="doc_id", text_expr=_PII_ENRICH_SQL
         ),
