@@ -2206,6 +2206,42 @@ _PII_ENRICH_SQL = (
 )
 
 
+def gopher_quality_filter_docs(sf_dir: str):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 style): per doc a
+    rule-failure BITMASK over the exact quality signals (token count band,
+    mean token length band, alpha ratio floor, punct ratio cap) and the
+    resulting keep flag.  All thresholds compare bit-identical float64s on
+    both sides, so the mask is SQL-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        q = quality_scores(t, text_col="text")
+        toks = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        mtl = q.column("mean_token_len").to_numpy(zero_copy_only=False)
+        alpha = q.column("alpha_ratio").to_numpy(zero_copy_only=False)
+        punct = q.column("punct_ratio").to_numpy(zero_copy_only=False)
+        mask = (
+            ((toks < 10) | (toks > 1000)).astype(np.int64)
+            | (((mtl < 2.0) | (mtl > 12.0)).astype(np.int64) << 1)
+            | ((alpha < 0.55).astype(np.int64) << 2)
+            | ((punct > 0.2).astype(np.int64) << 3)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "fail_mask": pa.array(mask),
+                "keep": pa.array((mask == 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 
@@ -2387,6 +2423,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
+    "gopher_quality_filter_docs": gopher_quality_filter_docs,
     "decontaminate_docs": decontaminate_docs,
     "repetition_scores_docs": repetition_scores_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3342,6 +3379,33 @@ FROM s
             FROM deduped GROUP BY lang
         """,
         "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        "gopher_quality_filter_docs": r"""
+            WITH gq AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks,
+                (length(text) - len(regexp_extract_all(text, ' ')))
+                  / greatest(len(regexp_extract_all(text, '[^ ]+')), 1)::DOUBLE
+                  AS mtl,
+                len(regexp_extract_all(text, '[a-zA-Z]'))
+                  / greatest(length(text), 1)::DOUBLE AS alpha,
+                len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))
+                  / greatest(length(text), 1)::DOUBLE AS punct
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(
+                (CASE WHEN toks < 10 OR toks > 1000 THEN 1 ELSE 0 END)
+                + 2 * (CASE WHEN mtl < 2.0 OR mtl > 12.0 THEN 1 ELSE 0 END)
+                + 4 * (CASE WHEN alpha < 0.55 THEN 1 ELSE 0 END)
+                + 8 * (CASE WHEN punct > 0.2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fail_mask,
+              CAST(CASE WHEN
+                (toks >= 10 AND toks <= 1000)
+                AND (mtl >= 2.0 AND mtl <= 12.0)
+                AND alpha >= 0.55 AND punct <= 0.2
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM gq
+        """,
         "bpe_token_counts_docs": f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
