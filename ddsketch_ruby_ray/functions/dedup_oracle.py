@@ -459,3 +459,45 @@ LEFT JOIN bgn b ON b.key = d.{key}
 LEFT JOIN bgtop bt ON bt.key = d.{key}
 LEFT JOIN trin tr ON tr.key = d.{key}
 """
+
+
+def containment_pairs_sql(
+    *,
+    table: str,
+    key: str,
+    text: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> str:
+    """(a, b, cont_ab1000, cont_ba1000) for LSH candidates where the larger
+    directional shingle containment >= threshold (a < b; cont_ab = share of
+    a's shingles found in b).  Mirrors containment_pairs_pipeline."""
+    pairs = lsh_pairs_sql(table=table, key=key, text=text, num_hashes=num_hashes, bands=bands, n=n)
+    shingles = _shingle_hash_cte(table, key, text, n)
+    return f"""
+WITH pairs AS ({pairs}),
+sh AS ({shingles}),
+sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.key = p.a
+  JOIN sh sb ON sb.key = p.b AND sb.h = sa.h
+  GROUP BY p.a, p.b
+),
+cont AS (
+  SELECT p.a, p.b,
+         coalesce(i.i, 0)::DOUBLE / greatest(za.sz, 1) AS c_ab,
+         coalesce(i.i, 0)::DOUBLE / greatest(zb.sz, 1) AS c_ba
+  FROM pairs p
+  JOIN sizes za ON za.key = p.a
+  JOIN sizes zb ON zb.key = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+)
+SELECT a, b,
+       CAST(floor(c_ab * 1000) AS BIGINT) AS cont_ab1000,
+       CAST(floor(c_ba * 1000) AS BIGINT) AS cont_ba1000
+FROM cont WHERE greatest(c_ab, c_ba) >= {threshold:.17e}
+"""

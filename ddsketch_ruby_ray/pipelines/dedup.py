@@ -40,6 +40,7 @@ __all__ = [
     "lsh_candidate_pairs_pipeline",
     "jaccard_pairs_pipeline",
     "edit_distance_pairs_pipeline",
+    "containment_pairs_pipeline",
     "simhash_pipeline",
 ]
 
@@ -791,3 +792,140 @@ def edit_distance_pairs_pipeline(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def containment_pairs_pipeline(
+    ds,
+    *,
+    key_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+):
+    """ASYMMETRIC shingle containment for LSH candidates: -> Dataset[(a, b,
+    cont_ab1000, cont_ba1000)] for pairs where max(containment) >= threshold.
+
+    containment(x -> y) = |shingles(x) ∩ shingles(y)| / |shingles(x)| — the
+    quote/boilerplate detector: a small doc fully embedded in a large one has
+    containment ~1 while its Jaccard is tiny, so symmetric dedup never sees
+    it.  Same fully-distributed shape as jaccard_pairs_pipeline: shingle-hash
+    sets ride the (band, bucket) shuffle, verification happens where the sets
+    are already co-located, cross-band duplicates collapse in a final (a, b)
+    groupby.  Keep threshold > 0 (empty docs carry no shingle rows and the
+    SQL mirror's size join drops them, same note as the Jaccard verify).
+    """
+    assert num_hashes % bands == 0 and threshold > 0
+
+    def sig_and_shingles(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, bounds = _doc_shingle_hashes(batch, text_col, ngram)
+        n = len(bounds) - 1
+        sig = _minhash_matrix(flat, bounds, num_hashes)
+        buckets = _band_buckets(sig, bands)
+        fi = flat.astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(bounds))
+        order = np.lexsort((fi, doc_of))
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32)), pa.array(fi[order])
+        )
+        tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                key_col: pc.take(batch.column(key_col), tile_idx),
+                "_sh": pc.take(sh_list, tile_idx),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        sig_and_shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cont_ab1000": pa.array([], pa.int64()),
+            "cont_ba1000": pa.array([], pa.int64()),
+        }
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        m = len(keys)
+        if m < 2:
+            return empty
+        sh = group.column("_sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        offs = sh.offsets.to_numpy(zero_copy_only=False)
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        lens = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+        order = np.argsort(vals, kind="stable")
+        sv, sd = vals[order], doc_of[order]
+        n = sv.size
+        d1 = d2 = np.zeros(0, dtype=np.int64)
+        if n:
+            new_run = np.empty(n, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = sv[1:] != sv[:-1]
+            pos = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(new_run, pos, -1))
+            starts_idx = np.flatnonzero(new_run)
+            run_len = np.diff(np.append(starts_idx, n))
+            run_end = run_start + run_len[np.cumsum(new_run) - 1]
+            cf = run_end - pos - 1
+            total = int(cf.sum())
+            if total:
+                first = np.repeat(pos, cf)
+                seg0 = np.cumsum(cf) - cf
+                second = first + 1 + (
+                    np.arange(total, dtype=np.int64) - np.repeat(seg0, cf)
+                )
+                d1, d2 = sd[first], sd[second]
+        if not d1.size:
+            return empty
+        codes, inter = np.unique(d1 * np.int64(m) + d2, return_counts=True)
+        iu0, iu1 = codes // m, codes % m
+        # orient by key so cont_ab is always "smaller key contained in larger"
+        ka, kb = keys[iu0], keys[iu1]
+        swap = ka > kb
+        la = np.where(swap, lens[iu1], lens[iu0])
+        lb = np.where(swap, lens[iu0], lens[iu1])
+        a = np.minimum(ka, kb)
+        b = np.maximum(ka, kb)
+        c_ab = inter / np.maximum(la, 1)
+        c_ba = inter / np.maximum(lb, 1)
+        keep = np.maximum(c_ab, c_ba) >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cont_ab1000": pa.array(np.floor(c_ab[keep] * 1000).astype(np.int64)),
+                "cont_ba1000": pa.array(np.floor(c_ba[keep] * 1000).astype(np.int64)),
+            }
+        )
+
+    per_bucket = bucketed.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    # identical values in every shared bucket -> collapse cross-band dups
+    out = per_bucket.groupby(["a", "b"]).max(["cont_ab1000", "cont_ba1000"])
+    import pyarrow.compute as pc
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "cont_ab1000": pc.cast(t.column("max(cont_ab1000)"), pa.int64()),
+                "cont_ba1000": pc.cast(t.column("max(cont_ba1000)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

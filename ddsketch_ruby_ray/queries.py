@@ -1191,6 +1191,17 @@ def jaccard_dedup_pairs(sf_dir: str):
     return jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
 
 
+def containment_dedup_pairs(sf_dir: str):
+    """Asymmetric shingle CONTAINMENT >= 0.5 over LSH candidates — the
+    quote/boilerplate detector symmetric Jaccard misses (a short doc fully
+    embedded in a long one).  pipelines/dedup.py::containment_pairs_pipeline."""
+    from .pipelines.dedup import containment_pairs_pipeline
+
+    return containment_pairs_pipeline(
+        _docs(sf_dir), key_col="doc_id", text_col="text", threshold=0.5
+    )
+
+
 def levenshtein_dedup_pairs(sf_dir: str):
     """LSH candidates verified by exact EDIT distance <= 40 — the
     character-level near-dup verify (pipelines/dedup.py::
@@ -2396,6 +2407,7 @@ QUERIES = {
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "levenshtein_dedup_pairs": levenshtein_dedup_pairs,
+    "containment_dedup_pairs": containment_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
     "duplicate_spans_docs": duplicate_spans_docs,
@@ -2713,6 +2725,7 @@ def _family_oracles() -> dict:
         kmv_sql,
     )
     from .functions.dedup_oracle import (
+        containment_pairs_sql,
         decontam_sql,
         dup_fraction_sql,
         duplicate_spans_sql,
@@ -3202,6 +3215,7 @@ def _family_oracles() -> dict:
             WHERE levenshtein(da.text, db.text) <= 40
         """,
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
+        "containment_dedup_pairs": containment_pairs_sql(threshold=0.5, **dedup_kw),
         "ngram_jaccard_pairs": ngram_jaccard_sql(**dedup_kw),
         "dup_fraction_docs": dup_fraction_sql(**dedup_kw),
         "duplicate_spans_docs": duplicate_spans_sql(**dedup_kw, n=8),

@@ -120,3 +120,38 @@ class TestLevenshtein:
             assert r.lev == _levenshtein(
                 texts[r.a].encode(), texts[r.b].encode()
             ) <= 10
+
+
+class TestContainment:
+    def test_planted_containment_detected(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.dedup import containment_pairs_pipeline
+
+        rng = np.random.default_rng(14)
+        words = [f"t{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(words, 50).tolist()) for _ in range(30)]
+        # doc 30: a prefix of doc 0 (fully contained, Jaccard ~0.69).  LSH is
+        # Jaccard-tuned, so narrow bands (8x2) are needed for the candidate
+        # to surface reliably; the CONTAINMENT verify then shows ~1.0 one way.
+        texts.append(" ".join(texts[0].split(" ")[:35]))
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = containment_pairs_pipeline(
+            rd.from_arrow(t).repartition(3),
+            key_col="id",
+            text_col="text",
+            threshold=0.9,
+            num_hashes=16,
+            bands=8,
+        ).to_pandas()
+        row = out[(out.a == 0) & (out.b == 30)]
+        # all of doc 30's shingles appear in doc 0 -> cont_ba == 1000
+        assert len(row) == 1 and row.cont_ba1000.iloc[0] == 1000
+        assert row.cont_ab1000.iloc[0] < 800  # asymmetric by construction
