@@ -119,8 +119,21 @@ def _scaling_rows() -> int:
     return int(os.environ.get("GRAFT_SCALING_ROWS", "16000000"))
 
 
+def _scaling_blocks() -> int:
+    """Corpus block count — a per-JOB-SHAPE tuning knob.
+
+    The flagship's only exchange moves KB states, so MANY blocks (512) just
+    shorten the fused-read task waves and shrink the straggler tail.  The
+    dedup/join jobs keyed-shuffle real rows, and Ray's sort exchange has
+    O(blocks x partitions) fixed cost — quadrupling blocks from 128 to 512
+    measurably DOUBLED their 8-cpu walls.  run_scaling_dedup therefore pins
+    128; the flagship default stays 512.
+    """
+    return int(os.environ.get("GRAFT_SCALING_BLOCKS", "512"))
+
+
 def _scaling_corpus_path() -> str:
-    return f"/tmp/graft_scaling_corpus_{_scaling_rows()}"
+    return f"/tmp/graft_scaling_corpus_{_scaling_rows()}_{_scaling_blocks()}"
 
 
 def _prepare_scaling(num_cpus: int = 32) -> None:
@@ -136,10 +149,7 @@ def _prepare_scaling(num_cpus: int = 32) -> None:
     DataContext.get_current().enable_progress_bars = False
     from ddsketch_ruby_ray.sources.corpus import write_corpus
 
-    # 512 blocks: at 32 cpus the fused read+accumulate runs 16 task waves, so
-    # one straggler costs ~1/16th of the stage instead of ~1/4th at 128 blocks
-    # (the measured tail was the largest non-scaling term after the combiner)
-    write_corpus(path, _scaling_rows(), num_blocks=512)
+    write_corpus(path, _scaling_rows(), num_blocks=_scaling_blocks())
     with open(os.path.join(path, "_DONE"), "w") as f:
         f.write("ok")
     ray.shutdown()
@@ -384,6 +394,8 @@ def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
     jobs = tuple(os.environ.get("GRAFT_DEDUP_JOBS", "exact,lsh").split(","))
     for job in jobs:
         os.environ["GRAFT_SCALING_ROWS"] = str(_dedup_job_rows(job))
+        # row-shuffling jobs: keep blocks low (see _scaling_blocks docstring)
+        os.environ["GRAFT_SCALING_BLOCKS"] = "128"
         _child(["--_prepare-scaling"])
         res = {}
         for n in (lo, hi):
