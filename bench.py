@@ -199,7 +199,34 @@ def _scaling_child(num_cpus: int) -> None:
     print(json.dumps({"sec": sec, "rows": _scaling_rows()}))
 
 
+def _read_proc_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Host CPU-steal %% over the interval — the share of guest vCPU time the
+    hypervisor gave to OTHER tenants.  This sandbox shows 20%%+ steal even at
+    guest idle, which caps any 8->32 intra-box scaling measurement: at
+    num_cpus=8 the demand fits in the unstolen share, at 32 it cannot."""
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else 0.0
+
+
+def _scaling_levels(lo_default: int = 8, hi_default: int = 32) -> tuple[int, int]:
+    """N / 4N parallelism levels (override: GRAFT_SCALING_LO / GRAFT_SCALING_HI)."""
+    lo = int(os.environ.get("GRAFT_SCALING_LO", str(lo_default)))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", str(hi_default)))
+    return lo, hi
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    lo, hi = _scaling_levels(lo, hi)
     def _child(args: list[str]) -> str:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args,
@@ -216,9 +243,17 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     results = {}
     for n in (lo, hi):
         # best of 2: the sandbox shows double-digit % CPU-steal variance
-        secs = [json.loads(_child(["--_scaling-child", str(n)]))["sec"] for _ in range(2)]
-        sec = min(secs)
-        results[n] = {"sec": sec, "rows_per_sec": _scaling_rows() / sec}
+        secs, steals = [], []
+        for _ in range(2):
+            s0 = _read_proc_stat()
+            secs.append(json.loads(_child(["--_scaling-child", str(n)]))["sec"])
+            steals.append(_steal_pct(s0, _read_proc_stat()))
+        i = secs.index(min(secs))
+        results[n] = {
+            "sec": secs[i],
+            "rows_per_sec": _scaling_rows() / secs[i],
+            "steal_pct": steals[i],
+        }
     eff = results[hi]["rows_per_sec"] / ((hi / lo) * results[lo]["rows_per_sec"])
     return {
         "metric": f"scaling efficiency num_cpus {lo} -> {hi}",
@@ -229,6 +264,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             str(n): round(results[n]["rows_per_sec"], 1) for n in (lo, hi)
         },
         "seconds": {str(n): round(results[n]["sec"], 3) for n in (lo, hi)},
+        "host_steal_pct": {str(n): results[n]["steal_pct"] for n in (lo, hi)},
     }
 
 
@@ -271,7 +307,9 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     )
 
     rows = _dedup_job_rows(job)
-    path = f"/tmp/graft_scaling_corpus_{rows}"
+    # run_scaling_dedup exports GRAFT_SCALING_ROWS/BLOCKS before spawning this
+    # child, so _scaling_corpus_path() resolves to the corpus it prepared
+    path = _scaling_corpus_path()
     _warm_up("/root/testdata/sf0.001")
     _warm_page_cache(path)
 
@@ -377,6 +415,7 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
 
 def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
     """Second scaling table (BASELINE.md): exact dedup + LSH at lo vs hi cpus."""
+    lo, hi = _scaling_levels(lo, hi)
 
     def _child(args: list[str]) -> str:
         proc = subprocess.run(
@@ -399,18 +438,26 @@ def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
         _child(["--_prepare-scaling"])
         res = {}
         for n in (lo, hi):
-            secs = [
-                json.loads(_child(["--_scaling-dedup-child", str(n), job]))["sec"]
-                for _ in range(2)
-            ]
-            sec = min(secs)
-            res[n] = {"sec": sec, "rows_per_sec": _dedup_job_rows(job) / sec}
+            secs, steals = [], []
+            for _ in range(2):
+                s0 = _read_proc_stat()
+                secs.append(
+                    json.loads(_child(["--_scaling-dedup-child", str(n), job]))["sec"]
+                )
+                steals.append(_steal_pct(s0, _read_proc_stat()))
+            i = secs.index(min(secs))
+            res[n] = {
+                "sec": secs[i],
+                "rows_per_sec": _dedup_job_rows(job) / secs[i],
+                "steal_pct": steals[i],
+            }
         eff = res[hi]["rows_per_sec"] / ((hi / lo) * res[lo]["rows_per_sec"])
         out[job] = {
             "input_rows": _dedup_job_rows(job),
             "seconds": {str(n): round(res[n]["sec"], 3) for n in (lo, hi)},
             "throughput": {str(n): round(res[n]["rows_per_sec"], 1) for n in (lo, hi)},
             "efficiency": round(eff, 3),
+            "host_steal_pct": {str(n): res[n]["steal_pct"] for n in (lo, hi)},
         }
     return {"metric": f"dedup scaling num_cpus {lo} -> {hi}", "jobs": out}
 

@@ -2281,6 +2281,105 @@ def bpe_token_counts_docs(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _c4_enrich_lines(flat, ord1):
+    """Ordinal-keyed rule-hit synthesis for the C4 filter's driver query.
+
+    The synthetic corpus is punctuation-free prose, so every raw line would
+    fail the terminal-punctuation rule; this transform (mirrored verbatim in
+    the oracle's CTE) appends '.' to every 3rd line and a boilerplate ' {'
+    to every 5th so all three C4 rules fire on real data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lut = np.array(["", ".", " {", ". {"], dtype=object)
+    idx = (ord1 % 3 == 0).astype(np.int64) + 2 * (ord1 % 5 == 0).astype(np.int64)
+    return pc.binary_join_element_wise(flat, pa.array(lut[idx].tolist(), pa.string()), "")
+
+
+def c4_line_filter_docs(sf_dir: str):
+    """C4-style line-level quality filter (Raffel et al. 2020 §2.2): per doc
+    the line count, kept-line count and the XOR sha-fold of the exact kept
+    (ordinal, bytes) pairs.  The single-line synthetic docs are first
+    rewritten into multi-line form (newline after every 7th token, via ONE
+    RE2 replace mirrored in the oracle), then `_c4_enrich_lines` plants
+    deterministic rule hits.  All predicates are single Arrow RE2 kernels
+    over every line of the batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.text import line_filter_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring_regex(
+            pc.fill_null(pc.cast(t.column("text"), pa.string()), ""),
+            pattern=r"((?:[^ ]+ ){6}[^ ]+) ",
+            replacement="\\1\n",
+        )
+        t2 = pa.table({"doc_id": t.column("doc_id"), "text": txt})
+        return line_filter_stats(
+            t2, key_col="doc_id", text_col="text", line_transform=_c4_enrich_lines
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def p99_length_filter_by_lang(sf_dir: str):
+    """Sketch-guided per-group percentile OUTLIER filter: the exact per-lang
+    p99 of n_chars from two streaming passes (no global sort — the sketch's
+    exact bucket counts locate the p99 bucket, one filtered scan selects it),
+    then a broadcast cutoff filter keeps docs at-or-below their lang's p99
+    and counts the survivors.  The standard 'truncate pathological lengths'
+    curation gate, exact at any scale."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .pipelines.selection import sketch_exact_quantile_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    cuts_ds = sketch_exact_quantile_pipeline(
+        ds, group_col="lang", value_col="n_chars", q=0.99, alpha=ALPHA
+    )
+    cuts = {r["lang"]: r["exact_p99"] for r in cuts_ds.take_all()}  # one row/lang
+    ref = ray.put(cuts)
+
+    def keep_counts(t: pa.Table) -> pa.Table:
+        cut = ray.get(ref)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        vals = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        out_l, out_n, out_c = [], [], []
+        for l in np.unique(langs):  # groups-in-batch, not rows
+            m = (langs == l) & (vals <= cut.get(l, np.inf))
+            out_l.append(l)
+            out_n.append(int(m.sum()))
+            out_c.append(int(vals[m].sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "n_kept": pa.array(out_n, pa.int64()),
+                "kept_chars": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    partial = ds.map_batches(keep_counts, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial.groupby("lang").sum(["n_kept", "kept_chars"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_kept": pc.cast(t.column("sum(n_kept)"), pa.int64()),
+                "kept_chars": pc.cast(t.column("sum(kept_chars)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def pii_scrub_docs(sf_dir: str):
     """PII detect + redact over documents.  The synthetic corpus carries no
     PII, so each row is first enriched with deterministic doc_id-derived
@@ -2436,6 +2535,8 @@ QUERIES = {
     "pii_scrub_docs": pii_scrub_docs,
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "gopher_quality_filter_docs": gopher_quality_filter_docs,
+    "c4_line_filter_docs": c4_line_filter_docs,
+    "p99_length_filter_by_lang": p99_length_filter_by_lang,
     "decontaminate_docs": decontaminate_docs,
     "repetition_scores_docs": repetition_scores_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3427,6 +3528,57 @@ FROM s
                    CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT)
                      AS bpe_ish_tokens
             FROM documents
+        """,
+        "c4_line_filter_docs": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((?:[^ ]+ ){6}[^ ]+) ',
+                                    '\1' || chr(10), 'g') AS t2
+              FROM documents
+            ), lx AS (
+              SELECT doc_id,
+                     unnest(string_split(t2, chr(10))) AS line0,
+                     generate_subscripts(string_split(t2, chr(10)), 1) AS ord
+              FROM src
+            ), marked AS (
+              SELECT doc_id, ord,
+                     line0 || (CASE WHEN ord % 3 = 0 THEN '.' ELSE '' END)
+                           || (CASE WHEN ord % 5 = 0 THEN ' {' ELSE '' END) AS line
+              FROM lx
+            ), judged AS (
+              SELECT doc_id, ord, line,
+                     (regexp_matches(line, '[.!?"'']$')
+                      AND len(regexp_extract_all(line, '[^ ]+')) >= 5
+                      AND NOT regexp_matches(line, '(?i)javascript|lorem ipsum|[{}]')
+                     ) AS keep
+              FROM marked
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(bit_xor(CASE WHEN keep THEN
+                       ('0x' || substr(sha256(CAST(ord AS VARCHAR) || '|' || line),
+                                       1, 15))::BIGINT END), 0) AS BIGINT) AS kept_sig
+            FROM judged GROUP BY doc_id
+        """,
+        "p99_length_filter_by_lang": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ), cut AS (
+              SELECT lang, n_chars AS p99
+              FROM r WHERE rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+            FROM documents d JOIN cut USING (lang)
+            WHERE d.n_chars <= cut.p99
+            GROUP BY d.lang
         """,
         "pii_scrub_docs": pii_scrub_sql(
             table="documents", key_col="doc_id", text_expr=_PII_ENRICH_SQL

@@ -22,6 +22,7 @@ __all__ = [
     "winnow_fingerprints",
     "PII_PATTERNS",
     "pii_scrub",
+    "line_filter_stats",
 ]
 
 
@@ -205,6 +206,89 @@ def winnow_fingerprints(
             key_col: keys,
             "n_fp": pa.array(n_fp),
             "fp_xor": pa.array(fp_xor),
+        }
+    )
+
+
+# -- C4-style line-level filtering -------------------------------------------
+
+# default C4 rules (Raffel et al. 2020 §2.2 style): keep a line only if it
+# ends in terminal punctuation, has enough words, and carries no boilerplate
+# marker.  Plain RE2 patterns - the same engine DuckDB uses.
+C4_TERMINAL_RE = "[.!?\"']$"
+C4_BOILER_RE = r"(?i)javascript|lorem ipsum|[{}]"
+
+
+def line_filter_stats(
+    batch: pa.Table,
+    *,
+    key_col: str,
+    text_col: str,
+    min_words: int = 5,
+    terminal_re: str = C4_TERMINAL_RE,
+    boiler_re: str = C4_BOILER_RE,
+    line_transform=None,
+) -> pa.Table:
+    """C4-style line filter over newline-delimited docs; per-doc stats only.
+
+    Splits each doc on ``\\n``, judges every line against the three C4 rules
+    (terminal punctuation, >= ``min_words`` words, no boilerplate marker) and
+    emits per doc: ``n_lines``, ``n_kept`` and ``kept_sig`` - the XOR fold of
+    the 60-bit sha256 of ``"<ord>|<line>"`` over KEPT lines (ord = 1-based
+    line ordinal), which pins the exact kept (position, bytes) multiset
+    without shipping any text.  SQL mirror: unnest(string_split(..)) +
+    generate_subscripts + the same RE2 predicates + bit_xor of the same
+    sha256 prefix.
+
+    ``line_transform(flat_lines: pa.Array, ord1: np.ndarray) -> pa.Array``
+    optionally rewrites lines (by 1-based ordinal) BEFORE judging - the
+    driver query uses it to synthesize rule hits on the punctuation-free
+    test corpus, mirrored verbatim in its oracle's CTE.
+
+    Vectorized end-to-end (split / flatten / regex predicates are single
+    Arrow kernels over every line in the batch); the only per-line Python is
+    the sha256 digest over KEPT lines, the same inherent hash cost as every
+    other sha site in the repo.
+    """
+    from ..core.hashing import hash256_str
+
+    n_docs = batch.num_rows
+    col = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+    lines = pc.split_pattern(col, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    starts = np.cumsum(n_lines) - n_lines
+    ord1 = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n_lines) + 1
+
+    if line_transform is not None:
+        flat = line_transform(flat, ord1)
+
+    words = pc.count_substring_regex(flat, "[^ ]+").to_numpy(zero_copy_only=False)
+    term = pc.match_substring_regex(flat, terminal_re).to_numpy(zero_copy_only=False)
+    boiler = pc.match_substring_regex(flat, boiler_re).to_numpy(zero_copy_only=False)
+    keep = term & (words >= min_words) & ~boiler
+
+    n_kept = np.bincount(parent[keep], minlength=n_docs).astype(np.int64)
+    kept_sig = np.zeros(n_docs, dtype=np.int64)
+    kp = parent[keep]
+    if kp.size:
+        ord_str = pc.cast(pa.array(ord1[keep]), pa.string())
+        salted = pc.binary_join_element_wise(
+            ord_str, pc.take(flat, pa.array(np.flatnonzero(keep))), "|"
+        )
+        h = (hash256_str(salted, lanes=1)[0] >> np.uint64(4)).astype(np.int64)
+        seg = np.flatnonzero(np.r_[True, kp[1:] != kp[:-1]])
+        kept_sig[kp[seg]] = np.bitwise_xor.reduceat(h, seg)
+
+    return pa.table(
+        {
+            key_col: batch.column(key_col),
+            "n_lines": pa.array(n_lines),
+            "n_kept": pa.array(n_kept),
+            "kept_sig": pa.array(kept_sig),
         }
     )
 

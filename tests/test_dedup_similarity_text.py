@@ -821,3 +821,113 @@ class TestNgramJaccardPostings:
         # postings candidates are EXACT (no LSH misses): all 10 surface
         assert len(mine) == 10
         assert (mine["jac1000"] >= 700).all()
+
+
+class TestLineFilter:
+    """C4-style line filter: brute-force parity + hostile-text edges."""
+
+    HOSTILE = [
+        "Good line with five words here.\nshort one.\nno terminal punct five words",
+        "",
+        None,
+        "Uses JavaScript for five words.\nlorem ipsum lorem ipsum lorem.\nbrace { five words in line.",
+        'Quoted line has five words."\nExclaim line has five words!\nAsk line has five words?',
+        "tab\tseparated but one token.\n   leading spaces still count words.",
+        "unicode ünïcödé line fïve wörds.\n\n\ntrailing.\n",
+        "a. b. c. d. e.\nexactly five words right here.",
+    ]
+
+    def _brute(self, texts, min_words=5):
+        import hashlib
+        import re
+
+        term = re.compile("[.!?\"']$")
+        boiler = re.compile("(?i)javascript|lorem ipsum|[{}]")
+        out = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            lines = t.split("\n")
+            kept_sig = 0
+            n_kept = 0
+            for o, ln in enumerate(lines, start=1):
+                if (
+                    term.search(ln)
+                    and len(re.findall("[^ ]+", ln)) >= min_words
+                    and not boiler.search(ln)
+                ):
+                    n_kept += 1
+                    h = hashlib.sha256(f"{o}|{ln}".encode()).hexdigest()[:15]
+                    kept_sig ^= int(h, 16)
+            out.append((i, len(lines), n_kept, kept_sig))
+        return out
+
+    def test_matches_brute_force_on_hostile_text(self, ray_session):
+        from ddsketch_ruby_ray.stages.text import line_filter_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(self.HOSTILE)), pa.int64()),
+                "text": pa.array(self.HOSTILE, pa.string()),
+            }
+        )
+        got = line_filter_stats(t, key_col="doc_id", text_col="text").to_pandas()
+        want = self._brute(self.HOSTILE)
+        for (i, nl, nk, sig), row in zip(want, got.itertuples(index=False)):
+            assert (row.doc_id, row.n_lines, row.n_kept, row.kept_sig) == (i, nl, nk, sig)
+
+    def test_line_transform_applies_by_ordinal(self, ray_session):
+        from ddsketch_ruby_ray.stages.text import line_filter_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["one two three four five\nsix seven eight nine ten"]),
+            }
+        )
+
+        def add_dot_to_second(flat, ord1):
+            import pyarrow.compute as pc
+
+            suffix = pa.array(["" if o != 2 else "." for o in ord1], pa.string())
+            return pc.binary_join_element_wise(flat, suffix, "")
+
+        got = line_filter_stats(
+            t, key_col="doc_id", text_col="text", line_transform=add_dot_to_second
+        ).to_pandas()
+        # only line 2 gains terminal punctuation -> exactly 1 kept
+        assert got.n_lines[0] == 2 and got.n_kept[0] == 1
+
+    def test_driver_query_matches_oracle(self, ray_session):
+        import duckdb
+
+        from ddsketch_ruby_ray.queries import ORACLE_SQL, QUERIES
+
+        df = QUERIES["c4_line_filter_docs"](SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        odf = con.execute(ORACLE_SQL["c4_line_filter_docs"]).df()
+        df = df.sort_values("doc_id").reset_index(drop=True)[sorted(df.columns)]
+        odf = odf.sort_values("doc_id").reset_index(drop=True)[sorted(odf.columns)]
+        assert df.equals(odf)
+        assert (df.n_kept > 0).any()  # the enrichment produces real keeps
+
+
+class TestP99Filter:
+    def test_matches_exact_numpy_cutoff(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from ddsketch_ruby_ray.queries import QUERIES
+
+        got = (
+            QUERIES["p99_length_filter_by_lang"](SF)
+            .to_pandas().sort_values("lang").reset_index(drop=True)
+        )
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "n_chars"]).to_pandas()
+        for _, row in got.iterrows():
+            vals = np.sort(t[t.lang == row.lang].n_chars.to_numpy())
+            cut = vals[int(np.floor(0.99 * (len(vals) - 1)))]
+            kept = t[(t.lang == row.lang) & (t.n_chars <= cut)].n_chars
+            assert row.n_kept == len(kept)
+            assert row.kept_chars == int(kept.sum())
