@@ -719,6 +719,68 @@ def _levenshtein(a: bytes, b: bytes) -> int:
     return int(prev[-1])
 
 
+def _levenshtein_capped(a: bytes, b: bytes, k: int) -> int:
+    """Exact edit distance when it is <= ``k``; any value > ``k`` otherwise.
+
+    Three exact accelerations over :func:`_levenshtein` (all standard, none
+    change the value for distances within the cap):
+
+    * common prefix/suffix trim — Levenshtein is invariant under removing a
+      shared prefix and (non-overlapping) shared suffix; for true near-dups
+      this collapses kilobyte texts to the few bytes around the edit;
+    * length gate — ``|len(a) - len(b)| > k`` implies distance > k;
+    * Ukkonen band — only cells with ``|i - j| <= k`` can hold values <= k,
+      so each DP row is a <=2k+1 slice, with EARLY EXIT once a whole row's
+      band minimum exceeds k (unrelated LSH collisions exit within ~k rows).
+
+    Verified against DuckDB ``levenshtein()`` by the fuzz test for every
+    pair whose true distance is <= k, and against ">k means excluded" for
+    the rest — exactly the contract the verify stage consumes.
+    """
+    if a == b:
+        return 0
+    ca = np.frombuffer(a, np.uint8)
+    cb = np.frombuffer(b, np.uint8)
+    # strip shared prefix, then shared suffix of the remainders
+    n = min(ca.size, cb.size)
+    if n:
+        neq = ca[:n] != cb[:n]
+        p = int(np.argmax(neq)) if neq.any() else n
+        ca, cb = ca[p:], cb[p:]
+        n = min(ca.size, cb.size)
+    if n:
+        neq = ca[::-1][:n] != cb[::-1][:n]
+        s = int(np.argmax(neq)) if neq.any() else n
+        ca, cb = ca[: ca.size - s], cb[: cb.size - s]
+    la, lb = ca.size, cb.size
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    INF = np.int32(1 << 20)
+    prev = np.arange(lb + 1, dtype=np.int32)
+    prev[k + 1 :] = INF  # row 0 band: j in [0, k]
+    idx = np.arange(lb + 1, dtype=np.int32)
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - k), min(lb, i + k)
+        j = idx[lo : hi + 1]
+        sub = prev[lo - 1 : hi] + (cb[lo - 1 : hi] != ca[i - 1])
+        temp = np.minimum(
+            np.minimum(prev[lo : hi + 1], INF - 1) + 1, sub
+        )
+        runmin = np.minimum.accumulate(temp - j)
+        if lo == 1:  # cur[0] - 0 = i joins the running-min chain
+            runmin = np.minimum(runmin, np.int32(i))
+        cur = np.full(lb + 1, INF, dtype=np.int32)
+        if lo == 1:
+            cur[0] = i
+        cur[lo : hi + 1] = j + runmin
+        if int(cur[lo : hi + 1].min()) > k:
+            return k + 1  # every continuation is monotone non-decreasing
+        prev = cur
+    return int(prev[lb])
+
+
 def edit_distance_pairs_pipeline(
     ds,
     *,
@@ -773,8 +835,8 @@ def edit_distance_pairs_pipeline(
         tb = t.column("text_b").to_pylist()
         lev = np.fromiter(
             (
-                _levenshtein(
-                    (x or "").encode("utf-8"), (y or "").encode("utf-8")
+                _levenshtein_capped(
+                    (x or "").encode("utf-8"), (y or "").encode("utf-8"), max_dist
                 )
                 for x, y in zip(ta, tb)
             ),

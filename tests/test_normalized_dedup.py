@@ -81,6 +81,37 @@ class TestLevenshtein:
                 ).fetchone()[0]
             assert got == want, (a, b, got, want)
 
+    def test_capped_dp_contract_vs_full_dp(self):
+        """_levenshtein_capped: exact when true distance <= k, strictly > k
+        otherwise — fuzzed across near-dup, unrelated, shared-prefix/suffix
+        and substring shapes at several caps."""
+        import numpy as np
+
+        from ddsketch_ruby_ray.pipelines.dedup import (
+            _levenshtein,
+            _levenshtein_capped,
+        )
+
+        rng = np.random.default_rng(11)
+        alpha = list("abcd ")
+        cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting")]
+        for _ in range(150):
+            a = "".join(rng.choice(alpha, rng.integers(0, 40)).tolist())
+            b = "".join(rng.choice(alpha, rng.integers(0, 40)).tolist())
+            cases.append((a, b))
+            # shared-prefix/suffix near-dups (the trim path)
+            core = "".join(rng.choice(alpha, rng.integers(1, 6)).tolist())
+            cases.append((a + core + b, a + b))
+            cases.append((a + b, a + core + b))
+        for k in (0, 1, 3, 10, 40):
+            for a, b in cases:
+                true = _levenshtein(a.encode(), b.encode())
+                got = _levenshtein_capped(a.encode(), b.encode(), k)
+                if true <= k:
+                    assert got == true, (a, b, k, got, true)
+                else:
+                    assert got > k, (a, b, k, got, true)
+
     def test_pipeline_finds_planted_near_dups(self, ray_session):
         import numpy as np
         import pyarrow as pa
