@@ -6,7 +6,8 @@ Decode support is split by what pure numpy can actually do:
 * REAL decoders (no codec library needed, implemented here from the public
   format specs): Netpbm **PPM (P6) / PGM (P5)** images, **PNG** (stdlib
   zlib inflate + numpy scanline unfiltering, all five filter types, 8-bit
-  gray/RGB/gray-alpha/RGBA), RIFF **WAV PCM-16** audio, and **YUV4MPEG2
+  gray/RGB/gray-alpha/RGBA), **GIF** (87a/89a first frame, real LZW with
+  interlace - stages/gif.py), RIFF **WAV PCM-16** audio, and **YUV4MPEG2
   (Y4M)** video frame streams.  Features computed from these are real
   pixel/sample math (block-mean pooling, windowed RMS), deterministic to
   the bit (integer sums, exact float64 divisions).
@@ -289,7 +290,8 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
     baseline JPEG (alternating grayscale 4:4:4 / RGB 4:2:0 - the pure-numpy
     codec in stages/jpeg.py decodes it for real); id % 16 == 15 carries a
     fake "webp" blob so the unknown-compressed-format stub path stays
-    exercised; id % 8 == 5 carries a REAL zlib-compressed PNG (alternating
+    exercised; id % 16 == 11 carries a REAL GIF (alternating interlaced)
+    decoded by the pure-numpy LZW codec in stages/gif.py; id % 8 == 5 carries a REAL zlib-compressed PNG (alternating
     RGB/None-filter and gray/Up-filter) so the inflate + unfilter decode
     path is exercised end-to-end.
     """
@@ -309,6 +311,18 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
         elif i % 16 == 15:
             payloads.append(b"JUNK" + _noise(i, 128).tobytes())
             fmts.append("webp")
+        elif i % 16 == 11:
+            # REAL GIF (indexed noise + deterministic palette); alternates
+            # interlaced so both row orders exercise the pure-numpy LZW codec
+            from .gif import encode_gif
+
+            pal = _noise(i ^ 0x6767, 768).reshape(256, 3)
+            payloads.append(
+                encode_gif(
+                    _noise(i, w * h).reshape(h, w), pal, interlaced=(i % 32 == 11)
+                )
+            )
+            fmts.append("gif")
         elif i % 8 == 5:
             c = 3 if i % 16 == 5 else 1
             img = _noise(i, w * h * c).reshape(h, w, c)
@@ -405,6 +419,15 @@ class ImageDecodeStage:
             )
         if payload[:8] == PNG_SIG:
             w, h, c, img = decode_png(payload)
+            return (
+                {"width": w, "height": h, "channels": c, "format": fmt},
+                self._pixel_embed(img),
+            )
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL GIF decode, pure numpy LZW (stages/gif.py)
+            from .gif import decode_gif
+
+            w, h, c, img = decode_gif(payload)
             return (
                 {"width": w, "height": h, "channels": c, "format": fmt},
                 self._pixel_embed(img),

@@ -183,6 +183,11 @@ class TestImageDecode:
         assert df.loc[5, "meta"]["width"] == 16 + 5 % 7 * 8
         assert df.loc[5, "meta"]["channels"] == 3
         assert df.loc[13, "meta"]["channels"] == 1  # gray / Up-filter PNG
+        # REAL GIF decode: id=11 interlaced, id=27 non-interlaced
+        assert df.loc[11, "meta"]["width"] == 16 + 11 % 7 * 8
+        assert df.loc[11, "meta"]["height"] == 16 + 11 % 5 * 8
+        assert df.loc[11, "meta"]["channels"] == 3
+        assert df.loc[27, "meta"]["channels"] == 3
         assert len(df.loc[0, "embedding"]) == 8
         assert all(0.0 <= x <= 1.0 for x in df.loc[0, "embedding"])
         # determinism across block layouts
@@ -359,3 +364,70 @@ class TestJPEGCodec:
         mut[i + 6] = 0x33  # dc table 3 / ac table 3: never defined
         with pytest.raises(ValueError):
             decode_jpeg(bytes(mut))
+
+
+class TestGIFCodec:
+    """Pure-numpy GIF LZW codec (stages/gif.py)."""
+
+    def test_round_trip_random_palette(self):
+        from ddsketch_ruby_ray.stages.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(3)
+        for (h, w), inter in [((4, 5), False), ((31, 17), False), ((64, 64), True)]:
+            pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+            idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            ww, hh, c, img = decode_gif(encode_gif(idx, pal, interlaced=inter))
+            assert (ww, hh, c) == (w, h, 3)
+            assert (img == pal[idx]).all()
+
+    def test_table_reclear_path(self):
+        """>4095 LZW entries on random data forces the mid-stream CLEAR."""
+        from ddsketch_ruby_ray.stages.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(4)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+        ww, hh, c, img = decode_gif(encode_gif(idx, pal))
+        assert (img == pal[idx]).all()
+
+    def test_small_palette_and_compression(self):
+        from ddsketch_ruby_ray.stages.gif import decode_gif, encode_gif
+
+        pal = np.array([[0, 0, 0], [255, 255, 255], [10, 20, 30], [4, 5, 6]], np.uint8)
+        idx = np.zeros((50, 60), np.uint8)
+        idx[10:20] = 3
+        payload = encode_gif(idx, pal)
+        assert len(payload) < 50 * 60 // 4  # real LZW compression, not a stub
+        ww, hh, c, img = decode_gif(payload)
+        assert (img == pal[idx]).all()
+
+    def test_content_sensitivity(self):
+        from ddsketch_ruby_ray.stages.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+        idx2 = idx.copy()
+        idx2[7, 3] ^= 0xFF
+        a = decode_gif(encode_gif(idx, pal))[3]
+        b = decode_gif(encode_gif(idx2, pal))[3]
+        assert (a != b).any() and (a[0] == b[0]).all()
+
+    def test_rejects_garbage(self):
+        from ddsketch_ruby_ray.stages.gif import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTAGIF!")
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # trailer, no image
+
+    def test_stage_routes_gif(self, ray_session):
+        from ddsketch_ruby_ray.stages.gif import encode_gif
+
+        rng = np.random.default_rng(6)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+        stage = ImageDecodeStage(embedding_dim=4, strict=True)
+        meta, emb = stage._decode_one(encode_gif(idx, pal), "gif")
+        assert (meta["width"], meta["height"], meta["channels"]) == (9, 6, 3)
+        assert len(emb) == 4
