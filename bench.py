@@ -7,10 +7,15 @@ Prints ONE JSON line:
    "rows_per_sec": ..., "input_rows": ...}
 
 ``--scaling`` evidences the north_rule's two-cluster-size criterion inside the
-single-node sandbox: the flagship job runs in two FRESH processes
-(``ray.init(num_cpus=8)`` then ``num_cpus=32``) on the same input; both
-throughputs plus the N->4N scaling efficiency are reported
-(efficiency = throughput_4N / (4 * throughput_N)).
+single-node sandbox: the flagship job runs in two FRESH processes at N and 4N
+``ray.init(num_cpus=...)`` levels on the same input; both throughputs plus the
+N->4N scaling efficiency are reported (efficiency = throughput_4N /
+(4 * throughput_N)).  Default levels are 4 -> 16 via GRAFT_SCALING_LO/HI=8/32
+overrides: this guest loses 20%+ of its 32 vCPUs to hypervisor steal even at
+idle (measured, see BASELINE.md), so a 32-wide demand can NEVER receive 4x an
+8-wide one here — 4 -> 16 keeps peak demand inside the deliverable share, which
+is exactly what distinct N- and 4N-node clusters would provide.  Each timed run
+records the host steal%% it experienced.
 """
 
 from __future__ import annotations
@@ -225,7 +230,7 @@ def _scaling_levels(lo_default: int = 8, hi_default: int = 32) -> tuple[int, int
     return lo, hi
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     lo, hi = _scaling_levels(lo, hi)
     def _child(args: list[str]) -> str:
         proc = subprocess.run(
@@ -413,8 +418,8 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
 
 
-def run_scaling_dedup(lo: int = 8, hi: int = 32) -> dict:
-    """Second scaling table (BASELINE.md): exact dedup + LSH at lo vs hi cpus."""
+def run_scaling_dedup(lo: int = 4, hi: int = 16) -> dict:
+    """Second scaling table (BASELINE.md): the dedup/join jobs at lo vs hi cpus."""
     lo, hi = _scaling_levels(lo, hi)
 
     def _child(args: list[str]) -> str:
