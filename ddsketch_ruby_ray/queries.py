@@ -2415,6 +2415,35 @@ def pii_scrub_docs(sf_dir: str):
     return ds.map_batches(enrich_and_scrub, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def line_dedup_docs(sf_dir: str):
+    """Corpus-wide duplicated-line removal (CCNet/RefinedWeb boilerplate
+    pass): lines whose exact bytes occur >= 3 times anywhere in the corpus
+    are dropped from every doc.  Two streaming passes — a (hash, count)
+    pre-agg shuffle finds the boilerplate set, which broadcasts once; the
+    filter pass emits per doc the line count, kept count and the XOR
+    sha-fold of the exact kept (ordinal, bytes) pairs.  The single-line
+    synthetic docs are first rewritten into multi-line form (newline after
+    every 7th token — same RE2 rewrite as the C4 filter query, mirrored in
+    the oracle CTE)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.linededup import line_dedup_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring_regex(
+            pc.fill_null(pc.cast(t.column("text"), pa.string()), ""),
+            pattern=r"((?:[^ ]+ ){6}[^ ]+) ",
+            replacement="\\1\n",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    ds2 = ds.map_batches(to_lines, batch_format="pyarrow", zero_copy_batch=True)
+    return line_dedup_pipeline(ds2, key_col="doc_id", text_col="text", min_count=3)
+
+
 def winnow_fingerprints_docs(sf_dir: str):
     """Winnowing fingerprints per doc (char 8-grams, window 4)."""
     from .stages.text import winnow_fingerprints
@@ -2536,6 +2565,7 @@ QUERIES = {
     "bpe_token_counts_docs": bpe_token_counts_docs,
     "gopher_quality_filter_docs": gopher_quality_filter_docs,
     "c4_line_filter_docs": c4_line_filter_docs,
+    "line_dedup_docs": line_dedup_docs,
     "p99_length_filter_by_lang": p99_length_filter_by_lang,
     "decontaminate_docs": decontaminate_docs,
     "repetition_scores_docs": repetition_scores_docs,
@@ -3562,6 +3592,35 @@ FROM s
                        ('0x' || substr(sha256(CAST(ord AS VARCHAR) || '|' || line),
                                        1, 15))::BIGINT END), 0) AS BIGINT) AS kept_sig
             FROM judged GROUP BY doc_id
+        """,
+        "line_dedup_docs": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((?:[^ ]+ ){6}[^ ]+) ',
+                                    '\1' || chr(10), 'g') AS t2
+              FROM documents
+            ), lx AS (
+              SELECT doc_id,
+                     unnest(string_split(t2, chr(10))) AS line,
+                     generate_subscripts(string_split(t2, chr(10)), 1) AS ord
+              FROM src
+            ), hx AS (
+              SELECT doc_id, ord, line,
+                     ('0x' || substr(sha256(line), 1, 16))::UBIGINT AS lh
+              FROM lx
+            ), boiler AS (
+              SELECT lh FROM hx GROUP BY lh HAVING count(*) >= 3
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(CASE WHEN b.lh IS NULL THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS n_kept,
+                   CAST(coalesce(bit_xor(CASE WHEN b.lh IS NULL THEN
+                       ('0x' || substr(sha256(CAST(ord AS VARCHAR) || '|' || line),
+                                       1, 15))::BIGINT END), 0) AS BIGINT) AS kept_sig
+            FROM hx h LEFT JOIN boiler b USING (lh)
+            GROUP BY doc_id
         """,
         "p99_length_filter_by_lang": """
             WITH r AS (

@@ -931,3 +931,93 @@ class TestP99Filter:
             kept = t[(t.lang == row.lang) & (t.n_chars <= cut)].n_chars
             assert row.n_kept == len(kept)
             assert row.kept_chars == int(kept.sum())
+
+
+class TestLineDedup:
+    """Corpus-wide duplicated-line removal (pipelines/linededup.py)."""
+
+    def _run(self, docs, min_count=3, blocks=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.linededup import line_dedup_pipeline
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        out = (
+            line_dedup_pipeline(ds, key_col="doc_id", text_col="text", min_count=min_count)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    def _brute(self, docs, min_count=3):
+        import hashlib
+        from collections import Counter
+
+        counts = Counter(ln for d in docs for ln in d.split("\n"))
+        out = []
+        for i, d in enumerate(docs):
+            lines = d.split("\n")
+            n_kept, sig = 0, 0
+            for ord1, ln in enumerate(lines, 1):
+                if counts[ln] < min_count:
+                    n_kept += 1
+                    h = hashlib.sha256(f"{ord1}|{ln}".encode()).hexdigest()[:15]
+                    sig ^= int(h, 16)
+            out.append((i, len(lines), n_kept, sig))
+        return out
+
+    DOCS = [
+        "keep me one\ncookie banner\nunique alpha",
+        "cookie banner\nkeep me two\ncookie banner",  # dup twice within one doc
+        "unique beta\nother text here",
+        "unique gamma\ncookie banner",  # 4th occurrence overall
+        "",  # empty doc: one empty line, empty lines repeat below
+        "\n",  # two empty lines -> "" reaches min_count
+    ]
+
+    def test_matches_brute_force(self, ray_session):
+        got = self._run(self.DOCS)
+        for (i, nl, nk, sig), row in zip(self._brute(self.DOCS), got.itertuples(index=False)):
+            assert (row.doc_id, row.n_lines, row.n_kept, row.kept_sig) == (i, nl, nk, sig)
+        # the boilerplate line really was removed somewhere
+        assert (got.n_kept < got.n_lines).any()
+
+    def test_layout_invariance(self, ray_session):
+        a = self._run(self.DOCS, blocks=1)
+        b = self._run(self.DOCS, blocks=5)
+        assert a.equals(b)
+
+    def test_min_count_threshold(self, ray_session):
+        # at min_count=2 the twice-repeated lines are boilerplate too
+        got2 = self._run(self.DOCS, min_count=2)
+        want2 = self._brute(self.DOCS, min_count=2)
+        for (i, nl, nk, sig), row in zip(want2, got2.itertuples(index=False)):
+            assert (row.n_lines, row.n_kept, row.kept_sig) == (nl, nk, sig)
+        # a huge threshold keeps everything
+        gotall = self._run(self.DOCS, min_count=10**6)
+        assert (gotall.n_kept == gotall.n_lines).all()
+
+    def test_driver_query_matches_oracle(self, ray_session):
+        import duckdb
+
+        from ddsketch_ruby_ray.queries import ORACLE_SQL, QUERIES
+
+        df = QUERIES["line_dedup_docs"](SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        odf = con.execute(ORACLE_SQL["line_dedup_docs"]).df()
+        df = df.sort_values("doc_id").reset_index(drop=True)[sorted(df.columns)]
+        odf = odf.sort_values("doc_id").reset_index(drop=True)[sorted(odf.columns)]
+        assert df.equals(odf)
+        assert (df.n_kept < df.n_lines).any()  # boilerplate really removed
