@@ -86,8 +86,14 @@ def _normalize_side(
     other_schema: pa.Schema,
     other_cols: Sequence[str],
     num_partitions: int,
+    negate_ts: bool = False,
 ):
-    """-> Dataset with schema [_part,_side,_key,_ts,_tb, own..., other(null)...]."""
+    """-> Dataset with schema [_part,_side,_key,_ts,_tb, own..., other(null)...].
+
+    ``negate_ts`` flips the sign of ``_ts``/``_tb``: a FORWARD as-of join is
+    exactly a backward one on negated time (greatest ``-rts <= -lts`` ==
+    smallest ``rts >= lts``; greatest ``-tb`` == smallest ``tb``).
+    """
     other_types = {f.name: f.type for f in other_schema}
 
     def norm(t: pa.Table) -> pa.Table:
@@ -99,11 +105,17 @@ def _normalize_side(
             ),
             "_side": pa.array(np.full(n, side, dtype=np.int8)),
             "_key": pa.array(keys),
-            "_ts": t.column(ts_col).cast(pa.int64()),
+            "_ts": (
+                pc.negate_checked(t.column(ts_col).cast(pa.int64()))
+                if negate_ts
+                else t.column(ts_col).cast(pa.int64())
+            ),
             "_tb": (
-                t.column(tb_col).cast(pa.int64())
-                if tb_col is not None
-                else pa.array(np.zeros(n, dtype=np.int64))
+                pa.array(np.zeros(n, dtype=np.int64))
+                if tb_col is None
+                else pc.negate_checked(t.column(tb_col).cast(pa.int64()))
+                if negate_ts
+                else t.column(tb_col).cast(pa.int64())
             ),
         }
         for c in own_cols:
@@ -131,13 +143,21 @@ def asof_join_pipeline(
     right_payload: Sequence[str],
     tiebreak: str,
     num_partitions: int = 64,
+    direction: str = "backward",
 ):
     """LEFT as-of join -> Dataset[left_cols..., right_payload...(nullable)].
 
-    For each left row, the right row with the same key and the greatest
-    ``right_ts <= left_ts``; ties on the timestamp resolve to the greatest
-    ``tiebreak``.  Unmatched left rows keep null payload (LEFT semantics).
+    ``direction="backward"`` (default): for each left row, the right row with
+    the same key and the greatest ``right_ts <= left_ts``; ties on the
+    timestamp resolve to the greatest ``tiebreak``.  ``direction="forward"``:
+    the smallest ``right_ts >= left_ts``, ties to the smallest ``tiebreak`` —
+    implemented as the backward join on negated time (same partition +
+    merge-rank machinery, zero extra passes).  Unmatched left rows keep null
+    payload (LEFT semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    negate_ts = direction == "forward"
     left_cols = list(left_cols)
     right_payload = list(right_payload)
     lschema = left.schema().base_schema
@@ -146,12 +166,12 @@ def asof_join_pipeline(
     ln = _normalize_side(
         left, side=_SIDE_LEFT, key_col=left_key, ts_col=left_ts, tb_col=None,
         own_cols=left_cols, other_schema=rschema, other_cols=right_payload,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, negate_ts=negate_ts,
     )
     rn = _normalize_side(
         right, side=_SIDE_RIGHT, key_col=right_key, ts_col=right_ts,
         tb_col=tiebreak, own_cols=right_payload, other_schema=lschema,
-        other_cols=left_cols, num_partitions=num_partitions,
+        other_cols=left_cols, num_partitions=num_partitions, negate_ts=negate_ts,
     )
 
     def per_partition(pt: pa.Table) -> pa.Table:

@@ -441,6 +441,36 @@ def asof_last_urgent_order_broadcast(sf_dir: str):
     )
 
 
+def asof_next_urgent_order(sf_dir: str):
+    """FORWARD as-of join: for each event, the user's EARLIEST urgent order
+    at/after the event time (ties on o_orderdate -> min o_orderkey) — the
+    'next scheduled action' shape.  Same one-shuffle merge-rank plan as the
+    backward join, running on negated time."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import asof_join_pipeline
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return asof_join_pipeline(
+        events,
+        urgent,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        left_cols=["event_id", "user_id"],
+        right_payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+
+
 def events_within_hour_pairs(sf_dir: str):
     """INNER range join (self): all (event a, event b) pairs of the SAME user
     with b.ts in [a.ts - 1h, a.ts] - the 'recent context per event' shape of
@@ -2479,6 +2509,7 @@ QUERIES = {
     "user_value_ranks": user_value_ranks,
     "funnel_click_purchase": funnel_click_purchase,
     "asof_last_urgent_order": asof_last_urgent_order,
+    "asof_next_urgent_order": asof_next_urgent_order,
     "asof_last_urgent_order_broadcast": asof_last_urgent_order_broadcast,
     "events_within_hour_pairs": events_within_hour_pairs,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
@@ -2613,6 +2644,30 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM urgent o
             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+    """,
+    "asof_next_urgent_order": """
+        WITH urgent AS (
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        ), j AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC
+                   ) AS rn
+            FROM events e
+            JOIN urgent o
+              ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id,
+               CAST(NULL AS BIGINT) AS o_orderkey,
+               CAST(NULL AS DOUBLE) AS o_totalprice
+        FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM urgent o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
         )
     """,
     "events_within_hour_pairs": """

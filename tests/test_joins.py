@@ -92,6 +92,44 @@ class TestAsofJoin:
                 assert got == want, (i, got, want)
 
 
+class TestAsofJoinForward:
+    def test_basic_forward_ties_and_unmatched(self, ray_session):
+        lt = _left([1, 1, 2, 3], [100, 250, 100, 100])
+        # key 1: right rows at ts 40(before), 100/100 (tie pair 7, 9), 200
+        rt = _right([1, 1, 1, 1, 2], [40, 100, 100, 200, 50], [5, 7, 9, 11, 13])
+        df = _asof(lt, rt, direction="forward")
+        # ts=100: inclusive tie -> MIN payload; ts=250: nothing after
+        assert df["pay"].tolist()[0] == 7
+        assert np.isnan(df["pay"][1])
+        assert np.isnan(df["pay"][2])  # key 2: only right at 50 < 100
+        assert np.isnan(df["pay"][3])  # key 3: absent from right
+
+    def test_forward_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(23)
+        n, m = 300, 400
+        lt = _left(rng.integers(0, 20, n), rng.integers(0, 1000, n))
+        rt = _right(rng.integers(0, 20, m), rng.integers(0, 1000, m), rng.permutation(m))
+        df = _asof(lt, rt, num_partitions=7, direction="forward")
+        lk = lt["k"].to_numpy()
+        lts = lt["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        rk = rt["k2"].to_numpy()
+        rts = rt["ts2"].cast(pa.int64()).to_numpy() // 1_000_000
+        pay = rt["pay"].to_numpy()
+        for i in range(n):
+            mask = (rk == lk[i]) & (rts >= lts[i])
+            got = df["pay"][i]
+            if not mask.any():
+                assert np.isnan(got), i
+            else:
+                best_ts = rts[mask].min()
+                want = pay[mask & (rts == best_ts)].min()
+                assert got == want, (i, got, want)
+
+    def test_bad_direction_raises(self, ray_session):
+        with pytest.raises(ValueError, match="direction"):
+            _asof(_left([1], [10]), _right([1], [5], [1]), direction="sideways")
+
+
 class TestHashJoin:
     def _join(self, lt, rt, how, **kw):
         import ray.data as rd
