@@ -348,6 +348,34 @@ FROM alldocs d LEFT JOIN sim s ON s.key = d.key
 """
 
 
+def simhash_hamming_pairs_sql(
+    *,
+    table: str,
+    key: str,
+    text: str,
+    max_hamming: int = 16,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> str:
+    """(a, b, ham) for LSH candidates whose SimHashes differ in <= max_hamming bits."""
+    pairs = lsh_pairs_sql(table=table, key=key, text=text, num_hashes=num_hashes, bands=bands, n=n)
+    sim = simhash_sql(table=table, key=key, text=text)
+    return f"""
+WITH pairs AS ({pairs}),
+sh AS ({sim}),
+ham AS (
+  SELECT p.a, p.b,
+         bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+           + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS ham
+  FROM pairs p
+  JOIN sh sa ON sa.{key} = p.a
+  JOIN sh sb ON sb.{key} = p.b
+)
+SELECT a, b, CAST(ham AS BIGINT) AS ham FROM ham WHERE ham <= {max_hamming}
+"""
+
+
 def decontam_sql(*, table: str, key: str, text: str, bench_where: str, n: int = 8) -> str:
     """(key, n_grams, n_hits, contaminated) mirroring
     pipelines/decontam.py::decontaminate_pipeline with the benchmark set

@@ -42,6 +42,7 @@ __all__ = [
     "edit_distance_pairs_pipeline",
     "containment_pairs_pipeline",
     "simhash_pipeline",
+    "simhash_hamming_pairs_pipeline",
 ]
 
 SPLIT_CHAR = " "  # literal split; mirrored by string_split(text, ' ') in SQL
@@ -850,6 +851,88 @@ def edit_distance_pairs_pipeline(
                 "a": t.column("a").take(take),
                 "b": t.column("b").take(take),
                 "lev": pa.array(lev[keep]),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_hamming_pairs_pipeline(
+    ds,
+    *,
+    key_col: str,
+    text_col: str,
+    max_hamming: int = 16,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+):
+    """LSH candidates verified by SimHash HAMMING distance: -> Dataset[(a, b,
+    ham)] for candidate pairs whose 64-bit SimHashes differ in <=
+    ``max_hamming`` bits.
+
+    The constant-cost verify of the near-dup family: where shingle-Jaccard
+    re-reads both token sets and edit distance runs a DP, the SimHash check
+    is one 64-bit XOR + popcount per pair regardless of document length —
+    the right verify when the corpus is huge and the fingerprints are
+    precomputed anyway.  Plan: LSH proposes pairs (never all-pairs); each
+    pair attaches both sides' (hi, lo) fingerprint halves through two hash
+    co-partition joins; the verify map is a vectorized XOR + unpackbits
+    popcount over the whole batch — no per-pair Python.
+    """
+    from .joins import hash_join_pipeline
+
+    pairs = lsh_candidate_pairs_pipeline(
+        ds, key_col=key_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, ngram=ngram,
+    )
+    sh = simhash_pipeline(ds, key_col=key_col, text_col=text_col)
+
+    def _renamed(k: str, hi: str, lo: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    k: t.column(key_col),
+                    hi: t.column("simhash_hi"),
+                    lo: t.column("simhash_lo"),
+                }
+            )
+
+        return f
+
+    sh_a = sh.map_batches(
+        _renamed("_ka", "hi_a", "lo_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    sh_b = sh.map_batches(
+        _renamed("_kb", "hi_b", "lo_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_a = hash_join_pipeline(
+        pairs, sh_a, left_key="a", right_key="_ka",
+        left_cols=["a", "b"], right_payload=["hi_a", "lo_a"], how="inner",
+    )
+    with_ab = hash_join_pipeline(
+        with_a, sh_b, left_key="b", right_key="_kb",
+        left_cols=["a", "b", "hi_a", "lo_a"], right_payload=["hi_b", "lo_b"], how="inner",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        def col(c):
+            return t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # hi/lo each hold 32 bits, so the int64 XOR never touches the sign bit
+        x = np.bitwise_xor(col("hi_a"), col("hi_b")) << np.int64(32)
+        x |= np.bitwise_xor(col("lo_a"), col("lo_b"))
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+            if x.size
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = pa.array(np.flatnonzero(ham <= max_hamming))
+        return pa.table(
+            {
+                "a": t.column("a").take(keep),
+                "b": t.column("b").take(keep),
+                "ham": pa.array(ham[ham <= max_hamming]),
             }
         )
 

@@ -1244,6 +1244,18 @@ def levenshtein_dedup_pairs(sf_dir: str):
     )
 
 
+def simhash_hamming_pairs(sf_dir: str):
+    """LSH candidates verified by SimHash Hamming distance <= 16 — the
+    constant-cost near-dup verify (one XOR + popcount per pair regardless
+    of doc length; pipelines/dedup.py::simhash_hamming_pairs_pipeline).
+    Fingerprints attach to pairs via two hash co-partition joins."""
+    from .pipelines.dedup import simhash_hamming_pairs_pipeline
+
+    return simhash_hamming_pairs_pipeline(
+        _docs(sf_dir), key_col="doc_id", text_col="text", max_hamming=16
+    )
+
+
 def dedup_clusters(sf_dir: str):
     """Near-dup CLUSTER assignment: the verified Jaccard pairs are edges of
     a similarity graph; every clustered doc maps to its component's minimum
@@ -2566,6 +2578,7 @@ QUERIES = {
     "lsh_candidate_pairs": lsh_candidate_pairs,
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "levenshtein_dedup_pairs": levenshtein_dedup_pairs,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "containment_dedup_pairs": containment_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
@@ -2921,6 +2934,7 @@ def _family_oracles() -> dict:
         minhash_signature_sql,
         ngram_jaccard_sql,
         repetition_scores_sql,
+        simhash_hamming_pairs_sql,
         simhash_sql,
     )
     from .functions.similarity_oracle import (
@@ -3429,6 +3443,7 @@ def _family_oracles() -> dict:
             SELECT node, min(anc) AS cluster FROM reach GROUP BY node
         """,
         "simhash_docs": simhash_sql(**dedup_kw),
+        "simhash_hamming_pairs": simhash_hamming_pairs_sql(max_hamming=16, **dedup_kw),
         "embedding_quantize_stats": "WITH qz_vecs AS (\n  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM embeddings\n),\nqz_nrm AS (\n  SELECT vec_id, v,\n         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0\n              ELSE sqrt(list_dot_product(v, v)) END AS nrm\n  FROM qz_vecs\n),\n-- mirrors pipelines/quantize.py::_normalized_e6: v6 = round(x_hat * 1e6)\n-- (1e-6 pre-rounding absorbs the <=1-ulp norm disagreement, the repo's\n-- standing normalization-mirror convention; round() is half-away on both)\nqz_flat AS (\n  SELECT vec_id, generate_subscripts(v, 1) AS d,\n         CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6\n  FROM qz_nrm\n),\nqz_amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM qz_flat),\n-- mirrors _encode: q = round(v6 * 127.0 / a6), exact-integer operands\nqz_codes AS (\n  SELECT vec_id, d, CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q\n  FROM qz_flat, qz_amax\n)\nSELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum, min(q) AS q_min,\n       max(q) AS q_max, max(CASE WHEN d = 1 THEN q END) AS q_first\nFROM qz_codes GROUP BY vec_id\n",
         "quantized_knn_top5": "WITH qz_vecs AS (\n  SELECT vec_id, (embedding)::DOUBLE[] AS v FROM embeddings\n),\nqz_nrm AS (\n  SELECT vec_id, v,\n         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0\n              ELSE sqrt(list_dot_product(v, v)) END AS nrm\n  FROM qz_vecs\n),\n-- mirrors pipelines/quantize.py::_normalized_e6: v6 = round(x_hat * 1e6)\n-- (1e-6 pre-rounding absorbs the <=1-ulp norm disagreement, the repo's\n-- standing normalization-mirror convention; round() is half-away on both)\nqz_flat AS (\n  SELECT vec_id, generate_subscripts(v, 1) AS d,\n         CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6\n  FROM qz_nrm\n),\nqz_amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM qz_flat),\n-- mirrors _encode: q = round(v6 * 127.0 / a6), exact-integer operands\nqz_codes AS (\n  SELECT vec_id, d, CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q\n  FROM qz_flat, qz_amax\n),\nqz_scores AS (\n  SELECT cq.vec_id AS query_id, cd.vec_id AS neighbor_id,\n         CAST(sum(cq.q * cd.q) AS BIGINT) AS score\n  FROM qz_codes cq JOIN qz_codes cd USING (d)\n  WHERE cq.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9) AND cd.vec_id <> cq.vec_id\n  GROUP BY 1, 2\n)\nSELECT query_id, neighbor_id, score FROM (\n  SELECT qz_scores.*, row_number() OVER (\n           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn\n  FROM qz_scores) qz_ranked\nWHERE rn <= 5\n",
         "knn_cosine_top5": knn_sql(

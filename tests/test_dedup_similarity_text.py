@@ -1021,3 +1021,43 @@ class TestLineDedup:
         odf = odf.sort_values("doc_id").reset_index(drop=True)[sorted(odf.columns)]
         assert df.equals(odf)
         assert (df.n_kept < df.n_lines).any()  # boilerplate really removed
+
+
+class TestSimhashHammingPairs:
+    def test_pairs_subset_of_lsh_and_thresholded(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import (
+            lsh_candidate_pairs_pipeline,
+            simhash_hamming_pairs_pipeline,
+        )
+
+        ds = _docs_ds(extra_rows=_perturbed_copies(15))
+        got = simhash_hamming_pairs_pipeline(
+            ds, key_col="doc_id", text_col="text", max_hamming=16
+        ).to_pandas()
+        cand = lsh_candidate_pairs_pipeline(ds, key_col="doc_id", text_col="text").to_pandas()
+        cand_set = set(zip(cand.a, cand.b))
+        assert set(zip(got.a, got.b)) <= cand_set
+        assert (got.ham <= 16).all() and (got.ham >= 0).all()
+        # the planted one-token perturbations are strong near-dups: their
+        # simhashes must be within the threshold whenever LSH proposes them
+        planted = {(a, b) for (a, b) in cand_set if b == a + 10_000}
+        found = set(zip(got.a, got.b)) & planted
+        assert found == planted and len(planted) > 0
+
+    def test_identical_docs_zero_hamming(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.dedup import simhash_hamming_pairs_pipeline
+
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([text, text]),
+            }
+        )
+        got = simhash_hamming_pairs_pipeline(
+            rd.from_arrow(t), key_col="doc_id", text_col="text", max_hamming=0
+        ).to_pandas()
+        assert got.a.tolist() == [1] and got.b.tolist() == [2]
+        assert got.ham.tolist() == [0]
