@@ -26,7 +26,11 @@ import pyarrow as pa
 
 from ..core.hashing import hash256_str
 
-__all__ = ["grouped_corr_pipeline", "grouped_zscore_pipeline"]
+__all__ = [
+    "grouped_corr_pipeline",
+    "grouped_zscore_pipeline",
+    "chi2_contingency_pipeline",
+]
 
 
 def grouped_corr_pipeline(
@@ -226,3 +230,67 @@ def grouped_zscore_pipeline(
         return pa.table(out)
 
     return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chi2_contingency_pipeline(ds, *, a_col: str, b_col: str):
+    """Pearson chi-square independence cells over two categorical columns.
+
+    The corpus-composition drift test ("is source mix independent of
+    language?"): one row per OBSERVED (a, b) cell with its count ``obs``,
+    row/column totals ``rt``/``ct``, grand total ``n`` and the cell's
+    chi-square contribution.  ``chi2_cell = (obs - E)^2 / E`` with
+    ``E = rt*ct/n`` is evaluated in the overflow-free rational form
+    ``(obs*n - rt*ct)^2 / (rt*ct*n)`` — exact Python-int numerator and
+    denominator, ONE correctly-rounded double conversion each and ONE float
+    divide, in the same op order as the SQL mirror (which needs HUGEINT:
+    the numerator exceeds int64 beyond ~1e5 rows; int128 carries it to
+    ~1e9 rows, past which the SQL mirror — not the engine — saturates).
+
+    Scale shape: per-block Arrow group_by pre-agg (one (a, b, count) row
+    per cell-in-block), a tiny keyed shuffle of those partials, and a
+    driver-side finalize over the G-cell table (KB-sized — cells are
+    category pairs, never data rows).
+    """
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return g.rename_columns([a_col, b_col, "cnt"])
+
+    cells = (
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([a_col, b_col])
+        .sum("cnt")
+        .take_all()
+    )  # one row per observed (a, b) category pair — KB-sized, not data rows
+
+    a_vals = [r[a_col] for r in cells]
+    b_vals = [r[b_col] for r in cells]
+    obs = [int(r["sum(cnt)"]) for r in cells]
+    n = sum(obs)
+    rt_map: dict = {}
+    ct_map: dict = {}
+    for a, b, o in zip(a_vals, b_vals, obs):
+        rt_map[a] = rt_map.get(a, 0) + o
+        ct_map[b] = ct_map.get(b, 0) + o
+
+    chi2 = []
+    rts, cts = [], []
+    for a, b, o in zip(a_vals, b_vals, obs):
+        rt, ct = rt_map[a], ct_map[b]
+        rts.append(rt)
+        cts.append(ct)
+        num = (o * n - rt * ct) ** 2  # exact Python ints, any corpus size
+        den = rt * ct * n
+        chi2.append(float(num) / float(den))
+
+    return pa.table(
+        {
+            a_col: pa.array(a_vals),
+            b_col: pa.array(b_vals),
+            "obs": pa.array(obs, pa.int64()),
+            "rt": pa.array(rts, pa.int64()),
+            "ct": pa.array(cts, pa.int64()),
+            "n": pa.array([n] * len(obs), pa.int64()),
+            "chi2_cell": pa.array(chi2, pa.float64()),
+        }
+    )

@@ -2054,6 +2054,19 @@ def corr_tokens_chars_by_lang(sf_dir: str):
     )
 
 
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square independence cells for lang x source — the
+    corpus-composition drift test.  Per observed cell: count, row/col
+    totals, grand total and the chi2 contribution in the overflow-free
+    rational form (obs*n - rt*ct)^2 / (rt*ct*n): exact Python-int
+    numerator/denominator, one correctly-rounded double conversion each
+    and one divide, mirroring the SQL op order exactly."""
+    from .pipelines.stats import chi2_contingency_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_contingency_pipeline(ds, a_col="lang", b_col="source")
+
+
 def quality_scores_docs(sf_dir: str):
     """Per-doc quality signals (alpha/digit/punct/space ratios, token stats)."""
     from .stages.text import quality_scores
@@ -2600,6 +2613,7 @@ QUERIES = {
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores_docs": quality_scores_docs,
     "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
+    "chi2_lang_source": chi2_lang_source,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
@@ -3514,6 +3528,30 @@ def _family_oracles() -> dict:
                     PARTITION BY lang ORDER BY n DESC, token ASC
                 ) AS rn FROM c
             ) WHERE rn <= 10
+        """,
+        "chi2_lang_source": """
+            WITH cells AS (
+              SELECT lang, source, count(*)::HUGEINT AS obs
+              FROM documents GROUP BY lang, source
+            ), tot AS (
+              SELECT sum(obs) AS n FROM cells
+            ), rtot AS (
+              SELECT lang, sum(obs) AS rt FROM cells GROUP BY lang
+            ), ctot AS (
+              SELECT source, sum(obs) AS ct FROM cells GROUP BY source
+            )
+            SELECT c.lang, c.source,
+                   CAST(c.obs AS BIGINT) AS obs,
+                   CAST(r.rt AS BIGINT) AS rt,
+                   CAST(co.ct AS BIGINT) AS ct,
+                   CAST(t.n AS BIGINT) AS n,
+                   (CAST((c.obs * t.n - r.rt * co.ct)
+                         * (c.obs * t.n - r.rt * co.ct) AS DOUBLE)
+                    / CAST(r.rt * co.ct * t.n AS DOUBLE)) AS chi2_cell
+            FROM cells c
+            JOIN rtot r USING (lang)
+            JOIN ctot co USING (source)
+            CROSS JOIN tot t
         """,
         "corr_tokens_chars_by_lang": """
 WITH b AS (

@@ -59,3 +59,51 @@ class TestGroupedCorr:
         assert abs(df.r.iloc[0] - 1.0) < 1e-15
         assert df.slope.iloc[0] == 5.0
         assert abs(df.intercept.iloc[0] - 7.0) < 1e-9
+
+
+class TestChi2Contingency:
+    def _run(self, a, b, repartition=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import chi2_contingency_pipeline
+
+        t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        ds = rd.from_arrow(t)
+        if repartition:
+            ds = ds.repartition(repartition)
+        out = chi2_contingency_pipeline(ds, a_col="a", b_col="b").to_pandas()
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(7)
+        a = rng.choice(["x", "y", "z"], 500).tolist()
+        b = rng.choice(["p", "q"], 500).tolist()
+        df = self._run(a, b, repartition=6)
+        from collections import Counter
+
+        obs = Counter(zip(a, b))
+        ra, cb, n = Counter(a), Counter(b), len(a)
+        assert len(df) == len(obs)
+        for row in df.itertuples(index=False):
+            o = obs[(row.a, row.b)]
+            assert (row.obs, row.rt, row.ct, row.n) == (o, ra[row.a], cb[row.b], n)
+            num = (o * n - ra[row.a] * cb[row.b]) ** 2
+            den = ra[row.a] * cb[row.b] * n
+            assert row.chi2_cell == float(num) / float(den)
+        # total chi2 sanity: independent-ish draws give a small statistic
+        # (df = (3-1)*(2-1) = 2; anything < 30 is emphatically not extreme)
+        assert 0.0 <= df.chi2_cell.sum() < 30.0
+
+    def test_layout_invariance(self, ray_session):
+        a = ["x"] * 30 + ["y"] * 70
+        b = (["p", "q"] * 50)[:100]
+        d1 = self._run(a, b, repartition=1)
+        d2 = self._run(a, b, repartition=9)
+        assert d1.equals(d2)
+
+    def test_independent_uniform_is_exact_zero(self, ray_session):
+        # perfectly balanced table: obs*n == rt*ct in every cell
+        a = ["x", "x", "y", "y"] * 25
+        b = ["p", "q", "p", "q"] * 25
+        df = self._run(a, b)
+        assert (df.chi2_cell == 0.0).all()
