@@ -33,7 +33,7 @@ def per_group_topk(
     group_col: str,
     value_col: str,
     tiebreak_col: str,
-    k: int,
+    k: int | dict,
     num_partitions: int = 64,
     ascending: bool = False,
 ):
@@ -42,6 +42,11 @@ def per_group_topk(
     ``tiebreak_col`` first).  Group keys may be strings or ints.  The
     ascending mode over an unsigned hash column is the per-group bottom-k
     uniform sample (stages/sampling.py).
+
+    ``k`` may be a PER-GROUP dict {group_key: k} (groups absent from it keep
+    0 rows) — the mixture-rebalance shape, where every group has its own
+    quota.  The dict is one entry per group (KB-sized), captured in the task
+    closure like any broadcast small side.
 
     Top-k pushdown: the map side first collapses every BLOCK to its local
     per-group top-k (the global top-k per group is a subset of the union of
@@ -66,7 +71,15 @@ def per_group_topk(
         new_g[0] = True
         new_g[1:] = g_s[1:] != g_s[:-1]
         seg_start = np.maximum.accumulate(np.where(new_g, pos, -1))
-        keep = (pos - seg_start) < k
+        if isinstance(k, dict):
+            heads = g_s[new_g]
+            k_heads = np.fromiter(
+                (int(k.get(x, 0)) for x in heads.tolist()), dtype=np.int64, count=int(new_g.sum())
+            )
+            k_row = k_heads[np.cumsum(new_g) - 1]  # per-row quota via segment id
+            keep = (pos - seg_start) < k_row
+        else:
+            keep = (pos - seg_start) < k
         return t.take(pa.array(order[keep]))
 
     def add_part(t: pa.Table) -> pa.Table:

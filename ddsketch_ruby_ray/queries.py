@@ -1729,6 +1729,26 @@ def uniform_sample_per_lang(sf_dir: str):
     )
 
 
+MIX_SEED = 17
+
+
+def mixture_rebalance_docs(sf_dir: str):
+    """Rebalance the corpus to TARGET language proportions (the training-mix
+    step): integer weights w = 1 + ascii(lang's last char) % 3 per lang, the
+    binding lang chosen by exact rational argmin c/w (cross-multiplied
+    Python ints), per-lang quota k = w * c*/w* by integer floor division,
+    and each lang keeps its k docs with the smallest hash64(doc_id) — all
+    mirrored bit-for-bit in SQL."""
+    from .stages.sampling import mixture_rebalance
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    langs = [r["lang"] for r in ds.groupby("lang").count().take_all()]
+    weights = {l: 1 + ord(l[-1]) % 3 for l in langs}
+    return mixture_rebalance(
+        ds, id_col="doc_id", group_col="lang", weights=weights, seed=MIX_SEED
+    )
+
+
 def dd_bucketize_prices(sf_dir: str):
     """Equi-depth discretization: every lineitem price maps to its
     returnflag-group quartile bucket (thresholds = the group sketch's
@@ -2562,6 +2582,7 @@ QUERIES = {
     "dd_bucketize_prices": dd_bucketize_prices,
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
+    "mixture_rebalance_docs": mixture_rebalance_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "exact_distinct_users_by_event_type": exact_distinct_users_by_event_type,
     "argmax_events_by_type": argmax_events_by_type,
@@ -3215,6 +3236,31 @@ def _family_oracles() -> dict:
             FROM documents
         ) WHERE rn <= {WEIGHTED_SAMPLE_K}
     """
+    hm = splitmix64_sql("doc_id", MIX_SEED)
+    mixture_sql = f"""
+        WITH counts AS (
+          SELECT lang, count(*)::HUGEINT AS c,
+                 (1 + ascii(substr(lang, -1, 1)) % 3)::HUGEINT AS w
+          FROM documents GROUP BY lang
+        ), star AS (
+          SELECT lang, c, w FROM counts j1
+          WHERE NOT EXISTS (
+            SELECT 1 FROM counts j2
+            WHERE j2.c * j1.w < j1.c * j2.w
+               OR (j2.c * j1.w = j1.c * j2.w AND j2.lang < j1.lang)
+          )
+        ), quota AS (
+          SELECT counts.lang, (counts.w * star.c) // star.w AS k
+          FROM counts CROSS JOIN star
+        ), ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY {hm}, doc_id) AS rn
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang, r.n_chars
+        FROM ranked r JOIN quota q USING (lang)
+        WHERE r.rn <= q.k
+    """
     hs = splitmix64_sql("doc_id", SAMPLE_SEED)
     sample_global_sql = f"""
         SELECT doc_id, lang, n_chars FROM (
@@ -3256,6 +3302,7 @@ def _family_oracles() -> dict:
         "dd_bucketize_prices": bucketize_sql,
         "uniform_sample_docs": sample_global_sql,
         "uniform_sample_per_lang": sample_lang_sql,
+        "mixture_rebalance_docs": mixture_sql,
         "weighted_sample_docs": weighted_sample_sql,
         "tdigest_exact_fields_by_lang": exact_fields_sql,
         "kll_exact_fields_by_lang": exact_fields_sql,

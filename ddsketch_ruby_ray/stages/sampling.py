@@ -29,6 +29,7 @@ __all__ = [
     "split_thresholds",
     "bottomk_sample",
     "weighted_sample",
+    "mixture_rebalance",
 ]
 
 _TWO64 = 1 << 64
@@ -236,3 +237,59 @@ def weighted_sample(ds, *, id_col: str, weight_col: str, k: int, seed: int = 0,
         pruned, group_col=group_col, value_col="_pri", tiebreak_col=id_col, k=k
     )
     return out.drop_columns(["_pri"])
+
+
+def mixture_rebalance(ds, *, id_col: str, group_col: str,
+                      weights: dict, seed: int = 0):
+    """Downsample to TARGET mixture proportions (the training-mix step:
+    "make the corpus 3:3:2:1:3 across languages").
+
+    ``weights`` are integer target proportions per group.  The largest
+    feasible sample keeping those exact ratios is set by the BINDING group
+    ``l* = argmin c_l / w_l`` (compared exactly by cross-multiplication,
+    ties -> smallest group key); every group's quota is then
+    ``k_g = w_g * c_l* // w_l*`` — all Python-int arithmetic, so engine and
+    SQL mirror agree bit-for-bit.  Groups absent from ``weights`` are
+    dropped; if any weighted group is empty the whole sample is empty (the
+    mixture is infeasible).
+
+    The rows kept per group are the ``k_g`` with the smallest
+    ``hash64(id, seed)`` (ties -> smallest id): deterministic, layout- and
+    resume-invariant, SQL-mirrorable as a per-group row_number over the
+    same splitmix64 expression.
+
+    Scale shape: one tiny (group, count) aggregate decides the quotas on
+    the driver (KB — one row per group); the sample itself is the grouped
+    bottom-k plan with per-group k (block-local pushdown, shuffle carries
+    <= k_g rows per (block, group)).
+    """
+    from ..pipelines.topk import per_group_topk
+
+    counts = ds.groupby(group_col).count().take_all()  # one row per group
+    c = {r[group_col]: int(r["count()"]) for r in counts if r[group_col] in weights}
+    if not c or any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_rebalance: empty corpus overlap or nonpositive weight")
+    star = None
+    for g in sorted(c):
+        # c_g / w_g < c_star / w_star  <=>  c_g * w_star < c_star * w_g
+        if star is None or c[g] * weights[star] < c[star] * weights[g]:
+            star = g
+    if len(c) < len(weights):  # a weighted group has zero rows -> infeasible
+        k_map = {g: 0 for g in weights}
+    else:
+        k_map = {g: weights[g] * c[star] // weights[star] for g in weights}
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_h", pa.array(hash64_int(ids, seed)))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = per_group_topk(
+        hashed,
+        group_col=group_col,
+        value_col="_h",
+        tiebreak_col=id_col,
+        k=k_map,
+        ascending=True,
+    )
+    return out.drop_columns(["_h"])

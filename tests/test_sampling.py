@@ -88,3 +88,88 @@ class TestStratifiedSample:
             rates={"zh": 1.0},
         ).to_pandas()
         assert set(out["lang"]) == {"zh"}
+
+
+class TestMixtureRebalance:
+    def _ds(self, langs, n_per):
+        import ray.data as rd
+
+        ids, gs = [], []
+        i = 0
+        for lang, n in zip(langs, n_per):
+            for _ in range(n):
+                ids.append(i)
+                gs.append(lang)
+                i += 1
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "lang": pa.array(gs)})
+        )
+
+    def test_exact_quotas_and_binding_group(self, ray_session):
+        from ddsketch_ruby_ray.stages.sampling import mixture_rebalance
+
+        # weights 2:1:1 over counts 30:100:50 -> binding = a (30/2=15)
+        # quotas: a=30, b=15, c=15
+        ds = self._ds(["a", "b", "c"], [30, 100, 50])
+        out = mixture_rebalance(
+            ds, id_col="doc_id", group_col="lang",
+            weights={"a": 2, "b": 1, "c": 1}, seed=3,
+        ).to_pandas()
+        got = out.groupby("lang").size().to_dict()
+        assert got == {"a": 30, "b": 15, "c": 15}
+
+    def test_deterministic_across_layouts(self, ray_session):
+        from ddsketch_ruby_ray.stages.sampling import mixture_rebalance
+
+        ds = self._ds(["a", "b"], [40, 90])
+        kw = dict(id_col="doc_id", group_col="lang", weights={"a": 1, "b": 2}, seed=3)
+        d1 = mixture_rebalance(ds, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        d2 = (
+            mixture_rebalance(ds.repartition(7), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert d1.equals(d2)
+
+    def test_unweighted_groups_dropped_and_infeasible_empty(self, ray_session):
+        from ddsketch_ruby_ray.stages.sampling import mixture_rebalance
+
+        ds = self._ds(["a", "b"], [20, 20])
+        out = mixture_rebalance(
+            ds, id_col="doc_id", group_col="lang", weights={"a": 1}, seed=3
+        ).to_pandas()
+        assert set(out.lang) == {"a"} and len(out) == 20
+        # a weighted lang with zero rows makes the target mixture infeasible
+        empty = mixture_rebalance(
+            ds, id_col="doc_id", group_col="lang",
+            weights={"a": 1, "zz": 1}, seed=3,
+        ).to_pandas()
+        assert len(empty) == 0
+
+    def test_per_group_k_dict_matches_scalar(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.topk import per_group_topk
+
+        rng = np.random.default_rng(5)
+        t = pa.table(
+            {
+                "g": pa.array(rng.choice(["x", "y"], 200).tolist()),
+                "v": pa.array(rng.permutation(200).astype(np.int64)),
+                "id": pa.array(np.arange(200, dtype=np.int64)),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(5)
+        a = per_group_topk(ds, group_col="g", value_col="v", tiebreak_col="id", k=7)
+        b = per_group_topk(
+            ds, group_col="g", value_col="v", tiebreak_col="id", k={"x": 7, "y": 7}
+        )
+        pa_ = a.to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        pb = b.to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        assert pa_.equals(pb)
+        # asymmetric quotas: y gets none
+        c = per_group_topk(
+            ds, group_col="g", value_col="v", tiebreak_col="id", k={"x": 3}
+        ).to_pandas()
+        assert set(c.g) == {"x"} and len(c) == 3
