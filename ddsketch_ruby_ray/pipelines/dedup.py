@@ -782,6 +782,58 @@ def _levenshtein_capped(a: bytes, b: bytes, k: int) -> int:
     return int(prev[lb])
 
 
+def _damerau_levenshtein(a: bytes, b: bytes) -> int:
+    """FULL (unrestricted) Damerau-Levenshtein distance — matches DuckDB's
+    ``damerau_levenshtein()`` (which is the Lowrance-Wagner variant, not
+    OSA: 'CA' -> 'ABC' costs 2, via CA -> AC -> ABC).
+
+    Same one-vectorized-row-per-DP-step shape as :func:`_levenshtein`:
+    the substitution/deletion/transposition candidates are all reads from
+    ROWS ABOVE the current one, so they vectorize per row (the
+    transposition source cell H[k-1][l-1] is a fancy-indexed gather with
+    per-column k = last row where b[j] occurred in a, per-column l =
+    exclusive prefix-max of this row's match positions), and the serial
+    insertion dependency collapses with the running-min identity.  Needs
+    the full H matrix (transpositions reach arbitrarily far up), so memory
+    is O(len(a)·len(b)) int32 — callers gate pair length first.
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    ca = np.frombuffer(a, np.uint8)
+    cb = np.frombuffer(b, np.uint8)
+    maxdist = np.int32(la + lb)
+    # Ho[i+1][j+1] = H[i][j] of the textbook recurrence; row/col 0 hold the
+    # H[-1][*] = la+lb sentinel, so H[k-1][l-1] == Ho[k][l] directly.
+    Ho = np.full((la + 2, lb + 2), maxdist, dtype=np.int32)
+    Ho[1, 1:] = np.arange(lb + 1, dtype=np.int32)
+    Ho[1:, 1] = np.arange(la + 1, dtype=np.int32)
+    da = np.zeros(256, dtype=np.int64)  # last row (1-based) where byte seen in a
+    j_arr = np.arange(1, lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        match = cb == ca[i - 1]
+        cost = (~match).astype(np.int32)
+        # l_vec[j] = db before column j: last j' < j with b[j'] == a[i]
+        mpos = np.where(match, j_arr, 0)
+        l_vec = np.concatenate(([0], np.maximum.accumulate(mpos)[:-1]))
+        k_vec = da[cb]
+        trans = (
+            Ho[k_vec, l_vec]
+            + (np.int64(i) - k_vec - 1).astype(np.int32)
+            + np.int32(1)
+            + (j_arr - l_vec - 1).astype(np.int32)
+        )
+        cand = np.minimum(Ho[i, 1:-1] + cost, Ho[i, 2:] + 1)  # sub, delete
+        cand = np.minimum(cand, trans)
+        j32 = j_arr.astype(np.int32)
+        runmin = np.minimum.accumulate(cand - j32)
+        Ho[i + 1, 2:] = j32 + np.minimum(runmin, np.int32(i))
+        da[ca[i - 1]] = i
+    return int(Ho[la + 1, lb + 1])
+
+
 def edit_distance_pairs_pipeline(
     ds,
     *,
@@ -791,9 +843,16 @@ def edit_distance_pairs_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    metric: str = "levenshtein",
 ):
     """LSH candidates verified by exact EDIT DISTANCE: -> Dataset[(a, b,
     lev)] for candidate pairs with levenshtein <= ``max_dist``.
+
+    ``metric="damerau"`` verifies with the FULL Damerau-Levenshtein
+    distance instead (adjacent transpositions cost 1 — the right metric
+    for typo/OCR near-dups; output column ``dl``).  The DL DP needs the
+    full matrix, so pairs failing the ``|len_a - len_b| > max_dist``
+    length gate skip the DP entirely.
 
     The character-level complement of the shingle-Jaccard verify for short
     texts (titles, code lines, OCR noise) where token sets are too coarse.
@@ -831,16 +890,23 @@ def edit_distance_pairs_pipeline(
         left_cols=["a", "b", "text_a"], right_payload=["text_b"], how="inner",
     )
 
+    if metric not in ("levenshtein", "damerau"):
+        raise ValueError(f"metric must be 'levenshtein' or 'damerau': {metric!r}")
+    out_col = "lev" if metric == "levenshtein" else "dl"
+
+    def _dist(x: str | None, y: str | None) -> int:
+        xa, ya = (x or "").encode("utf-8"), (y or "").encode("utf-8")
+        if metric == "levenshtein":
+            return _levenshtein_capped(xa, ya, max_dist)
+        if abs(len(xa) - len(ya)) > max_dist:  # DL >= length gap
+            return max_dist + 1
+        return _damerau_levenshtein(xa, ya)
+
     def verify(t: pa.Table) -> pa.Table:
         ta = t.column("text_a").to_pylist()
         tb = t.column("text_b").to_pylist()
         lev = np.fromiter(
-            (
-                _levenshtein_capped(
-                    (x or "").encode("utf-8"), (y or "").encode("utf-8"), max_dist
-                )
-                for x, y in zip(ta, tb)
-            ),
+            (_dist(x, y) for x, y in zip(ta, tb)),
             dtype=np.int64,
             count=len(ta),
         )
@@ -850,7 +916,7 @@ def edit_distance_pairs_pipeline(
             {
                 "a": t.column("a").take(take),
                 "b": t.column("b").take(take),
-                "lev": pa.array(lev[keep]),
+                out_col: pa.array(lev[keep]),
             }
         )
 

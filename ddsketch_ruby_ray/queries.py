@@ -1244,6 +1244,19 @@ def levenshtein_dedup_pairs(sf_dir: str):
     )
 
 
+def damerau_dedup_pairs(sf_dir: str):
+    """LSH candidates verified by FULL Damerau-Levenshtein distance <= 40
+    (adjacent transpositions cost 1 — the typo/OCR near-dup metric).  Same
+    two-join pair-attach plan as the Levenshtein verify; the DL DP is one
+    vectorized numpy row per step with a fancy-indexed transposition
+    gather (pipelines/dedup.py::_damerau_levenshtein)."""
+    from .pipelines.dedup import edit_distance_pairs_pipeline
+
+    return edit_distance_pairs_pipeline(
+        _docs(sf_dir), key_col="doc_id", text_col="text", max_dist=40, metric="damerau"
+    )
+
+
 def simhash_hamming_pairs(sf_dir: str):
     """LSH candidates verified by SimHash Hamming distance <= 16 — the
     constant-cost near-dup verify (one XOR + popcount per pair regardless
@@ -2613,6 +2626,7 @@ QUERIES = {
     "jaccard_dedup_pairs": jaccard_dedup_pairs,
     "levenshtein_dedup_pairs": levenshtein_dedup_pairs,
     "simhash_hamming_pairs": simhash_hamming_pairs,
+    "damerau_dedup_pairs": damerau_dedup_pairs,
     "containment_dedup_pairs": containment_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
@@ -3474,6 +3488,15 @@ def _family_oracles() -> dict:
             JOIN documents da ON da.doc_id = p.a
             JOIN documents db ON db.doc_id = p.b
             WHERE levenshtein(da.text, db.text) <= 40
+        """,
+        "damerau_dedup_pairs": f"""
+            WITH dl_pairs AS ({lsh_pairs_sql(**dedup_kw)})
+            SELECT p.a, p.b,
+                   CAST(damerau_levenshtein(da.text, db.text) AS BIGINT) AS dl
+            FROM dl_pairs p
+            JOIN documents da ON da.doc_id = p.a
+            JOIN documents db ON db.doc_id = p.b
+            WHERE damerau_levenshtein(da.text, db.text) <= 40
         """,
         "jaccard_dedup_pairs": jaccard_pairs_sql(**dedup_kw),
         "containment_dedup_pairs": containment_pairs_sql(threshold=0.5, **dedup_kw),

@@ -1061,3 +1061,53 @@ class TestSimhashHammingPairs:
         ).to_pandas()
         assert got.a.tolist() == [1] and got.b.tolist() == [2]
         assert got.ham.tolist() == [0]
+
+
+class TestDamerauLevenshtein:
+    def test_matches_duckdb_fuzz(self, ray_session):
+        import random
+        import string
+
+        import duckdb
+
+        from ddsketch_ruby_ray.pipelines.dedup import _damerau_levenshtein as dl
+
+        con = duckdb.connect()
+        rng = random.Random(97)
+        for trial in range(300):
+            alpha = ("ab", "abcd", string.ascii_lowercase[:8])[trial % 3]
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 18)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 18)))
+            want = con.execute(
+                "select damerau_levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert dl(a.encode(), b.encode()) == want, (a, b)
+
+    def test_full_dl_not_osa(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import _damerau_levenshtein as dl
+
+        # the canonical case separating full DL (2) from OSA (3)
+        assert dl(b"CA", b"ABC") == 2
+        assert dl(b"ab", b"ba") == 1
+        assert dl(b"", b"xyz") == 3 and dl(b"same", b"same") == 0
+
+    def test_pipeline_metric_damerau(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import edit_distance_pairs_pipeline
+
+        ds = _docs_ds(extra_rows=_perturbed_copies(10))
+        got = edit_distance_pairs_pipeline(
+            ds, key_col="doc_id", text_col="text", max_dist=10, metric="damerau"
+        ).to_pandas()
+        # a one-token perturbation is a tiny DL; every planted pair proposed
+        # by LSH must survive the verify
+        assert "dl" in got.columns and (got.dl <= 10).all()
+        planted = got[(got.b - got.a) == 10_000]
+        assert len(planted) > 0
+
+    def test_bad_metric_raises(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import edit_distance_pairs_pipeline
+
+        with pytest.raises(ValueError, match="metric"):
+            edit_distance_pairs_pipeline(
+                _docs_ds(), key_col="doc_id", text_col="text", metric="hamming"
+            )
