@@ -32,6 +32,7 @@ __all__ = [
     "moving_window_pipeline",
     "ranked_analytics_pipeline",
     "funnel_pipeline",
+    "ordered_concat_pipeline",
 ]
 
 
@@ -480,3 +481,82 @@ def funnel_pipeline(
             }
         ]
     )
+
+
+def ordered_concat_pipeline(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    sep: str = "|",
+    num_partitions: int = 64,
+):
+    """Per-key ORDERED string aggregation — SQL's ``string_agg(value, sep
+    ORDER BY ts, tiebreak)`` — the clickstream/session-path op ("what
+    sequence of event types did each user produce?").
+
+    One row per key: ``key_col, n_events, path``.  Same physical plan as
+    the other ordered analytics: one hash-partition shuffle of the
+    projected columns, then per partition one lexsort + segment-boundary
+    pass; the concatenation itself is a single Arrow ``binary_join`` over a
+    ListArray built from the sorted flat values — no per-key Python.
+
+    Scale note: output rows are one per key but their WIDTH is the key's
+    total value bytes; a pathological key (one user with millions of
+    events) produces a correspondingly wide row, exactly as SQL's
+    string_agg would.  Filter or cap upstream if paths must stay bounded.
+    """
+    from ..core.hashing import hash64_int
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(keys) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                key_col: pa.array(keys),
+                "_ts": t.column(ts_col).cast(pa.int64()),
+                "_tb": t.column(tiebreak_col).cast(pa.int64()),
+                "_v": pc.cast(t.column(value_col), pa.string()),
+            }
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        n = pt.num_rows
+        keys = pt.column(key_col).to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)
+        tb = pt.column("_tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts, keys))
+        k_s = keys[order]
+        new_key = np.empty(n, dtype=bool)
+        if not n:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.string()),
+                }
+            )
+        new_key[0] = True
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.append(starts, n))
+        flat = pc.take(pt.column("_v"), pa.array(order))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, flat)
+        path = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "path": path,
+            }
+        )
+
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

@@ -363,6 +363,23 @@ def user_running_totals(sf_dir: str):
     )
 
 
+def user_event_paths(sf_dir: str):
+    """Per-user ordered event-type PATH (clickstream sequence): SQL's
+    string_agg(event_type, '|' ORDER BY ts, event_id) per user — one
+    hash-partition shuffle, then one lexsort + a single Arrow binary_join
+    over the segment ListArray per partition (no per-key Python)."""
+    from .pipelines.windows import ordered_concat_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return ordered_concat_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_col="event_type",
+    )
+
+
 def user_moving_stats(sf_dir: str):
     """Per-user FRAME-based rolling features over the events log: trailing-5
     sum/min/max of the (1e-6-quantized) value — the feature-engineering
@@ -2563,6 +2580,7 @@ QUERIES = {
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
+    "user_event_paths": user_event_paths,
     "user_moving_stats": user_moving_stats,
     "user_value_ranks": user_value_ranks,
     "funnel_click_purchase": funnel_click_purchase,
@@ -2738,6 +2756,12 @@ ORACLE_SQL = {
         JOIN events b
           ON b.user_id = a.user_id
          AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+    "user_event_paths": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '|' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
     """,
     "user_running_totals": """
         SELECT event_id, user_id,

@@ -308,3 +308,56 @@ class TestFunnel:
                SELECT (SELECT count(*) FROM a) s1, (SELECT count(*) FROM s2) s2"""
         ).fetchone()
         assert (got.stage1_users[0], got.stage2_users[0]) == exp
+
+
+class TestOrderedConcat:
+    def _run(self, keys, ts, ids, vals, blocks=None, sep="|"):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import ordered_concat_pipeline
+
+        t = pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "ts": pa.array(np.asarray(ts, np.int64) * 1_000_000, pa.timestamp("us")),
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.array(vals, pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        out = ordered_concat_pipeline(
+            ds, key_col="k", ts_col="ts", tiebreak_col="id", value_col="v", sep=sep
+        )
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    def test_order_and_tiebreak(self, ray_session):
+        # key 1: ts 5(a), 3(b), 5(c, id smaller than a) -> b, c, a
+        df = self._run([1, 1, 1, 2], [5, 3, 5, 9], [7, 1, 2, 0], ["a", "b", "c", "z"])
+        assert df.path.tolist() == ["b|c|a", "z"]
+        assert df.n_events.tolist() == [3, 1]
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(3)
+        n = 400
+        keys = rng.integers(0, 25, n)
+        ts = rng.integers(0, 100, n)
+        ids = rng.permutation(n)
+        vals = rng.choice(["x", "y", "zz"], n)
+        df = self._run(keys.tolist(), ts.tolist(), ids.tolist(), vals.tolist(), blocks=6)
+        con = duckdb.connect()
+        con.register(
+            "ev",
+            __import__("pandas").DataFrame(
+                {"k": keys, "ts": ts, "id": ids, "v": vals}
+            ),
+        )
+        want = con.execute(
+            "SELECT k, CAST(count(*) AS BIGINT) n_events,"
+            " string_agg(v, '|' ORDER BY ts, id) path FROM ev GROUP BY k ORDER BY k"
+        ).df()
+        assert df.path.tolist() == want.path.tolist()
+        assert df.n_events.tolist() == want.n_events.tolist()
