@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from .selection import sketch_exact_quantile_pipeline
 
-__all__ = ["mad_outlier_pipeline"]
+__all__ = ["mad_outlier_pipeline", "trimmed_mean_pipeline"]
 
 
 def mad_outlier_pipeline(
@@ -94,3 +94,82 @@ def mad_outlier_pipeline(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def trimmed_mean_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+    alpha: float = 0.01,
+):
+    """-> Dataset[(group_col, n_kept, kept_sum, trimmed_mean)] — the mean of
+    the INTEGER ``value_col`` restricted to each group's [lo_q, hi_q] exact
+    floor-rank quantile band (10% two-sided trim by default): the robust
+    location estimate that survives the heavy tails MAD flags.
+
+    Both cutoffs come from the sketch-guided EXACT selection (no global
+    sort); the final pass filters ``lo <= v <= hi`` against the broadcast
+    cutoff dicts and pre-aggregates exact int64 (count, sum) per group in
+    each block, so the only shuffle is the tiny partial-counts exchange.
+    ``trimmed_mean`` is ONE float division of two exact integers — the same
+    op order as the SQL mirror.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .selection import sketch_exact_quantiles_pipeline
+
+    cut_rows = sketch_exact_quantiles_pipeline(
+        ds, group_col=group_col, value_col=value_col, qs=(lo_q, hi_q), alpha=alpha
+    ).take_all()  # one row per group (KB); BOTH cutoffs from one build+scan
+    if cut_rows:
+        names = [c for c in cut_rows[0] if c != group_col]
+        lo_name, hi_name = names[0], names[1]
+        lo = {r[group_col]: int(r[lo_name]) for r in cut_rows}
+        hi = {r[group_col]: int(r[hi_name]) for r in cut_rows}
+    else:
+        lo, hi = {}, {}
+    cuts_ref = ray.put((lo, hi))
+
+    def preagg(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(cuts_ref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_g, out_n, out_s = [], [], []
+        for gv in np.unique(g):  # groups-in-batch, not rows
+            m = (g == gv) & (v >= lo_m.get(gv, np.iinfo(np.int64).max)) & (
+                v <= hi_m.get(gv, np.iinfo(np.int64).min)
+            )
+            if m.any():
+                out_g.append(gv)
+                out_n.append(int(m.sum()))
+                out_s.append(int(v[m].sum()))
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "n_kept": pa.array(out_n, pa.int64()),
+                "kept_sum": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+    summed = parts.groupby(group_col).sum(["n_kept", "kept_sum"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n_kept)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("sum(kept_sum)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_kept": pa.array(n),
+                "kept_sum": pa.array(s),
+                "trimmed_mean": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

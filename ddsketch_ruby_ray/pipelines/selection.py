@@ -15,10 +15,16 @@ for non-negative data).
 
 Scale shape: pass 1 is the flagship grouped build (KB states shuffle);
 pass 2 is map-only (bucket-key equality filter against a broadcast) plus a
-per-group selection over the candidate rows of a single bucket, whose size
-the sketch reports EXACTLY beforehand (``bins[b]`` rows - raise if a caller
-picks a quantile whose bucket is degenerate-huge rather than silently
-collecting it).
+per-group selection over the candidate rows of the targeted buckets, whose
+sizes the sketch reports EXACTLY beforehand (``bins[b]`` rows - raise if a
+caller picks a quantile whose bucket is degenerate-huge rather than
+silently collecting it).
+
+MULTIPLE quantiles of the same column share both passes:
+:func:`sketch_exact_quantiles_pipeline` locates every requested rank's
+bucket from the ONE sketch build and scans the union of those buckets in
+the ONE candidate pass - a two-sided trim (p10 + p90) costs the same two
+streaming passes as a single median.
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sketch_exact_quantile_pipeline"]
+__all__ = ["sketch_exact_quantile_pipeline", "sketch_exact_quantiles_pipeline"]
 
 
 def sketch_exact_quantile_pipeline(
@@ -41,46 +47,77 @@ def sketch_exact_quantile_pipeline(
     max_candidates_per_group: int = 5_000_000,
 ):
     """-> Dataset[(group_col, exact_q: double)] - the EXACT floor-rank
-    q-quantile value per group."""
+    q-quantile value per group (single-q wrapper of
+    :func:`sketch_exact_quantiles_pipeline`)."""
+    return sketch_exact_quantiles_pipeline(
+        ds,
+        group_col=group_col,
+        value_col=value_col,
+        qs=(q,),
+        alpha=alpha,
+        max_candidates_per_group=max_candidates_per_group,
+    )
+
+
+def sketch_exact_quantiles_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    qs=(0.5,),
+    alpha: float = 0.01,
+    max_candidates_per_group: int = 5_000_000,
+):
+    """-> Dataset[(group_col, exact_<q1>, exact_<q2>, ...)] - the EXACT
+    floor-rank quantile values per group, all from ONE sketch build + ONE
+    candidate scan (the buckets of all requested ranks are unioned into a
+    single broadcast filter)."""
     import ray
 
     from ..functions.aggregates import SketchStateMergeAgg
     from ..functions.specs import DDSketchSpec
     from .corpus import sketch_states
 
+    qs = tuple(qs)
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    qcols = [f"exact_{_qname(q)}" for q in qs]
+
     spec = DDSketchSpec(on=value_col, name="s", relative_accuracy=alpha, quantiles=())
     states = sketch_states(ds, [spec], (group_col,))
     merged = states.groupby(group_col).aggregate(SketchStateMergeAgg(spec, emit_state=True))
 
-    targets = {}  # group -> (bucket_key, local_rank)
-    zero_rows = {"g": [], "v": []}  # groups whose rank falls in the zero band
+    # group -> {q_index: ("zero",) | ("bucket", bucket_key, local_rank)}
+    targets: dict = {}
     mapping = None
     for r in merged.take_all():  # one KB state row per group
         sk = spec.from_state(r["s"])
         mapping = sk.mapping
         if sk.negative_store.count:
-            raise ValueError("sketch_exact_quantile_pipeline: positive values only")
+            raise ValueError("sketch_exact_quantiles_pipeline: positive values only")
         n = int(sk.count)
         if n == 0:
             continue
-        k = int(math.floor(q * (n - 1)))
         zc = int(sk.zero_count)
-        if k < zc:
-            zero_rows["g"].append(r[group_col])
-            zero_rows["v"].append(0.0)
-            continue
         st = sk.store
         bins = np.asarray(st.bins)
         cum = np.cumsum(bins)
-        b_idx = int(np.searchsorted(cum, k - zc, side="right"))
-        if bins[b_idx] > max_candidates_per_group:
-            raise ValueError(
-                f"bucket for group {r[group_col]!r} holds {int(bins[b_idx])} rows"
-                f" (> {max_candidates_per_group}); pick a different quantile or"
-                " raise the limit"
-            )
-        local = (k - zc) - (int(cum[b_idx - 1]) if b_idx else 0)
-        targets[r[group_col]] = (int(st.min_key) + b_idx, local)
+        plan = {}
+        for qi, q in enumerate(qs):
+            k = int(math.floor(q * (n - 1)))
+            if k < zc:
+                plan[qi] = ("zero",)
+                continue
+            b_idx = int(np.searchsorted(cum, k - zc, side="right"))
+            if bins[b_idx] > max_candidates_per_group:
+                raise ValueError(
+                    f"bucket for group {r[group_col]!r} holds {int(bins[b_idx])} rows"
+                    f" (> {max_candidates_per_group}); pick a different quantile or"
+                    " raise the limit"
+                )
+            local = (k - zc) - (int(cum[b_idx - 1]) if b_idx else 0)
+            plan[qi] = ("bucket", int(st.min_key) + b_idx, local)
+        targets[r[group_col]] = plan
     ref = ray.put((targets, mapping))
 
     def candidates(t: pa.Table) -> pa.Table:
@@ -93,50 +130,64 @@ def sketch_exact_quantile_pipeline(
             keys = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
             keys[pos] = np.asarray(mp.key(vals[pos]), dtype=np.int64)
             for g in np.unique(groups):  # groups-in-batch, not rows
-                if g in tg:
-                    keep |= (groups == g) & (keys == tg[g][0])
+                plan = tg.get(g)
+                if not plan:
+                    continue
+                bks = {p[1] for p in plan.values() if p[0] == "bucket"}
+                if bks:
+                    gm = groups == g
+                    keep |= gm & np.isin(keys, np.fromiter(bks, dtype=np.int64))
         return t.select([group_col, value_col]).filter(pa.array(keep))
 
     cand = ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
 
     def select(pt: pa.Table) -> pa.Table:
-        tg, _ = ray.get(ref)
+        tg, mp = ray.get(ref)
         g = pt.column(group_col).to_numpy(zero_copy_only=False)
-        out_g, out_v = [], []
+        seen = {}
         if g.size:
             v = pt.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
             order = np.lexsort((v, g))
             g_s, v_s = g[order], v[order]
+            keys_s = np.asarray(mp.key(v_s), dtype=np.int64)
             new = np.empty(g_s.size, dtype=bool)
             new[0] = True
             new[1:] = g_s[1:] != g_s[:-1]
             starts = np.flatnonzero(new)
-            for srt in starts:  # one iteration per GROUP (tiny)
+            ends = np.append(starts[1:], g_s.size)
+            for srt, end in zip(starts, ends):  # one iteration per GROUP (tiny)
                 grp = g_s[srt]
-                out_g.append(grp)
-                out_v.append(float(v_s[srt + tg[grp][1]]))
-        return pa.table(
-            {
-                group_col: pa.array(out_g),
-                f"exact_{_qname(q)}": pa.array(out_v, pa.float64()),
-            }
-        )
+                vals = {}
+                for qi, plan in tg[grp].items():
+                    if plan[0] == "zero":
+                        vals[qi] = 0.0
+                    else:
+                        _, bk, local = plan
+                        in_b = v_s[srt:end][keys_s[srt:end] == bk]
+                        vals[qi] = float(in_b[local])
+                seen[grp] = vals
+        out = {group_col: pa.array(list(seen.keys()))}
+        for qi, qc in enumerate(qcols):
+            out[qc] = pa.array([vals[qi] for vals in seen.values()], pa.float64())
+        return pa.table(out)
 
-    import ray.data as rd
-
-    # the candidate table is one bucket per group: a single-partition exact
-    # selection is safe by construction (size pre-checked from the sketch)
+    # the candidate table is a few buckets per group: a single-partition
+    # exact selection is safe by construction (sizes pre-checked from the
+    # sketch)
     picked = cand.repartition(1).map_batches(
         select, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    if zero_rows["g"]:
-        zt = pa.table(
-            {
-                group_col: pa.array(zero_rows["g"]),
-                f"exact_{_qname(q)}": pa.array(zero_rows["v"], pa.float64()),
-            }
-        )
-        picked = picked.union(rd.from_arrow(zt))
+    # groups whose EVERY rank fell in the zero band produce no candidate
+    # rows (an empty dataset can skip the select call entirely), so they
+    # are emitted from the driver-side plan instead
+    all_zero = [g for g, plan in targets.items() if all(p[0] == "zero" for p in plan.values())]
+    if all_zero:
+        import ray.data as rd
+
+        zt = {group_col: pa.array(all_zero)}
+        for qc in qcols:
+            zt[qc] = pa.array([0.0] * len(all_zero), pa.float64())
+        picked = picked.union(rd.from_arrow(pa.table(zt)))
     return picked
 
 

@@ -2104,6 +2104,19 @@ def corr_tokens_chars_by_lang(sf_dir: str):
     )
 
 
+def trimmed_mean_chars_by_lang(sf_dir: str):
+    """Per-lang 10%-trimmed mean of doc length: both trim cutoffs are EXACT
+    floor-rank quantiles from the sketch-guided selection (no global sort),
+    the band filter pre-aggregates exact int64 (count, sum) per block, and
+    the mean is one float division of two exact integers."""
+    from .pipelines.robust import trimmed_mean_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return trimmed_mean_pipeline(
+        ds, group_col="lang", value_col="n_chars", lo_q=0.1, hi_q=0.9, alpha=ALPHA
+    )
+
+
 def chi2_lang_source(sf_dir: str):
     """Pearson chi-square independence cells for lang x source — the
     corpus-composition drift test.  Per observed cell: count, row/col
@@ -2667,6 +2680,7 @@ QUERIES = {
     "quality_scores_docs": quality_scores_docs,
     "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
     "chi2_lang_source": chi2_lang_source,
+    "trimmed_mean_chars_by_lang": trimmed_mean_chars_by_lang,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
@@ -3622,6 +3636,30 @@ def _family_oracles() -> dict:
                     PARTITION BY lang ORDER BY n DESC, token ASC
                 ) AS rn FROM c
             ) WHERE rn <= 10
+        """,
+        "trimmed_mean_chars_by_lang": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ), lo AS (
+              SELECT lang, n_chars AS lo
+              FROM r WHERE rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1
+            ), hi AS (
+              SELECT lang, n_chars AS hi
+              FROM r WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS kept_sum,
+                   CAST(CAST(sum(d.n_chars) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS trimmed_mean
+            FROM documents d
+            JOIN lo USING (lang)
+            JOIN hi USING (lang)
+            WHERE d.n_chars BETWEEN lo.lo AND hi.hi
+            GROUP BY d.lang
         """,
         "chi2_lang_source": """
             WITH cells AS (

@@ -82,3 +82,46 @@ def test_no_outliers_empty_result(ray_session):
     vals = [10, 11, 12, 13, 14]
     df = _run(groups, vals, k=3)
     assert len(df) == 0
+
+
+class TestTrimmedMean:
+    def _run(self, groups, vals, lo=0.1, hi=0.9, blocks=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.robust import trimmed_mean_pipeline
+
+        t = pa.table(
+            {"g": pa.array(groups), "v": pa.array(np.asarray(vals, np.int64))}
+        )
+        ds = rd.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        out = trimmed_mean_pipeline(ds, group_col="g", value_col="v", lo_q=lo, hi_q=hi)
+        return out.to_pandas().sort_values("g").reset_index(drop=True)
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(19)
+        groups = rng.choice(["a", "b"], 400).tolist()
+        vals = rng.integers(1, 10_000, 400)
+        df = self._run(groups, vals, blocks=5)
+        garr = np.array(groups)
+        for row in df.itertuples(index=False):
+            v = np.sort(vals[garr == row.g])
+            lo = v[int(np.floor(0.1 * (len(v) - 1)))]
+            hi = v[int(np.floor(0.9 * (len(v) - 1)))]
+            kept = v[(v >= lo) & (v <= hi)]
+            assert row.n_kept == len(kept)
+            assert row.kept_sum == int(kept.sum())
+            assert row.trimmed_mean == float(int(kept.sum())) / float(len(kept))
+
+    def test_outlier_resistant(self, ray_session):
+        # 98 sane values + 2 huge outliers: the trimmed mean ignores them
+        vals = list(range(100, 198)) + [10**9, 10**9]
+        df = self._run(["x"] * 100, vals)
+        assert df.trimmed_mean[0] < 200
+
+    def test_layout_invariance(self, ray_session):
+        vals = np.arange(1, 201)
+        a = self._run(["g"] * 200, vals, blocks=1)
+        b = self._run(["g"] * 200, vals, blocks=9)
+        assert a.equals(b)
