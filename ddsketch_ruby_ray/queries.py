@@ -2117,6 +2117,23 @@ def trimmed_mean_chars_by_lang(sf_dir: str):
     )
 
 
+PMI_TOP_K = 100
+PMI_MIN_COUNT = 3
+
+
+def pmi_collocations_docs(sf_dir: str):
+    """Top-100 PMI collocations over adjacent-token bigrams (count >= 3,
+    ranked count DESC / bigram ASC): two block-preaggregated count
+    shuffles, KB top-K + needed-unigram broadcasts, PMI = one exact-int
+    divide + one libm ln per pair (pipelines/pmi.py)."""
+    from .pipelines.pmi import pmi_collocations_pipeline
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_collocations_pipeline(
+        ds, text_col="text", top_k=PMI_TOP_K, min_count=PMI_MIN_COUNT
+    )
+
+
 def chi2_lang_source(sf_dir: str):
     """Pearson chi-square independence cells for lang x source — the
     corpus-composition drift test.  Per observed cell: count, row/col
@@ -2681,6 +2698,7 @@ QUERIES = {
     "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
     "chi2_lang_source": chi2_lang_source,
     "trimmed_mean_chars_by_lang": trimmed_mean_chars_by_lang,
+    "pmi_collocations_docs": pmi_collocations_docs,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
@@ -3335,6 +3353,42 @@ def _family_oracles() -> dict:
         "stratified_sample_docs": stratified_sql,
         "pack_sequences_docs": pack_sql,
         "bigram_lm_scores": lm_sql,
+        "pmi_collocations_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+                FROM documents
+            ), bi AS (
+                SELECT unnest(list_zip(tokens[1:length(tokens)-1],
+                                       tokens[2:length(tokens)])) AS z
+                FROM toks WHERE length(tokens) >= 2
+            ), occ AS (
+                SELECT z[1] || ' ' || z[2] AS bigram, z[1] AS x, z[2] AS y FROM bi
+            ), cnt AS (
+                SELECT bigram, x, y, count(*)::HUGEINT AS c
+                FROM occ GROUP BY bigram, x, y
+            ), uni AS (
+                SELECT unnest(tokens) AS tok FROM toks
+            ), ucnt AS (
+                SELECT tok, count(*)::HUGEINT AS c FROM uni GROUP BY tok
+            ), ntok AS (
+                SELECT count(*)::HUGEINT AS n FROM uni
+            ), top AS (
+                SELECT bigram, x, y, c FROM cnt
+                WHERE c >= {PMI_MIN_COUNT}
+                ORDER BY c DESC, bigram ASC LIMIT {PMI_TOP_K}
+            )
+            SELECT t.bigram,
+                   CAST(t.c AS BIGINT) AS c_xy,
+                   CAST(ux.c AS BIGINT) AS c_x,
+                   CAST(uy.c AS BIGINT) AS c_y,
+                   CAST(n.n AS BIGINT) AS n_tokens,
+                   ln(CAST(t.c * n.n AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE)) AS pmi
+            FROM top t
+            JOIN ucnt ux ON ux.tok = t.x
+            JOIN ucnt uy ON uy.tok = t.y
+            CROSS JOIN ntok n
+        """,
         "dd_rank_transform_prices": rank_sql,
         "dd_outlier_orders": outlier_sql,
         "dd_rollup_lang_source": rollup_sql,

@@ -67,3 +67,60 @@ class TestBigramLMScore:
         )
         df = _run(t, top_k=5)
         assert df.n_bigrams.tolist() == [1]
+
+
+class TestPmiCollocations:
+    def _run(self, docs, top_k=10, min_count=1, blocks=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.pmi import pmi_collocations_pipeline
+
+        t = pa.table({"text": pa.array(docs, pa.string())})
+        ds = rd.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        return pmi_collocations_pipeline(
+            ds, text_col="text", top_k=top_k, min_count=min_count
+        ).to_pandas()
+
+    def test_matches_brute_force(self, ray_session):
+        import math
+        from collections import Counter
+
+        docs = [
+            "new york is a big city",
+            "new york new york",
+            "a big apple in new york",
+            "big city big city",
+            "a",  # extra lone 'a': breaks the c_xy/(c_x*c_y) ratio tie
+        ]
+        df = self._run(docs, top_k=5, min_count=2)
+        toks = [t for d in docs for t in d.split(" ") if t]
+        uni = Counter(toks)
+        big = Counter()
+        for d in docs:
+            ts = [t for t in d.split(" ") if t]
+            big.update(" ".join(p) for p in zip(ts, ts[1:]))
+        n = len(toks)
+        want = sorted(
+            ((b, c) for b, c in big.items() if c >= 2),
+            key=lambda bc: (-bc[1], bc[0]),
+        )[:5]
+        assert df.bigram.tolist() == [b for b, _ in want]
+        for row in df.itertuples(index=False):
+            x, y = row.bigram.split(" ", 1)
+            assert (row.c_xy, row.c_x, row.c_y, row.n_tokens) == (
+                big[row.bigram], uni[x], uni[y], n,
+            )
+            assert row.pmi == math.log(
+                float(big[row.bigram] * n) / float(uni[x] * uni[y])
+            )
+        # 'new york' is a real collocation: higher PMI than 'a big'
+        pmis = dict(zip(df.bigram, df.pmi))
+        assert pmis["new york"] > pmis["a big"]
+
+    def test_layout_invariance(self, ray_session):
+        docs = ["alpha beta gamma alpha beta", "beta gamma alpha beta gamma"] * 5
+        a = self._run(docs, blocks=1)
+        b = self._run(docs, blocks=7)
+        assert a.equals(b)
