@@ -5,13 +5,17 @@ Closes the biggest ``strict=True`` hole in the media decode stage
 highest-frequency compressed image format in any real corpus — now decode
 for real inside the actor pool, like PNG/PPM/PGM/WAV/Y4M already do.
 
-Scope (honest): BASELINE process only (SOF0, 8-bit, Huffman), 1 or 3
-components, sampling factors 1–2 (so 4:4:4, 4:2:2 and 4:2:0 all decode),
-restart markers supported.  Progressive (SOF2), arithmetic coding and
-12-bit raise ``NotImplementedError`` — the strict-mode contract, not a
-silent wrong answer.  The encoder emits 4:4:4 or 4:2:0 with the ITU T.81
-Annex K quantization + Huffman tables; it exists so tests and the media
-synthesizer can produce real JPEGs in a container with no image libraries.
+Scope (honest): BASELINE (SOF0/1, 8-bit, Huffman) and PROGRESSIVE (SOF2 —
+all four T.81 Annex G scan kinds: DC/AC x first/refinement, spectral
+selection, successive approximation, EOB-run coding), 1 or 3 components,
+sampling factors 1–2 (so 4:4:4, 4:2:2 and 4:2:0 all decode), restart
+markers supported.  Arithmetic coding, hierarchical and 12-bit raise
+``NotImplementedError`` — the strict-mode contract, not a silent wrong
+answer.  The encoders (baseline + a progressive one with a libjpeg-style
+scan script) emit 4:4:4 or 4:2:0 with the ITU T.81 Annex K quantization
+tables; they exist so tests and the media synthesizer can produce real
+JPEGs in a container with no image libraries — and the progressive
+round-trip pins the SOF2 decoder to bit-identical pixels vs baseline.
 
 Everything is deterministic: entropy decode is exact; the only lossy steps
 (quantization, chroma averaging, the fixed-point-free float IDCT + color
@@ -31,7 +35,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 # zigzag[i] = raster index of the i-th coefficient in zigzag order
 ZIGZAG = np.array(
@@ -205,6 +209,8 @@ def _decode_jpeg(payload: bytes):
     qt = {}
     huff_dc, huff_ac = {}, {}
     frame = None
+    progressive = False
+    scans = []  # progressive: every scan accumulates coefficient bits
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -241,7 +247,7 @@ def _decode_jpeg(payload: bytes):
                 tbl = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -252,11 +258,12 @@ def _decode_jpeg(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
-                "arithmetic/hierarchical)"
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: "
+                "arithmetic/hierarchical/lossless)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -266,6 +273,8 @@ def _decode_jpeg(payload: bytes):
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             data_start = pos
             # entropy segment ends at the next non-RST marker
             i = data_start
@@ -277,9 +286,25 @@ def _decode_jpeg(payload: bytes):
                 i += 1
             ecs = payload[data_start:i]
             pos = i
-            return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
-                                restart_interval, ecs)
+            if not progressive:
+                return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
+                                    restart_interval, ecs)
+            scans.append(
+                {
+                    "comps": scan,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "dc_tbls": dict(huff_dc),
+                    "ac_tbls": dict(huff_ac),
+                    "ri": restart_interval,
+                    "ecs": ecs,
+                }
+            )
         # APPn / COM / others: skipped
+    if progressive and scans:
+        return _decode_progressive(frame, scans, qt)
     raise ValueError("invalid JPEG: no SOS marker")
 
 
@@ -341,6 +366,13 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
     if mcu != total_mcus:
         raise ValueError("invalid JPEG: entropy data ended early")
 
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+def _reconstruct(comps, qt, w, h, hmax, vmax):
+    """Dequantize + IDCT + upsample + color transform of decoded ``coef``
+    arrays -> (w, h, channels, uint8 image).  Shared by the baseline and
+    progressive paths."""
     planes = []
     for c in comps:
         q = qt[c["tq"]]
@@ -369,6 +401,183 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
     img = np.stack([r, g, b], axis=-1)
     img = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
     return w, h, 3, img
+
+
+def _decode_progressive(frame, scans, qt):
+    """Progressive (SOF2) decode: every scan deposits coefficient bits into
+    the persistent per-component ``coef`` arrays; one reconstruction at the
+    end.  All four scan kinds of T.81 Annex G are implemented: DC first /
+    DC refine (successive approximation on coefficient 0) and AC first /
+    AC refine (spectral selection + successive approximation with EOB-run
+    coding).  Restart markers reset DC predictors and the EOB run."""
+    if frame is None:
+        raise ValueError("invalid JPEG: SOS before SOF")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        # non-interleaved block grid (T.81 A.2.2): the component's OWN
+        # sample dimensions, not the MCU-padded ones
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw"] = -(-cw // 8)
+        c["bh"] = -(-ch // 8)
+
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        scomps = [by_id[s["id"]] for s in sc["comps"] if s["id"] in by_id]
+        if len(scomps) != len(sc["comps"]):
+            raise ValueError("invalid JPEG: scan component not in frame")
+        if ss == 0 and se != 0:
+            raise ValueError("invalid JPEG: progressive scan with Ss=0 needs Se=0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("invalid JPEG: progressive AC scan must be single-component")
+        if ss > se or se > 63:
+            raise ValueError("invalid JPEG: bad spectral selection")
+        for spec, c in zip(sc["comps"], scomps):
+            try:
+                if ss == 0 and ah == 0:  # DC first needs a DC table
+                    c["dc_tbl"] = sc["dc_tbls"][spec["dc"]]
+                if ss > 0:  # AC first AND refine need an AC table
+                    c["ac_tbl"] = sc["ac_tbls"][spec["ac"]]
+            except KeyError as e:
+                raise ValueError(f"invalid JPEG: undefined huffman table {e}") from None
+
+        ri = sc["ri"]
+        if ri:
+            segments = _split_restarts(sc["ecs"])
+        else:
+            segments = [sc["ecs"].replace(b"\xff\x00", b"\xff")]
+
+        interleaved = len(scomps) > 1
+        if interleaved:
+            total_units = mcux * mcuy
+        else:
+            c0 = scomps[0]
+            total_units = c0["bw"] * c0["bh"]
+
+        unit = 0
+        try:
+            for seg in segments:
+                for c in scomps:
+                    c["pred"] = 0
+                reader = _BitReader(seg)
+                eobrun = 0
+                limit = min(unit + ri, total_units) if ri else total_units
+                while unit < limit:
+                    if interleaved:  # DC scan over whole MCUs
+                        my, mx = divmod(unit, mcux)
+                        for c in scomps:
+                            for v in range(c["v"]):
+                                for hh in range(c["h"]):
+                                    _prog_dc(reader, c, my * c["v"] + v,
+                                             mx * c["h"] + hh, ah, al)
+                    else:
+                        c = scomps[0]
+                        by, bx = divmod(unit, c["bw"])
+                        if ss == 0:
+                            _prog_dc(reader, c, by, bx, ah, al)
+                        else:
+                            blk = c["coef"][by, bx]
+                            if ah == 0:
+                                eobrun = _prog_ac_first(
+                                    reader, blk, c["ac_tbl"], ss, se, al, eobrun
+                                )
+                            else:
+                                eobrun = _prog_ac_refine(
+                                    reader, blk, c["ac_tbl"], ss, se, al, eobrun
+                                )
+                    unit += 1
+        except IndexError:
+            raise ValueError("invalid JPEG: truncated entropy data") from None
+        if unit != total_units:
+            raise ValueError("invalid JPEG: entropy data ended early")
+
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+def _prog_dc(reader, c, by, bx, ah, al):
+    blk = c["coef"][by, bx]
+    if ah == 0:  # DC first: diff decode, shifted up by Al
+        s = reader.decode_symbol(c["dc_tbl"])
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        c["pred"] += diff
+        blk[0] = c["pred"] << al
+    else:  # DC refine: one correction bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_first(reader, blk, tbl, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.2: first AC scan of a band, with EOB-run coding."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + extra empty bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("invalid JPEG: AC run past spectral band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, blk, tbl, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+    already-nonzero coefficients + newly-significant +-1 insertions."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tbl)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # remaining coefficients handled below
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG: AC refine size != 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _split_restarts(ecs: bytes):
@@ -460,12 +669,10 @@ def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, *, subsample: bool = False) -> bytes:
-    """uint8 (h, w, c) with c in {1, 3} -> baseline JFIF bytes.
-
-    Annex K tables; ``subsample=True`` emits 4:2:0 (2x2 chroma averaging),
-    else 4:4:4.  Grayscale ignores ``subsample``.
-    """
+def _quantize_blocks(img: np.ndarray, subsample: bool):
+    """Shared encoder front end: color transform, optional 4:2:0
+    subsampling, DCT + quantization.  -> (qblocks, samp, tqs, quants, w, h)
+    with ``qblocks[ci]`` of shape (mcuy*sv, mcux*sh, 64) in zigzag order."""
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("expected (h, w, 1|3) uint8 image")
     h, w, c = img.shape
@@ -518,6 +725,20 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False) -> bytes:
         scaled = coef / q
         qz = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
         qblocks.append(qz.reshape(qz.shape[0], qz.shape[1], 64)[:, :, ZIGZAG].astype(np.int64))
+    return qblocks, samp, tqs, quants, w, h
+
+
+def encode_jpeg(img: np.ndarray, *, subsample: bool = False) -> bytes:
+    """uint8 (h, w, c) with c in {1, 3} -> baseline JFIF bytes.
+
+    Annex K tables; ``subsample=True`` emits 4:2:0 (2x2 chroma averaging),
+    else 4:4:4.  Grayscale ignores ``subsample``.
+    """
+    qblocks, samp, tqs, quants, w, h = _quantize_blocks(img, subsample)
+    planes = samp  # one entry per component
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
     dc_tbls = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
                _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -594,3 +815,229 @@ def _encode_block(writer, blk, pred, dc_tbl, ac_tbl) -> int:
         code, length = ac_tbl[0x00]  # EOB
         writer.write(code, length)
     return dc
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, libjpeg-style scan script)
+# ---------------------------------------------------------------------------
+
+class _ProgACWriter:
+    """AC scan encoder state: EOB-run accumulation + buffered correction
+    bits (the BE buffer of jcphuff), per T.81 G.1.2.2/G.1.2.3."""
+
+    def __init__(self, writer: _BitWriter, ac_tbl):
+        self.w = writer
+        self.tbl = ac_tbl
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def emit_eobrun(self):
+        if self.eobrun == 0:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        code, ln = self.tbl[nbits << 4]
+        self.w.write(code, ln)
+        if nbits:
+            self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+        self.eobrun = 0
+        for b in self.be_bits:
+            self.w.write(b, 1)
+        self.be_bits = []
+
+    def block_first(self, blk, al: int):
+        """First AC scan of the band (Ss=1..63 here), point transform Al."""
+        r = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            temp = (-v if v < 0 else v) >> al
+            if temp == 0:
+                r += 1
+                continue
+            self.emit_eobrun()
+            while r > 15:
+                code, ln = self.tbl[0xF0]
+                self.w.write(code, ln)
+                r -= 16
+            s = temp.bit_length()
+            code, ln = self.tbl[(r << 4) | s]
+            self.w.write(code, ln)
+            self.w.write(temp if v >= 0 else ((1 << s) - 1 - temp), s)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def block_refine(self, blk, al: int):
+        """Refinement AC scan (Ah = Al + 1): correction bits for known
+        coefficients, (r, 1) symbols for newly significant ones."""
+        absv = [0] * 64
+        eob = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            t = (-v if v < 0 else v) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k  # last NEWLY significant coefficient
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            temp = absv[k]
+            if temp == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.emit_eobrun()
+                code, ln = self.tbl[0xF0]
+                self.w.write(code, ln)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if temp > 1:  # already significant: one correction bit
+                br.append(temp & 1)
+                continue
+            self.emit_eobrun()
+            code, ln = self.tbl[(r << 4) | 1]
+            self.w.write(code, ln)
+            self.w.write(0 if int(blk[k]) < 0 else 1, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            self.eobrun += 1
+            self.be_bits.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be_bits) > 937:
+                self.emit_eobrun()
+
+
+# AC table for the progressive encoder's scans: the Annex K baseline AC
+# tables have no EOBn (r>0, s=0) symbols, which progressive EOB-run coding
+# needs.  A flat canonical table carrying ALL 256 symbols (255 at 9 bits +
+# one at 10, keeping the all-ones code free per T.81 C.2) trades a little
+# compression for full symbol coverage — the decoder just reads the DHT.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, subsample: bool = False) -> bytes:
+    """uint8 (h, w, c) with c in {1, 3} -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script exercising all four progressive scan kinds (the shape
+    libjpeg's default script uses, condensed):
+
+      1. DC first, all components interleaved, Al=1
+      2. AC first per component, Ss=1..63, Al=1 (EOB-run coded)
+      3. DC refinement, all components, Ah=1 -> Al=0
+      4. AC refinement per component, Ah=1 -> Al=0 (correction bits)
+
+    Decodes to EXACTLY the same pixels as the baseline encoding of the
+    same image (same quantized coefficients, bit-for-bit) — pinned by the
+    round-trip tests.
+    """
+    qblocks, samp, tqs, quants, w, h = _quantize_blocks(img, subsample)
+    nc = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # non-interleaved (per-component) block grids for the AC scans
+    bws, bhs = [], []
+    for sh, sv in samp:
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        bws.append(-(-cw // 8))
+        bhs.append(-(-ch // 8))
+
+    dc_tbls = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+    ac_tbls = [prog_ac, prog_ac]
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        seg = bytearray()
+        seg += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            ti = 0 if cid == 1 else 1
+            seg += bytes([cid, (ti << 4) | ti])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + bytes(seg)
+
+    scans = []
+
+    # scan 1: DC first (interleaved, Al=1)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                ti = 0 if ci == 0 else 1
+                for v in range(sv):
+                    for hh in range(sh):
+                        dcv = int(qblocks[ci][my * sv + v, mx * sh + hh][0]) >> 1
+                        diff = dcv - preds[ci]
+                        preds[ci] = dcv
+                        s = _csize(diff)
+                        code, ln = dc_tbls[ti][s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    scans.append((sos_header(list(range(1, nc + 1)), 0, 0, 0, 1), bytes(wtr.out)))
+
+    # scans 2..: AC first per component (Ss=1..63, Al=1)
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        wtr = _BitWriter()
+        ac = _ProgACWriter(wtr, ac_tbls[ti])
+        for by in range(bhs[ci]):
+            for bx in range(bws[ci]):
+                ac.block_first(qblocks[ci][by, bx], 1)
+        ac.emit_eobrun()
+        wtr.flush()
+        scans.append((sos_header([ci + 1], 1, 63, 0, 1), bytes(wtr.out)))
+
+    # DC refinement (Ah=1, Al=0): one raw bit per block in MCU order
+    wtr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for v in range(sv):
+                    for hh in range(sh):
+                        wtr.write(int(qblocks[ci][my * sv + v, mx * sh + hh][0]) & 1, 1)
+    wtr.flush()
+    scans.append((sos_header(list(range(1, nc + 1)), 0, 0, 1, 0), bytes(wtr.out)))
+
+    # AC refinement per component (Ah=1, Al=0)
+    for ci in range(nc):
+        ti = 0 if ci == 0 else 1
+        wtr = _BitWriter()
+        ac = _ProgACWriter(wtr, ac_tbls[ti])
+        for by in range(bhs[ci]):
+            for bx in range(bws[ci]):
+                ac.block_refine(qblocks[ci][by, bx], 0)
+        ac.emit_eobrun()
+        wtr.flush()
+        scans.append((sos_header([ci + 1], 1, 63, 1, 0), bytes(wtr.out)))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(x) for x in q[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)  # SOF2
+    for ci, ((sh, sv), tq) in enumerate(zip(samp, tqs)):
+        out += bytes([ci + 1, (sh << 4) | sv, tq])
+    huffs = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (16, 0, _PROG_AC_BITS, _PROG_AC_VALS)]
+    if nc == 3:
+        huffs += [(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                  (16, 1, _PROG_AC_BITS, _PROG_AC_VALS)]
+    for tc, th, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc | th)
+        out += bytes(bits) + bytes(vals)
+    for hdr, data in scans:
+        out += hdr + data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

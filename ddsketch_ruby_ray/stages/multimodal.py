@@ -287,8 +287,9 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
 
     id % 4 == 0 -> P6 PPM image; 1 -> P5 PGM; 2 -> WAV PCM-16 audio;
     3 -> Y4M video (3 frames).  Substitutions: id % 16 == 7 carries a REAL
-    baseline JPEG (alternating grayscale 4:4:4 / RGB 4:2:0 - the pure-numpy
-    codec in stages/jpeg.py decodes it for real); id % 16 == 15 carries a
+    JPEG (alternating grayscale 4:4:4 / RGB 4:2:0; half baseline SOF0,
+    half PROGRESSIVE SOF2 - the pure-numpy codec in stages/jpeg.py decodes
+    both for real); id % 16 == 15 carries a
     fake "webp" blob so the unknown-compressed-format stub path stays
     exercised; id % 16 == 11 carries a REAL GIF (alternating interlaced)
     decoded by the pure-numpy LZW codec in stages/gif.py; id % 8 == 5 carries a REAL zlib-compressed PNG (alternating
@@ -306,7 +307,12 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
         if i % 16 == 7:
             c = 1 if i % 32 == 7 else 3
             img = _noise(i, w * h * c).reshape(h, w, c)
-            payloads.append(encode_jpeg(img, subsample=(c == 3)))
+            if i % 64 in (23, 55):  # half the jpeg rows are PROGRESSIVE (SOF2)
+                from .jpeg import encode_jpeg_progressive
+
+                payloads.append(encode_jpeg_progressive(img, subsample=(c == 3)))
+            else:
+                payloads.append(encode_jpeg(img, subsample=(c == 3)))
             fmts.append("jpeg")
         elif i % 16 == 15:
             payloads.append(b"JUNK" + _noise(i, 128).tobytes())

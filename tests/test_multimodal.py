@@ -322,8 +322,13 @@ class TestJPEGCodec:
         img = np.zeros((8, 8, 1), dtype=np.uint8)
         payload = bytearray(encode_jpeg(img))
         i = payload.index(b"\xff\xc0")
-        payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        payload[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
         with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        # SOF0 -> SOF2: the baseline-style full-band scan is ILLEGAL under
+        # progressive rules (Ss=0 requires Se=0) -> ValueError, not silence
+        payload[i + 1] = 0xC2
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(payload))
         with pytest.raises(ValueError):
             decode_jpeg(b"\x00\x01not a jpeg")
@@ -431,3 +436,84 @@ class TestGIFCodec:
         meta, emb = stage._decode_one(encode_gif(idx, pal), "gif")
         assert (meta["width"], meta["height"], meta["channels"]) == (9, 6, 3)
         assert len(emb) == 4
+
+
+class TestProgressiveJpeg:
+    """SOF2 decode (all four Annex G scan kinds) pinned against baseline."""
+
+    def _rt(self, img, subsample):
+        from ddsketch_ruby_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        pb = encode_jpeg(img, subsample=subsample)
+        pp = encode_jpeg_progressive(img, subsample=subsample)
+        assert pp[:2] == b"\xff\xd8" and b"\xff\xc2" in pp  # really SOF2
+        wb, hb, cb, db = decode_jpeg(pb)
+        wp, hp, cp, dp = decode_jpeg(pp)
+        assert (wb, hb, cb) == (wp, hp, cp)
+        return db, dp
+
+    def test_pixels_identical_to_baseline(self):
+        rng = np.random.default_rng(41)
+        for shape, sub in [
+            ((16, 16, 1), False),
+            ((37, 53, 3), False),
+            ((37, 53, 3), True),   # 4:2:0 -> non-interleaved AC grids differ
+            ((100, 7, 3), True),
+            ((1, 1, 1), False),
+        ]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            db, dp = self._rt(img, sub)
+            assert (db == dp).all(), (shape, sub)
+
+    def test_eob_runs_flat_and_gradient(self):
+        # flat/smooth images produce long EOB runs across blocks (EOBn path)
+        flat = np.full((128, 128, 3), 128, np.uint8)
+        db, dp = self._rt(flat, True)
+        assert (db == dp).all()
+        grad = (np.linspace(0, 255, 96)[None, :, None] * np.ones((64, 1, 3))).astype(
+            np.uint8
+        )
+        db, dp = self._rt(grad, False)
+        assert (db == dp).all()
+
+    def test_deterministic_and_content_sensitive(self):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg_progressive
+
+        rng = np.random.default_rng(43)
+        a = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+        b = a.copy()
+        b[5, 5] = 255 - b[5, 5]
+        pa_, pb = encode_jpeg_progressive(a), encode_jpeg_progressive(b)
+        assert pa_ != pb
+        assert encode_jpeg_progressive(a) == pa_
+        da, db = decode_jpeg(pa_)[3], decode_jpeg(pb)[3]
+        assert not (da == db).all()
+        assert (decode_jpeg(pa_)[3] == da).all()
+
+    def test_truncated_progressive_raises_value_error(self):
+        from ddsketch_ruby_ray.stages.jpeg import decode_jpeg, encode_jpeg_progressive
+
+        rng = np.random.default_rng(44)
+        img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        p = encode_jpeg_progressive(img)
+        with pytest.raises(ValueError):
+            decode_jpeg(p[: len(p) // 2] + b"\xff\xd9")
+
+    def test_synthesizer_plants_progressive(self, ray_session):
+        from ddsketch_ruby_ray.stages.multimodal import synthesize_media_batch
+
+        ids = np.arange(0, 256, dtype=np.int64)
+        t = synthesize_media_batch({"id": ids})
+        fmts = t.column("format").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        prog = [
+            p for p, f in zip(payloads, fmts) if f == "jpeg" and b"\xff\xc2" in p
+        ]
+        base = [
+            p for p, f in zip(payloads, fmts) if f == "jpeg" and b"\xff\xc0" in p
+        ]
+        assert len(prog) > 0 and len(base) > 0  # both kinds present
