@@ -30,6 +30,7 @@ __all__ = [
     "grouped_corr_pipeline",
     "grouped_zscore_pipeline",
     "chi2_contingency_pipeline",
+    "grouped_gini_pipeline",
 ]
 
 
@@ -294,3 +295,69 @@ def chi2_contingency_pipeline(ds, *, a_col: str, b_col: str):
             "chi2_cell": pa.array(chi2, pa.float64()),
         }
     )
+
+
+def grouped_gini_pipeline(ds, *, group_col: str, value_col: str):
+    """Per-group Gini DIVERSITY of a categorical column:
+    ``gini = 1 - sum_v (c_v / n)^2 = (n^2 - sum c_v^2) / n^2``.
+
+    The exact-rational surrogate for entropy ("how varied is each user's
+    event mix / each language's source mix"): unlike Shannon entropy, whose
+    sum-of-c*ln(c) is float-accumulation-order-dependent, the Gini
+    numerator and denominator are exact integers, so the score is ONE
+    correctly-rounded division — bit-exact against SQL at any layout.
+
+    Plan: per-block Arrow group_by pre-agg -> (group, value, count)
+    partial shuffle -> per-(group, value) exact counts -> a second tiny
+    keyed sum of (c^2, c) per group -> vectorized finalize.  Both shuffles
+    carry counts, never rows.  int64 gates: c^2 needs group-category
+    counts < 3e9; raises rather than wrapping.
+    """
+    import pyarrow.compute as pc
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    counted = (
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .sum("c")
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        if c.size and int(c.max()) >= 3_000_000_000:
+            raise OverflowError("gini preagg: per-category count >= 3e9 would overflow c^2")
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "sq": pa.array(c * c),
+                "c": pa.array(c),
+            }
+        )
+
+    summed = (
+        counted.map_batches(square, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .sum(["sq", "c"])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s2 = t.column("sum(sq)").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n.size and int(n.max()) >= 3_000_000_000:
+            raise OverflowError("gini finalize: group size >= 3e9 would overflow n^2")
+        nn = n * n
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n": pa.array(n),
+                "sum_sq": pa.array(s2),
+                "gini": pa.array(
+                    (nn - s2).astype(np.float64) / nn.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

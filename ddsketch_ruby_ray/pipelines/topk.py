@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["per_group_topk", "grouped_sum_global_topk"]
+__all__ = ["per_group_topk", "grouped_sum_global_topk", "grouped_mode_pipeline"]
 
 
 def per_group_topk(
@@ -189,3 +189,41 @@ def grouped_sum_global_topk(
 
     local = parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
     return local.sort([value_col, group_col], descending=[True, False]).limit(k)
+
+
+def grouped_mode_pipeline(ds, *, group_col: str, value_col: str):
+    """Per-group MODE with deterministic ties: the most frequent
+    ``value_col`` per group (ties -> smallest value) plus its count.
+
+    SQL's ``mode()`` leaves ties unspecified; this pins them, so the result
+    is layout/run-invariant and oracle-mirrorable as a ``row_number() OVER
+    (ORDER BY count DESC, value ASC)`` filter.  Plan: per-block Arrow
+    group_by pre-agg -> (group, value, count) partial shuffle -> the
+    existing per-group top-1 (block-local pushdown, ~k rows per (block,
+    group) cross the wire).
+    """
+    import pyarrow.compute as pc
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    counted = (
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, value_col])
+        .sum("c")
+    )
+    flat = counted.map_batches(
+        lambda t: pa.table(
+            {
+                group_col: t.column(group_col),
+                value_col: t.column(value_col),
+                "n_mode": pc.cast(t.column("sum(c)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return per_group_topk(
+        flat, group_col=group_col, value_col="n_mode", tiebreak_col=value_col, k=1
+    )

@@ -2134,6 +2134,26 @@ def pmi_collocations_docs(sf_dir: str):
     )
 
 
+def mode_event_type_by_user(sf_dir: str):
+    """Per-user MODE of event_type with deterministic ties (most frequent
+    type, ties -> smallest string): block Arrow group_by pre-agg -> tiny
+    (user, type, count) shuffle -> the per-group top-1 pushdown plan."""
+    from .pipelines.topk import grouped_mode_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode_pipeline(ds, group_col="user_id", value_col="event_type")
+
+
+def gini_event_diversity_by_user(sf_dir: str):
+    """Per-user Gini diversity of the event-type mix — the exact-rational
+    entropy surrogate ((n^2 - sum c^2)/n^2, one float divide of exact
+    integers).  Two count-only shuffles, no rows move."""
+    from .pipelines.stats import grouped_gini_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_gini_pipeline(ds, group_col="user_id", value_col="event_type")
+
+
 def chi2_lang_source(sf_dir: str):
     """Pearson chi-square independence cells for lang x source — the
     corpus-composition drift test.  Per observed cell: count, row/col
@@ -2699,6 +2719,8 @@ QUERIES = {
     "chi2_lang_source": chi2_lang_source,
     "trimmed_mean_chars_by_lang": trimmed_mean_chars_by_lang,
     "pmi_collocations_docs": pmi_collocations_docs,
+    "mode_event_type_by_user": mode_event_type_by_user,
+    "gini_event_diversity_by_user": gini_event_diversity_by_user,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
@@ -3690,6 +3712,30 @@ def _family_oracles() -> dict:
                     PARTITION BY lang ORDER BY n DESC, token ASC
                 ) AS rn FROM c
             ) WHERE rn <= 10
+        """,
+        "mode_event_type_by_user": """
+            SELECT user_id, event_type, n_mode FROM (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS n_mode,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type ASC
+                     ) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "gini_event_diversity_by_user": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::HUGEINT AS c
+              FROM events GROUP BY user_id, event_type
+            ), a AS (
+              SELECT user_id, sum(c * c) AS s2, sum(c) AS n FROM c GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(s2 AS BIGINT) AS sum_sq,
+                   CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+            FROM a
         """,
         "trimmed_mean_chars_by_lang": """
             WITH r AS (

@@ -107,3 +107,48 @@ class TestChi2Contingency:
         b = ["p", "q", "p", "q"] * 25
         df = self._run(a, b)
         assert (df.chi2_cell == 0.0).all()
+
+
+class TestGroupedGini:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        from ddsketch_ruby_ray.pipelines.stats import grouped_gini_pipeline
+
+        rng = np.random.default_rng(29)
+        g = rng.integers(0, 8, 400)
+        v = rng.choice(["x", "y", "z"], 400)
+        t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v)})
+        df = (
+            grouped_gini_pipeline(rd.from_arrow(t).repartition(5), group_col="g", value_col="v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for row in df.itertuples(index=False):
+            counts = Counter(v[g == row.g])
+            n = sum(counts.values())
+            s2 = sum(c * c for c in counts.values())
+            assert (row.n, row.sum_sq) == (n, s2)
+            assert row.gini == float(n * n - s2) / float(n * n)
+
+    def test_extremes(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import grouped_gini_pipeline
+
+        # uniform over 4 values -> gini = 1 - 4*(1/4)^2 = 0.75; constant -> 0
+        t = pa.table(
+            {
+                "g": pa.array(["u"] * 40 + ["k"] * 10),
+                "v": pa.array((["a", "b", "c", "d"] * 10) + ["only"] * 10),
+            }
+        )
+        df = (
+            grouped_gini_pipeline(rd.from_arrow(t), group_col="g", value_col="v")
+            .to_pandas()
+            .set_index("g")
+        )
+        assert df.loc["u", "gini"] == 0.75
+        assert df.loc["k", "gini"] == 0.0

@@ -106,3 +106,27 @@ class TestGroupedSumGlobalTopk:
         # sums: g3=10, g5=10, g7=10 -> tie on 10, smallest keys win
         assert list(got.g) == [3, 5]
         assert list(got.v) == [10, 10]
+
+
+class TestGroupedMode:
+    def test_matches_brute_force_with_ties(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        from ddsketch_ruby_ray.pipelines.topk import grouped_mode_pipeline
+
+        rng = np.random.default_rng(31)
+        g = rng.integers(0, 12, 500)
+        v = rng.choice(["a", "b", "c", "aa"], 500)
+        t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v)})
+        df = (
+            grouped_mode_pipeline(rd.from_arrow(t).repartition(6), group_col="g", value_col="v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        for row in df.itertuples(index=False):
+            counts = Counter(v[g == row.g])
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert (row.v, row.n_mode) == best
+        assert len(df) == len(np.unique(g))
