@@ -408,10 +408,14 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     else:
         # the production near-dup shape: collapse exact duplicates first
         # (identical texts share every bucket and square the pair count),
-        # then LSH with the bucket-size skew guard
-        distinct = exact_dedup_rows_pipeline(ds, key_col="doc_id", text_col="text")
-        n = lsh_candidate_pairs_pipeline(
-            distinct, key_col="doc_id", text_col="text", max_bucket=512
+        # then LSH with the bucket-size skew guard.  The 24-byte-key dedup
+        # plan + broadcast winner filter keeps TEXT out of every shuffle
+        # (the rows-plan variant shipped all 4 GB of content through the
+        # dedup exchange and was bandwidth-bound, not CPU-bound).
+        from ddsketch_ruby_ray.pipelines.dedup import lsh_after_exact_dedup
+
+        n = lsh_after_exact_dedup(
+            ds, key_col="doc_id", text_col="text", max_bucket=512
         ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()

@@ -376,12 +376,27 @@ def ranked_analytics_pipeline(
         cut = r * (q + 1)
         small = np.where(q > 0, q, 1)  # q==0 -> every row its own bucket
         tile = np.where(p < cut, p // np.maximum(q + 1, 1), r + (p - cut) // small) + 1
+        # percent_rank() = (rank - 1) / (n - 1), 0 for single-row keys;
+        # cume_dist() = rows-with-value-at-least-current / n = the tie
+        # group's END offset over the key size (DESC order).  Both are one
+        # int/int float64 division — the same op DuckDB performs.
+        pct = np.where(
+            n_g > 1,
+            (rnk - 1).astype(np.float64) / np.maximum(n_g - 1, 1).astype(np.float64),
+            0.0,
+        )
+        tstarts = np.flatnonzero(new_val)
+        tlens = np.diff(np.append(tstarts, n))
+        tie_end = np.repeat(np.append(tstarts[1:], n), tlens) if n else pos
+        cume = (tie_end - key_start).astype(np.float64) / n_g.astype(np.float64)
         take = pa.array(order)
         out = {c: pc.take(pt.column(c), take) for c in carry_cols}
         out[key_col] = pa.array(k_s)
         out["rnk"] = pa.array(rnk)
         out["dense_rnk"] = pa.array(dense)
         out["tile"] = pa.array(tile.astype(np.int64))
+        out["pct_rank"] = pa.array(pct, pa.float64())
+        out["cume"] = pa.array(cume, pa.float64())
         return pa.table(out)
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

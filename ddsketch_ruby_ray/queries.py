@@ -2846,7 +2846,9 @@ ORACLE_SQL = {
         SELECT event_id, user_id,
                CAST(rank() OVER v AS BIGINT) AS rnk,
                CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
-               CAST(ntile(4) OVER w AS BIGINT) AS tile
+               CAST(ntile(4) OVER w AS BIGINT) AS tile,
+               percent_rank() OVER v AS pct_rank,
+               cume_dist() OVER v AS cume
         FROM events
         WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
                w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)

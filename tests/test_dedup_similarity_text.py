@@ -1111,3 +1111,36 @@ class TestDamerauLevenshtein:
             edit_distance_pairs_pipeline(
                 _docs_ds(), key_col="doc_id", text_col="text", metric="hamming"
             )
+
+
+class TestLshAfterExactDedup:
+    def test_plan_equivalence_with_rows_plan(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.dedup import (
+            exact_dedup_rows_pipeline,
+            lsh_after_exact_dedup,
+            lsh_candidate_pairs_pipeline,
+        )
+
+        # duplicate-heavy corpus: originals + perturbed copies + exact dups
+        base = _docs_ds(extra_rows=_perturbed_copies(10))
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        dup = pa.table(
+            {
+                "doc_id": pa.compute.add(t.column("doc_id"), 20_000),
+                "text": t.column("text"),
+            }
+        )
+        ds = base.union(rd.from_arrow(dup))
+        a = lsh_after_exact_dedup(ds, key_col="doc_id", text_col="text").to_pandas()
+        b = lsh_candidate_pairs_pipeline(
+            exact_dedup_rows_pipeline(ds, key_col="doc_id", text_col="text"),
+            key_col="doc_id",
+            text_col="text",
+        ).to_pandas()
+        sa = a.sort_values(["a", "b"]).reset_index(drop=True)
+        sb = b.sort_values(["a", "b"]).reset_index(drop=True)
+        assert sa.equals(sb)
+        assert len(sa) > 0

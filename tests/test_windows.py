@@ -209,13 +209,15 @@ class TestRankedAnalytics:
                 f"""SELECT eid, k,
                            CAST(rank() OVER v AS BIGINT) AS rnk,
                            CAST(dense_rank() OVER v AS BIGINT) AS dense_rnk,
-                           CAST(ntile({b}) OVER w AS BIGINT) AS tile
+                           CAST(ntile({b}) OVER w AS BIGINT) AS tile,
+                           percent_rank() OVER v AS pct_rank,
+                           cume_dist() OVER v AS cume
                     FROM t
                     WINDOW v AS (PARTITION BY k ORDER BY v DESC),
                            w AS (PARTITION BY k ORDER BY v DESC, eid ASC)
                     ORDER BY eid"""
             ).fetchdf()
-            for c in ("rnk", "dense_rnk", "tile"):
+            for c in ("rnk", "dense_rnk", "tile", "pct_rank", "cume"):
                 assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (seed, c)
 
     def test_tiny_groups_ntile_one_row_buckets(self, ray_session):
