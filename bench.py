@@ -303,7 +303,7 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     import numpy as np
     import pyarrow as pa
 
-    from ddsketch_ruby_ray.core.hashing import hash256_str
+    from ddsketch_ruby_ray.core.hashing import hash64_int
     from ddsketch_ruby_ray.pipelines import read_corpus
     from ddsketch_ruby_ray.pipelines.dedup import (
         exact_dedup_pipeline,
@@ -318,8 +318,21 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     _warm_up("/root/testdata/sf0.001")
     _warm_page_cache(path)
 
+    def _path_hash(t: pa.Table) -> np.ndarray:
+        """uint64 splitmix64 of the counter embedded in the synthetic path.
+
+        Fully vectorized (one RE2 kernel + one int cast + splitmix64) - the
+        per-row sha256 the derives used before cost ~1.5us/row of Python
+        and was a measurable fixed tax on every scaling job's map side.
+        """
+        import pyarrow.compute as pc
+
+        digits = pc.replace_substring_regex(t.column("path"), pattern=r"\D+", replacement="")
+        ids = pc.cast(digits, pa.int64()).to_numpy(zero_copy_only=False)
+        return hash64_int(ids.astype(np.int64))
+
     def add_key(t: pa.Table) -> pa.Table:
-        key = (hash256_str(t.column("path"), lanes=1)[0] >> np.uint64(1)).astype(np.int64)
+        key = (_path_hash(t) >> np.uint64(1)).astype(np.int64)
         return pa.table({"doc_id": pa.array(key), "text": t.column("content")})
 
     if job == "pairs":
@@ -350,7 +363,7 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
         _TSMOD = np.uint64(3_000_000_000_000_000)
 
         def to_left(t: pa.Table) -> pa.Table:
-            h = hash256_str(t.column("path"), lanes=1)[0]
+            h = _path_hash(t)
             return pa.table(
                 {
                     "event_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
@@ -360,7 +373,7 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
             )
 
         def to_right(t: pa.Table) -> pa.Table:
-            h = hash256_str(t.column("path"), lanes=1)[0]
+            h = _path_hash(t)
             h = h[(h % np.uint64(16)) == 0]
             return pa.table(
                 {

@@ -22,7 +22,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pmi_collocations_pipeline"]
+__all__ = ["pmi_collocations_pipeline", "token_frequency_spectrum_pipeline"]
 
 
 def pmi_collocations_pipeline(
@@ -122,4 +122,57 @@ def pmi_collocations_pipeline(
             "n_tokens": pa.array(out["n_tokens"], pa.int64()),
             "pmi": pa.array(out["pmi"], pa.float64()),
         }
+    )
+
+
+def token_frequency_spectrum_pipeline(ds, *, text_col: str):
+    """-> Dataset[(freq, n_tokens)]: the count-of-counts (Zipf) spectrum —
+    how many DISTINCT tokens occur exactly ``freq`` times in the corpus.
+
+    The vocabulary-growth / heap's-law diagnostic every corpus report
+    carries (and the input to Good-Turing smoothing).  Two count shuffles,
+    both tiny: block-preaggregated (token, count) partials -> exact global
+    token frequencies -> a second groupby over the frequency VALUES (rows =
+    distinct frequencies, a few hundred even at web scale).
+    """
+    import pyarrow.compute as pc
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        uniq, counts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    freqs = (
+        ds.map_batches(explode_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .sum("c")
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        f = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(f, return_counts=True)
+        return pa.table(
+            {"freq": pa.array(uniq), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    out = (
+        freqs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("freq")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "freq": t.column("freq"),
+                "n_tokens": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )

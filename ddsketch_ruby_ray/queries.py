@@ -1298,6 +1298,60 @@ def dedup_clusters(sf_dir: str):
     return connected_components_pipeline(pairs, a_col="a", b_col="b")
 
 
+def neardup_kept_counts(sf_dir: str):
+    """End-to-end near-dup REMOVAL: Jaccard-verified pairs -> connected
+    components -> keep each cluster's MINIMUM doc id -> surviving doc
+    counts per lang.  The drop set (clustered non-minimum ids) broadcasts
+    once — it is small by construction (only near-duplicates); the final
+    pass streams the corpus with a membership filter + block group_by."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .pipelines.cc import connected_components_pipeline
+    from .pipelines.dedup import jaccard_pairs_pipeline
+
+    pairs = jaccard_pairs_pipeline(_docs(sf_dir), key_col="doc_id", text_col="text")
+    labels = connected_components_pipeline(pairs, a_col="a", b_col="b")
+    rows = labels.take_all()  # one row per CLUSTERED doc only — KB side
+    drop = np.sort(
+        np.asarray(
+            [r["node"] for r in rows if r["cluster"] != r["node"]], dtype=np.int64
+        )
+    )
+    ref = ray.put(drop)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep_counts(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if d.size:
+            idx = np.minimum(np.searchsorted(d, ids), d.size - 1)
+            m = d[idx] != ids
+        else:
+            m = np.ones(ids.size, dtype=bool)
+        g = (
+            t.filter(pa.array(m))
+            .select(["lang"])
+            .group_by(["lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "c"])
+
+    parts = ds.map_batches(keep_counts, batch_format="pyarrow", zero_copy_batch=True)
+    out = parts.groupby("lang").sum("c")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_kept": pc.cast(t.column("sum(c)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """Postings-based exact n-gram Jaccard pairs (inverted-index candidate
     generation, df_cap=5 stop-shingle guard, threshold 0.5) - the third
@@ -2154,6 +2208,49 @@ def gini_event_diversity_by_user(sf_dir: str):
     return grouped_gini_pipeline(ds, group_col="user_id", value_col="event_type")
 
 
+def token_frequency_spectrum(sf_dir: str):
+    """Corpus count-of-counts (Zipf) spectrum: how many distinct tokens
+    occur exactly freq times — the vocabulary-growth diagnostic and the
+    Good-Turing smoothing input.  Two tiny count shuffles."""
+    from .pipelines.pmi import token_frequency_spectrum_pipeline
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_frequency_spectrum_pipeline(ds, text_col="text")
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """Language-ID CONFUSION MATRIX: labeled lang x heuristic pred_lang
+    cross counts — the model-eval staple, computed with the same RE2
+    marker scoring as lang_id_docs (block Arrow group_by pre-agg, tiny
+    (lang, pred, count) shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        t2 = lang_id(t, text_col="text")
+        g = t2.select(["lang", "pred_lang"]).group_by(["lang", "pred_lang"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "pred_lang", "c"])
+
+    parts = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    out = parts.groupby(["lang", "pred_lang"]).sum("c")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "pred_lang": t.column("pred_lang"),
+                "n": pc.cast(t.column("sum(c)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def chi2_lang_source(sf_dir: str):
     """Pearson chi-square independence cells for lang x source — the
     corpus-composition drift test.  Per observed cell: count, row/col
@@ -2703,6 +2800,7 @@ QUERIES = {
     "snapshot_diff_docs": snapshot_diff_docs,
     "pivot_split_counts": pivot_split_counts,
     "dedup_clusters": dedup_clusters,
+    "neardup_kept_counts": neardup_kept_counts,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
     "embedding_quantize_stats": embedding_quantize_stats,
@@ -2720,6 +2818,8 @@ QUERIES = {
     "trimmed_mean_chars_by_lang": trimmed_mean_chars_by_lang,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
+    "token_frequency_spectrum": token_frequency_spectrum,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "gini_event_diversity_by_user": gini_event_diversity_by_user,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
@@ -3629,7 +3729,7 @@ def _family_oracles() -> dict:
         "repetition_scores_docs": repetition_scores_sql(
             table="documents", key="doc_id", text="text"
         ),
-        "dedup_clusters": f"""
+        "dedup_clusters": (_cluster_sql := f"""
             WITH RECURSIVE pairs AS ({jaccard_pairs_sql(**dedup_kw)}),
             und(x, y) AS (
                 SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
@@ -3641,6 +3741,16 @@ def _family_oracles() -> dict:
                 SELECT r.node, u.y FROM reach r JOIN und u ON u.x = r.anc
             )
             SELECT node, min(anc) AS cluster FROM reach GROUP BY node
+        """),
+        "neardup_kept_counts": f"""
+            WITH cl AS ({_cluster_sql})
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cl
+                WHERE cl.node = d.doc_id AND cl.cluster <> d.doc_id
+            )
+            GROUP BY d.lang
         """,
         "simhash_docs": simhash_sql(**dedup_kw),
         "simhash_hamming_pairs": simhash_hamming_pairs_sql(max_hamming=16, **dedup_kw),
@@ -3866,6 +3976,24 @@ FROM s
             FROM deduped GROUP BY lang
         """,
         "lang_id_docs": lang_id_sql(table="documents", key_col="doc_id", text_col="text"),
+        "lang_confusion_matrix": f"""
+            WITH p AS ({lang_id_sql(table="documents", key_col="doc_id", text_col="text")})
+            SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+        """,
+        "token_frequency_spectrum": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS tok
+                FROM documents
+            ), c AS (
+                SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+            )
+            SELECT CAST(freq AS BIGINT) AS freq,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM c GROUP BY freq
+        """,
         "gopher_quality_filter_docs": r"""
             WITH gq AS (
               SELECT doc_id,

@@ -1144,3 +1144,26 @@ class TestLshAfterExactDedup:
         sb = b.sort_values(["a", "b"]).reset_index(drop=True)
         assert sa.equals(sb)
         assert len(sa) > 0
+
+
+class TestLangConfusionMatrix:
+    def test_counts_consistent_with_lang_id(self, ray_session):
+        import duckdb
+
+        from ddsketch_ruby_ray.queries import ORACLE_SQL, QUERIES
+
+        df = QUERIES["lang_confusion_matrix"](SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        odf = con.execute(ORACLE_SQL["lang_confusion_matrix"]).df()
+        key = ["lang", "pred_lang"]
+        df = df.sort_values(key).reset_index(drop=True)[sorted(df.columns)]
+        odf = odf.sort_values(key).reset_index(drop=True)[sorted(odf.columns)]
+        assert df.equals(odf)
+        # the matrix covers every labeled doc exactly once
+        import duckdb as d2
+
+        total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert df.n.sum() == total

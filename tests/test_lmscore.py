@@ -124,3 +124,38 @@ class TestPmiCollocations:
         a = self._run(docs, blocks=1)
         b = self._run(docs, blocks=7)
         assert a.equals(b)
+
+
+class TestTokenFrequencySpectrum:
+    def test_matches_brute_force_and_layout(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        from ddsketch_ruby_ray.pipelines.pmi import token_frequency_spectrum_pipeline
+
+        docs = [
+            "a a b c",
+            "b c d",
+            "a e",
+            "",
+            "  ",  # empty / whitespace docs contribute nothing
+        ]
+        t = pa.table({"text": pa.array(docs, pa.string())})
+        got = (
+            token_frequency_spectrum_pipeline(rd.from_arrow(t), text_col="text")
+            .to_pandas()
+            .sort_values("freq")
+            .reset_index(drop=True)
+        )
+        tokc = Counter(tok for d in docs for tok in d.split(" ") if tok)
+        spec = Counter(tokc.values())
+        assert dict(zip(got.freq, got.n_tokens)) == dict(spec)
+        got2 = (
+            token_frequency_spectrum_pipeline(
+                rd.from_arrow(t).repartition(4), text_col="text"
+            )
+            .to_pandas()
+            .sort_values("freq")
+            .reset_index(drop=True)
+        )
+        assert got.equals(got2)
