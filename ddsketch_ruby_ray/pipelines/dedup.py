@@ -412,26 +412,35 @@ def minhash_signatures(ds, *, key_col: str, text_col: str, num_hashes: int = 16,
     Two measured wins over the naive shape (bit-identical output):
     duplicate window hashes go straight into the min — MinHash is
     duplicate-invariant, so the distinct-per-doc lexsort that the SET
-    consumers (postings/Jaccard) need is skipped here — and the stage runs
-    in ~4k-row batches so its intermediate arrays stay cache-resident
-    instead of streaming DRAM (the whole-block variant was memory-bandwidth
-    bound and stopped scaling past ~8 cores; 4.3x per-block measured).
+    consumers (postings/Jaccard) need is skipped here — and the numpy work
+    runs over <=4k-doc ZERO-COPY slices taken INSIDE the stage, so the
+    intermediate arrays stay cache-resident instead of streaming DRAM
+    (whole 31k-row blocks were memory-bandwidth bound and stopped scaling
+    past ~8 cores, 4.3x per block; slicing at the RAY level instead —
+    ``batch_size=4096`` — makes Ray coalesce-copy small post-filter blocks
+    and cost ~40% extra wall, also measured).
     """
 
     def stage(batch: pa.Table) -> pa.Table:
-        tokh, tb = _doc_token_hashes(batch, text_col)
-        starts, widths, n_win = _window_geometry(tb, ngram, short_docs=True)
-        h = fold_windows(tokh, starts, ngram, widths)
-        bounds = np.concatenate([[0], np.cumsum(n_win)]).astype(np.int64)
-        sig = _minhash_matrix(h, bounds, num_hashes)
+        sigs = []
+        for lo in range(0, batch.num_rows, 4096):
+            sl = batch.slice(lo, 4096)  # zero-copy view
+            tokh, tb = _doc_token_hashes(sl, text_col)
+            starts, widths, n_win = _window_geometry(tb, ngram, short_docs=True)
+            h = fold_windows(tokh, starts, ngram, widths)
+            bounds = np.concatenate([[0], np.cumsum(n_win)]).astype(np.int64)
+            sigs.append(_minhash_matrix(h, bounds, num_hashes))
+        sig = (
+            np.concatenate(sigs, axis=1)
+            if sigs
+            else np.zeros((num_hashes, 0), dtype=np.int64)
+        )
         cols = {key_col: batch.column(key_col)}
         for i in range(num_hashes):
             cols[f"m{i}"] = pa.array(sig[i])
         return pa.table(cols)
 
-    return ds.map_batches(
-        stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
-    )
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lsh_candidate_pairs_pipeline(
