@@ -2251,6 +2251,83 @@ def lang_confusion_matrix(sf_dir: str):
     )
 
 
+WEEK_US = 7 * 86400 * 1_000_000
+_COHORT_M = 1_000_000  # composite key multiplier; epoch weeks < 10^4 << M
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort RETENTION analysis: users bucket by first-activity week; each
+    (cohort_week, active_week) cell counts DISTINCT active users — the
+    product-analytics staple.  Composition of existing scale shapes: a
+    native min-aggregate finds each user's cohort, one hash equi-join
+    attaches it to every event, and the exact-distinct pair plan counts
+    users per composite (cohort, week) cell without a hot-group bottleneck."""
+    import pyarrow as pa
+
+    from .pipelines.distinct import exact_distinct_pipeline
+    from .pipelines.joins import hash_join_pipeline
+
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "week": pc.divide(us, WEEK_US),  # int64 floor divide (ts >= 0)
+            }
+        )
+
+    ev = events.map_batches(to_weeks, batch_format="pyarrow", zero_copy_batch=True)
+    firsts = ev.groupby("user_id").min("week")
+
+    def rename_first(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_ku": t.column("user_id"), "cohort": t.column("min(week)")}
+        )
+
+    fr = firsts.map_batches(rename_first, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join_pipeline(
+        ev, fr, left_key="user_id", right_key="_ku",
+        left_cols=["user_id", "week"], right_payload=["cohort"], how="inner",
+    )
+
+    def composite(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = t.column("week").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("cohort").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "gw": pa.array(c * _COHORT_M + w),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    cells = exact_distinct_pipeline(
+        joined.map_batches(composite, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="gw",
+        value_col="user_id",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        gw = t.column("gw").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_week": pa.array(gw // _COHORT_M),
+                "active_week": pa.array(gw % _COHORT_M),
+                "active_users": pc.cast(t.column("n_distinct"), pa.int64()),
+            }
+        )
+
+    return cells.map_batches(finalize, batch_format="pyarrow")
+
+
 def chi2_lang_source(sf_dir: str):
     """Pearson chi-square independence cells for lang x source — the
     corpus-composition drift test.  Per observed cell: count, row/col
@@ -2821,6 +2898,7 @@ QUERIES = {
     "token_frequency_spectrum": token_frequency_spectrum,
     "lang_confusion_matrix": lang_confusion_matrix,
     "gini_event_diversity_by_user": gini_event_diversity_by_user,
+    "cohort_retention": cohort_retention,
     "zscore_chars_by_lang": zscore_chars_by_lang,
     "top_priced_lineitems": top_priced_lineitems,
     "curation_counts_by_lang": curation_counts_by_lang,
@@ -2910,6 +2988,20 @@ ORACLE_SQL = {
         JOIN events b
           ON b.user_id = a.user_id
          AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+    "cohort_retention": """
+        WITH ev AS (
+            SELECT user_id,
+                   epoch_us(ts) // 604800000000::BIGINT AS week
+            FROM events
+        ), f AS (
+            SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort AS cohort_week,
+               ev.week AS active_week,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+        FROM ev JOIN f USING (user_id)
+        GROUP BY 1, 2
     """,
     "user_event_paths": """
         SELECT user_id,

@@ -363,3 +363,27 @@ class TestOrderedConcat:
         ).df()
         assert df.path.tolist() == want.path.tolist()
         assert df.n_events.tolist() == want.n_events.tolist()
+
+
+class TestCohortRetention:
+    def test_matches_brute_force(self, ray_session):
+        # exercise the composition on synthetic multi-week activity via the
+        # driver query's own building blocks
+        import duckdb
+
+        from ddsketch_ruby_ray.queries import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        df = QUERIES["cohort_retention"](sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        odf = con.execute(ORACLE_SQL["cohort_retention"]).df()
+        key = ["cohort_week", "active_week"]
+        df = df.sort_values(key).reset_index(drop=True)[sorted(df.columns)]
+        odf = odf.sort_values(key).reset_index(drop=True)[sorted(odf.columns)]
+        assert df.astype("int64").equals(odf.astype("int64"))
+        # invariants: cohort <= active week, and the diagonal cell exists
+        assert (df.cohort_week <= df.active_week).all()
+        assert ((df.cohort_week == df.active_week) & (df.active_users > 0)).any()
