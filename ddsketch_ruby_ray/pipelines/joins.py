@@ -41,6 +41,7 @@ __all__ = [
     "asof_join_pipeline",
     "broadcast_asof_join_pipeline",
     "range_join_pipeline",
+    "interval_overlap_join_pipeline",
     "hash_join_pipeline",
     "broadcast_hash_join_pipeline",
     "bloom_prefilter_join_pipeline",
@@ -620,6 +621,97 @@ def range_join_pipeline(
         li = np.repeat(np.arange(l_idx.size), counts)
         starts = np.cumsum(counts) - counts
         ri = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        l_take = pa.array(l_idx[li])
+        r_take = pa.array(r_order[ri])
+        out = {c: pc.take(pt.column(c), l_take) for c in left_cols}
+        out |= {c: pc.take(pt.column(c), r_take) for c in right_payload}
+        return pa.table(out)
+
+    return _union_partitions(ln, rn).map_groups(per_partition, batch_format="pyarrow")
+
+
+def interval_overlap_join_pipeline(
+    left,
+    right,
+    *,
+    key_cols: tuple[str, str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    left_cols: Sequence[str],
+    right_payload: Sequence[str],
+    max_right_duration_s: float,
+    num_partitions: int = 64,
+):
+    """INNER interval-OVERLAP join -> one row per (left, right) pair with
+    the same key whose intervals intersect:
+    ``l.start <= r.end AND r.start <= l.end`` (closed intervals).
+
+    The bounded-duration plan (the classic distributed interval join):
+    with every right interval no longer than ``max_right_duration_s``,
+    ``r.end >= l.start`` implies ``r.start >= l.start - D``, so the
+    candidates per left row are a CONTIGUOUS rank window of the
+    (key, r.start)-sorted right side — two merge-rank passes + vectorized
+    pair expansion, then ONE exact post-filter on ``r.end >= l.start``
+    removes short intervals the bound admitted.  The result is exactly
+    the unrestricted overlap join whenever the duration bound holds; a
+    right interval EXCEEDING the bound raises (never a silent miss).
+    Partitioning assumption: co-location by key hash, like every join
+    here; skewed keys cost sort time in their partition only.
+    """
+    left_key, right_key = key_cols
+    left_cols = list(left_cols)
+    right_payload = list(right_payload)
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    dur_us = int(round(max_right_duration_s * 1_000_000))
+
+    ln = _normalize_side(
+        left, side=_SIDE_LEFT, key_col=left_key, ts_col=left_start,
+        tb_col=left_end, own_cols=left_cols, other_schema=rschema,
+        other_cols=right_payload, num_partitions=num_partitions,
+    )
+    rn = _normalize_side(
+        right, side=_SIDE_RIGHT, key_col=right_key, ts_col=right_start,
+        tb_col=right_end, own_cols=right_payload, other_schema=lschema,
+        other_cols=left_cols, num_partitions=num_partitions,
+    )
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        side = pt.column("_side").to_numpy(zero_copy_only=False)
+        key = pt.column("_key").to_numpy(zero_copy_only=False)
+        ts = pt.column("_ts").to_numpy(zero_copy_only=False)   # start
+        te = pt.column("_tb").to_numpy(zero_copy_only=False)   # end
+        l_idx = np.flatnonzero(side == _SIDE_LEFT)
+        r_idx = np.flatnonzero(side == _SIDE_RIGHT)
+        empty = pa.table(
+            {c: pa.array([], type=lschema.field(c).type) for c in left_cols}
+            | {c: pa.array([], type=rschema.field(c).type) for c in right_payload}
+        )
+        if l_idx.size == 0 or r_idx.size == 0:
+            return empty
+        if r_idx.size and int((te[r_idx] - ts[r_idx]).max()) > dur_us:
+            raise ValueError(
+                "interval_overlap_join: right interval exceeds "
+                f"max_right_duration_s ({max_right_duration_s})"
+            )
+        r_order = r_idx[np.lexsort((ts[r_idx], key[r_idx]))]
+        rk, rt = key[r_order], ts[r_order]
+        lk = key[l_idx]
+        # candidates: r.start in [l.start - D, l.end]
+        hi = _merge_rank(rk, rt, lk, te[l_idx], inclusive=True)
+        lo = _merge_rank(rk, rt, lk, ts[l_idx] - dur_us, inclusive=False)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(l_idx.size), counts)
+        starts = np.cumsum(counts) - counts
+        ri = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        # exact overlap check the duration bound over-admits: r.end >= l.start
+        keep = te[r_order[ri]] >= ts[l_idx[li]]
+        li, ri = li[keep], ri[keep]
         l_take = pa.array(l_idx[li])
         r_take = pa.array(r_order[ri])
         out = {c: pc.take(pt.column(c), l_take) for c in left_cols}

@@ -515,6 +515,63 @@ def events_within_hour_pairs(sf_dir: str):
     )
 
 
+SESSION_HALF_LIFE_S = 1800  # synthetic activity-window length for overlap join
+
+
+def overlapping_click_purchase_windows(sf_dir: str):
+    """Interval-OVERLAP join: every (click, purchase) pair of the SAME user
+    whose 30-minute activity windows [ts, ts+30min] intersect — the
+    concurrent-behavior detector.  Bounded-duration plan: candidates per
+    left row are a contiguous rank window of the (key, start)-sorted right
+    side (two merge-rank passes), one exact end>=start post-filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .pipelines.joins import interval_overlap_join_pipeline
+
+    half = SESSION_HALF_LIFE_S * 1_000_000
+
+    def windows(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            us = pc.cast(t.column("ts"), pa.int64())
+            return pa.table(
+                {
+                    f"{name}_id": t.column("event_id"),
+                    f"{name}_user": t.column("user_id"),
+                    f"{name}_start": us,
+                    f"{name}_end": pc.add(us, half),
+                }
+            )
+
+        return f
+
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "click",
+    ).map_batches(windows("a"), batch_format="pyarrow", zero_copy_batch=True)
+    buys = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(windows("b"), batch_format="pyarrow", zero_copy_batch=True)
+
+    return interval_overlap_join_pipeline(
+        clicks,
+        buys,
+        key_cols=("a_user", "b_user"),
+        left_start="a_start",
+        left_end="a_end",
+        right_start="b_start",
+        right_end="b_end",
+        left_cols=["a_id", "a_user"],
+        right_payload=["b_id"],
+        max_right_duration_s=SESSION_HALF_LIFE_S,
+    )
+
+
 def lineitem_urgent_left_join(sf_dir: str):
     """Large-large LEFT hash equi-join: returned lineitems against URGENT
     orders.  Both sides pruned AT THE READ (returnflag / priority row-group
@@ -2812,6 +2869,7 @@ QUERIES = {
     "asof_next_urgent_order": asof_next_urgent_order,
     "asof_last_urgent_order_broadcast": asof_last_urgent_order_broadcast,
     "events_within_hour_pairs": events_within_hour_pairs,
+    "overlapping_click_purchase_windows": overlapping_click_purchase_windows,
     "lineitem_urgent_left_join": lineitem_urgent_left_join,
     "revenue_by_priority_join": revenue_by_priority_join,
     "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
@@ -2981,6 +3039,20 @@ ORACLE_SQL = {
             SELECT 1 FROM urgent o
             WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
         )
+    """,
+    "overlapping_click_purchase_windows": """
+        WITH a AS (
+            SELECT event_id AS a_id, user_id AS a_user,
+                   epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+            FROM events WHERE event_type = 'click'
+        ), b AS (
+            SELECT event_id AS b_id, user_id AS b_user,
+                   epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.a_id, a.a_user, b.b_id
+        FROM a JOIN b
+          ON b.b_user = a.a_user AND a.s <= b.e AND b.s <= a.e
     """,
     "events_within_hour_pairs": """
         SELECT a.event_id, a.user_id, b.event_id AS b_event_id

@@ -640,3 +640,69 @@ class TestBroadcastAsofJoin:
             left_cols=["eid", "k"], right_payload=["oid"], tiebreak="oid",
         ).to_pandas()
         assert len(out) == 2 and out.oid.isna().all()
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, lt, rt, D, parts=5):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.joins import interval_overlap_join_pipeline
+
+        out = interval_overlap_join_pipeline(
+            rd.from_arrow(lt),
+            rd.from_arrow(rt),
+            key_cols=("k", "k2"),
+            left_start="ls",
+            left_end="le",
+            right_start="rs",
+            right_end="re",
+            left_cols=["lid", "k"],
+            right_payload=["rid"],
+            max_right_duration_s=D,
+            num_partitions=parts,
+        )
+        return out.to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+
+    def _mk(self, keys, starts, ends, side):
+        us = 1_000_000
+        cols = {
+            f"{side}id": pa.array(range(len(keys)), pa.int64()),
+            ("k" if side == "l" else "k2"): pa.array(keys, pa.int64()),
+            f"{side}s": pa.array(np.asarray(starts, np.int64) * us),
+            f"{side}e": pa.array(np.asarray(ends, np.int64) * us),
+        }
+        return pa.table(cols)
+
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(17)
+        n, m, D = 200, 250, 50
+        lk = rng.integers(0, 12, n)
+        ls = rng.integers(0, 1000, n)
+        le = ls + rng.integers(0, 120, n)  # left durations unbounded
+        rk = rng.integers(0, 12, m)
+        rs = rng.integers(0, 1000, m)
+        re_ = rs + rng.integers(0, D + 1, m)  # right durations <= D
+        lt = self._mk(lk.tolist(), ls.tolist(), le.tolist(), "l")
+        rt = self._mk(rk.tolist(), rs.tolist(), re_.tolist(), "r")
+        df = self._run(lt, rt, D)
+        want = set()
+        for i in range(n):
+            for j in range(m):
+                if lk[i] == rk[j] and ls[i] <= re_[j] and rs[j] <= le[i]:
+                    want.add((i, j))
+        assert set(zip(df.lid, df.rid)) == want and len(df) == len(want)
+
+    def test_duration_bound_violation_raises(self, ray_session):
+        lt = self._mk([1], [0], [10], "l")
+        rt = self._mk([1], [0], [100], "r")  # 100 s > D = 50
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="max_right_duration"):
+            self._run(lt, rt, 50)
+
+    def test_touching_endpoints_inclusive(self, ray_session):
+        # [0, 10] and [10, 20] share exactly one point -> overlap (closed)
+        lt = self._mk([1], [0], [10], "l")
+        rt = self._mk([1], [10], [20], "r")
+        df = self._run(lt, rt, 10)
+        assert len(df) == 1
