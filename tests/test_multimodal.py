@@ -517,3 +517,50 @@ class TestProgressiveJpeg:
             p for p, f in zip(payloads, fmts) if f == "jpeg" and b"\xff\xc0" in p
         ]
         assert len(prog) > 0 and len(base) > 0  # both kinds present
+
+
+class TestG711Wav:
+    def _wav(self, fmt_tag, data, rate=8000, ch=1, bits=8):
+        import struct
+
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, ch, rate,
+                                    rate * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_mulaw_alaw_match_audioop(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+
+        from ddsketch_ruby_ray.stages.multimodal import decode_wav_pcm16
+
+        raw = bytes(range(256)) * 2
+        for fmt_tag, conv in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+            rate, ch, samples = decode_wav_pcm16(self._wav(fmt_tag, raw))
+            want = np.frombuffer(conv(raw, 2), dtype="<i2")
+            assert (rate, ch) == (8000, 1)
+            assert (samples[:, 0] == want).all(), fmt_tag
+
+    def test_unknown_format_still_raises(self):
+        from ddsketch_ruby_ray.stages.multimodal import decode_wav_pcm16
+
+        with pytest.raises(ValueError, match="supported"):
+            decode_wav_pcm16(self._wav(3, b"\x00" * 32))  # IEEE float
+
+    def test_synthesizer_plants_g711(self, ray_session):
+        from ddsketch_ruby_ray.stages.multimodal import (
+            decode_wav_pcm16,
+            synthesize_media_batch,
+        )
+
+        t = synthesize_media_batch({"id": np.arange(0, 96)})
+        df = t.to_pandas().set_index("media_id")
+        # id=6 -> mu-law, id=14 -> A-law, id=2 -> PCM-16; all decode for real
+        for mid in (6, 14, 2):
+            rate, ch, samples = decode_wav_pcm16(df.loc[mid, "payload"])
+            assert rate == 8000 and len(samples) > 0
