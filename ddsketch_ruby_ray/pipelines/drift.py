@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sketch_drift_pipeline"]
+__all__ = ["sketch_drift_pipeline", "sketch_ks_pipeline"]
 
 
 def _group_hists(ds, spec, group_col, derive=None):
@@ -97,6 +97,66 @@ def sketch_drift_pipeline(
                 "buckets": pa.array(rows["buckets"], pa.int64()),
                 "l1_num": pa.array(rows["l1_num"], pa.float64()),
                 "tvd": pa.array(rows["tvd"], pa.float64()),
+            }
+        )
+    )
+
+
+def sketch_ks_pipeline(
+    ds_a,
+    ds_b,
+    *,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.01,
+    derive=None,
+):
+    """-> Dataset[(group_col, n_a, n_b, ks_num, ks)]: the Kolmogorov-Smirnov
+    statistic between the two snapshots' per-group distributions, from the
+    sketch bucket histograms alone.
+
+        KS = max_k | CumA(k)/n_a - CumB(k)/n_b |
+           = max_k | CumA(k)*n_b - CumB(k)*n_a | / (n_a*n_b)
+
+    with the cumulative sums taken over ascending bucket keys; the max of
+    the cross-multiplied integers (``ks_num``) is exact at any scale, so
+    the statistic is one float division — the same order-independence
+    contract as the TVD pipeline above (KS resolves the distribution shape
+    the L1 statistic sums away: WHERE the mass shifted, not just how much).
+    """
+    import ray.data as rd
+
+    from ..functions.specs import DDSketchSpec
+
+    spec = DDSketchSpec(on=value_col, name="s", relative_accuracy=alpha, quantiles=())
+    ha = _group_hists(ds_a, spec, group_col, derive=derive)
+    hb = _group_hists(ds_b, spec, group_col, derive=derive)
+    rows = {"g": [], "n_a": [], "n_b": [], "ks_num": [], "ks": []}
+    for g in sorted(set(ha) & set(hb)):
+        ca, cb = ha[g], hb[g]
+        n_a = sum(ca.values())
+        n_b = sum(cb.values())
+        cum_a = cum_b = 0
+        best = 0
+        for k in sorted(set(ca) | set(cb)):  # ascending bucket keys
+            cum_a += ca.get(k, 0)
+            cum_b += cb.get(k, 0)
+            gap = abs(cum_a * n_b - cum_b * n_a)  # exact python ints
+            if gap > best:
+                best = gap
+        rows["g"].append(g)
+        rows["n_a"].append(float(n_a))
+        rows["n_b"].append(float(n_b))
+        rows["ks_num"].append(float(best))
+        rows["ks"].append(float(best) / float(n_a * n_b))
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(rows["g"]),
+                "n_a": pa.array(rows["n_a"], pa.float64()),
+                "n_b": pa.array(rows["n_b"], pa.float64()),
+                "ks_num": pa.array(rows["ks_num"], pa.float64()),
+                "ks": pa.array(rows["ks"], pa.float64()),
             }
         )
     )

@@ -1934,6 +1934,30 @@ def dd_drift_train_val(sf_dir: str):
     )
 
 
+def dd_ks_train_val(sf_dir: str):
+    """Kolmogorov-Smirnov drift between the train and val splits from
+    sketch bucket histograms: max cross-multiplied cumulative gap (exact
+    integers), one float division — WHERE the mass shifted, complementing
+    the TVD's how-much."""
+    import pyarrow.compute as pc
+
+    from .pipelines.drift import sketch_ks_pipeline
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+
+    def keep(name):
+        def f(t):
+            return t.filter(pc.equal(t.column("split"), name))
+
+        return f
+
+    a = ds.map_batches(keep("train"), batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(keep("val"), batch_format="pyarrow", zero_copy_batch=True)
+    return sketch_ks_pipeline(a, b, group_col="lang", value_col="n_chars", alpha=ALPHA)
+
+
 WEIGHTED_SAMPLE_K = 32
 WEIGHTED_SAMPLE_SEED = 13
 
@@ -2892,6 +2916,7 @@ QUERIES = {
     "dd_cube_lang_source": dd_cube_lang_source,
     "dd_histogram_by_lang": dd_histogram_by_lang,
     "dd_drift_train_val": dd_drift_train_val,
+    "dd_ks_train_val": dd_ks_train_val,
     "dd_bucketize_prices": dd_bucketize_prices,
     "uniform_sample_docs": uniform_sample_docs,
     "uniform_sample_per_lang": uniform_sample_per_lang,
@@ -3555,7 +3580,7 @@ def _family_oracles() -> dict:
         FROM lineitem l JOIN thr t USING (l_returnflag)
     """
     # drift: exact-integer TVD numerator over the two splits' bucket tables
-    drift_sql = f"""
+    drift_ctes = f"""
         WITH keyed AS (
           SELECT lang, {split_case} AS split, {hist_key} AS k
           FROM documents WHERE n_chars > {hist_minp:.17e}
@@ -3570,7 +3595,8 @@ def _family_oracles() -> dict:
           SELECT coalesce(a.lang, b.lang) AS lang, coalesce(a.k, b.k) AS k,
                  coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
           FROM a FULL JOIN b ON a.lang = b.lang AND a.k = b.k
-        ),
+        )"""
+    drift_sql = drift_ctes + """,
         agg AS (
           SELECT j.lang, count(*) AS buckets,
                  sum(abs(j.ca * nb.n - j.cb * na.n)) AS l1
@@ -3581,6 +3607,23 @@ def _family_oracles() -> dict:
                buckets::BIGINT AS buckets, l1::DOUBLE AS l1_num,
                l1::DOUBLE / (2 * na.n * nb.n)::DOUBLE AS tvd
         FROM agg JOIN na ON na.lang = agg.lang JOIN nb ON nb.lang = agg.lang
+    """
+    ks_sql = drift_ctes + """,
+        cum AS (
+          SELECT lang, k,
+                 sum(ca) OVER (PARTITION BY lang ORDER BY k) AS cca,
+                 sum(cb) OVER (PARTITION BY lang ORDER BY k) AS ccb
+          FROM j
+        ),
+        ksm AS (
+          SELECT cum.lang, max(abs(cca * nb.n - ccb * na.n)) AS ks_num
+          FROM cum JOIN na ON na.lang = cum.lang JOIN nb ON nb.lang = cum.lang
+          GROUP BY 1
+        )
+        SELECT ksm.lang, na.n::DOUBLE AS n_a, nb.n::DOUBLE AS n_b,
+               ks_num::DOUBLE AS ks_num,
+               ks_num::DOUBLE / (na.n * nb.n)::DOUBLE AS ks
+        FROM ksm JOIN na ON na.lang = ksm.lang JOIN nb ON nb.lang = ksm.lang
     """
     hw = splitmix64_sql("doc_id", WEIGHTED_SAMPLE_SEED)
     weighted_sample_sql = f"""
@@ -3693,6 +3736,7 @@ def _family_oracles() -> dict:
         "dd_cube_lang_source": cube_sql,
         "dd_histogram_by_lang": hist_sql,
         "dd_drift_train_val": drift_sql,
+        "dd_ks_train_val": ks_sql,
         "dd_bucketize_prices": bucketize_sql,
         "uniform_sample_docs": sample_global_sql,
         "uniform_sample_per_lang": sample_lang_sql,

@@ -90,3 +90,53 @@ class TestSketchDrift:
             assert abs(row.tvd - brute) < 1e-12
         df2 = _run(ta, tb, repartition=7)
         assert (df.values == df2.values).all()
+
+
+class TestSketchKS:
+    def test_matches_brute_force_on_bucketed_data(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.core.mapping import LogarithmicKeyMapping
+        from ddsketch_ruby_ray.pipelines.drift import sketch_ks_pipeline
+
+        rng = np.random.default_rng(3)
+        va = rng.lognormal(3.0, 1.0, 4000)
+        vb = rng.lognormal(3.4, 1.0, 3000)  # shifted -> real drift
+        ta = pa.table({"g": pa.array(["x"] * len(va)), "v": pa.array(va)})
+        tb = pa.table({"g": pa.array(["x"] * len(vb)), "v": pa.array(vb)})
+        df = (
+            sketch_ks_pipeline(
+                rd.from_arrow(ta), rd.from_arrow(tb), group_col="g", value_col="v"
+            )
+            .to_pandas()
+        )
+        # brute force over the same sketch bucket keys
+        m = LogarithmicKeyMapping(relative_accuracy=0.01)
+        ka = np.asarray(m.key(va), dtype=np.int64)
+        kb = np.asarray(m.key(vb), dtype=np.int64)
+        import collections
+
+        ca = collections.Counter(ka.tolist())
+        cb = collections.Counter(kb.tolist())
+        na, nb = len(va), len(vb)
+        cum_a = cum_b = 0
+        best = 0
+        for k in sorted(set(ca) | set(cb)):
+            cum_a += ca.get(k, 0)
+            cum_b += cb.get(k, 0)
+            best = max(best, abs(cum_a * nb - cum_b * na))
+        assert df.ks_num[0] == float(best)
+        assert df.ks[0] == float(best) / float(na * nb)
+        assert 0.1 < df.ks[0] < 0.4  # a 0.4-sigma lognormal shift is visible
+
+    def test_identical_sides_zero(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.drift import sketch_ks_pipeline
+
+        v = np.arange(1.0, 500.0)
+        t = pa.table({"g": pa.array(["k"] * len(v)), "v": pa.array(v)})
+        df = sketch_ks_pipeline(
+            rd.from_arrow(t), rd.from_arrow(t), group_col="g", value_col="v"
+        ).to_pandas()
+        assert df.ks.tolist() == [0.0]
