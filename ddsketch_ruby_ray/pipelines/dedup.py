@@ -44,6 +44,7 @@ __all__ = [
     "containment_pairs_pipeline",
     "simhash_pipeline",
     "simhash_hamming_pairs_pipeline",
+    "dup_rate_by_group_pipeline",
 ]
 
 SPLIT_CHAR = " "  # literal split; mirrored by string_split(text, ' ') in SQL
@@ -1210,3 +1211,77 @@ def containment_pairs_pipeline(
         ),
         batch_format="pyarrow",
     )
+
+
+def dup_rate_by_group_pipeline(ds, *, group_col: str, text_col: str,
+                               num_partitions: int = 64):
+    """-> Dataset[(group_col, n_docs, n_dup, dup_rate)] — per group, how
+    many docs' exact text occurs >= 2 times ANYWHERE in the corpus (the
+    duplication-health report every corpus card carries, per source/split).
+
+    Plan: one 24-byte (hash_hi, hash_lo, group) row per doc through a
+    hash-partitioned shuffle (all copies of one text land together); per
+    partition one sort + run-length marks duplicates and an Arrow group_by
+    emits (group, docs, dups) partials; a tiny keyed sum + one float divide
+    finish.  Text never shuffles; the rate is exact, not sketched.
+    """
+    import pyarrow.compute as pc
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        lanes = hash256_str(batch.column(text_col), lanes=2)
+        part = (lanes[0] % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "h_hi": pa.array(lanes[0].astype(np.int64)),
+                "h_lo": pa.array(lanes[1].astype(np.int64)),
+                group_col: batch.column(group_col),
+            }
+        )
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(pt: pa.Table) -> pa.Table:
+        hi = pt.column("h_hi").to_numpy(zero_copy_only=False)
+        lo = pt.column("h_lo").to_numpy(zero_copy_only=False)
+        n = len(hi)
+        if not n:
+            return pa.table(
+                {group_col: pa.array([], pa.string()),
+                 "docs": pa.array([], pa.int64()),
+                 "dups": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        dup_sorted = np.repeat(lens, lens) >= 2
+        dup = np.empty(n, dtype=bool)
+        dup[order] = dup_sorted
+        t2 = pt.append_column("_dup", pa.array(dup.astype(np.int64)))
+        g = t2.select([group_col, "_dup"]).group_by([group_col]).aggregate(
+            [("_dup", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([group_col, "dups", "docs"])
+
+    partials = hashed.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+    summed = partials.groupby(group_col).sum(["docs", "dups"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("sum(docs)").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t.column("sum(dups)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_docs": pa.array(d),
+                "n_dup": pa.array(u),
+                "dup_rate": pa.array(
+                    u.astype(np.float64) / d.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

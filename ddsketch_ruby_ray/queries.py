@@ -1355,6 +1355,17 @@ def dedup_clusters(sf_dir: str):
     return connected_components_pipeline(pairs, a_col="a", b_col="b")
 
 
+def dup_rate_by_source(sf_dir: str):
+    """Exact duplication-health report per source: how many docs' text
+    occurs >= 2 times anywhere in the corpus, and the rate.  One 24-byte
+    (hash, source) row per doc through a hash-partitioned shuffle; text
+    never moves (pipelines/dedup.py::dup_rate_by_group_pipeline)."""
+    from .pipelines.dedup import dup_rate_by_group_pipeline
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return dup_rate_by_group_pipeline(ds, group_col="source", text_col="text")
+
+
 def neardup_kept_counts(sf_dir: str):
     """End-to-end near-dup REMOVAL: Jaccard-verified pairs -> connected
     components -> keep each cluster's MINIMUM doc id -> surviving doc
@@ -2961,6 +2972,7 @@ QUERIES = {
     "pivot_split_counts": pivot_split_counts,
     "dedup_clusters": dedup_clusters,
     "neardup_kept_counts": neardup_kept_counts,
+    "dup_rate_by_source": dup_rate_by_source,
     "simhash_docs": simhash_docs,
     "knn_cosine_top5": knn_cosine_top5,
     "embedding_quantize_stats": embedding_quantize_stats,
@@ -3950,6 +3962,22 @@ def _family_oracles() -> dict:
             )
             SELECT node, min(anc) AS cluster FROM reach GROUP BY node
         """),
+        "dup_rate_by_source": """
+            WITH h AS (
+              SELECT source, sha256(coalesce(text, '')) AS hh FROM documents
+            ), c AS (
+              SELECT hh, count(*) AS c FROM h GROUP BY hh
+            )
+            SELECT h.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup,
+                   CAST(CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM h JOIN c USING (hh)
+            GROUP BY h.source
+        """,
         "neardup_kept_counts": f"""
             WITH cl AS ({_cluster_sql})
             SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept

@@ -1167,3 +1167,29 @@ class TestLangConfusionMatrix:
 
         total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
         assert df.n.sum() == total
+
+
+class TestDupRateByGroup:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        from ddsketch_ruby_ray.pipelines.dedup import dup_rate_by_group_pipeline
+
+        texts = ["aa", "bb", "aa", "cc", "bb", "aa", "dd", "ee"]
+        srcs = ["s1", "s1", "s2", "s2", "s2", "s1", "s1", "s2"]
+        t = pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+        df = (
+            dup_rate_by_group_pipeline(
+                rd.from_arrow(t).repartition(3), group_col="source", text_col="text"
+            )
+            .to_pandas()
+            .set_index("source")
+        )
+        counts = Counter(texts)
+        for s in ("s1", "s2"):
+            docs = [x for x, g in zip(texts, srcs) if g == s]
+            dups = sum(1 for x in docs if counts[x] >= 2)
+            assert df.loc[s, "n_docs"] == len(docs)
+            assert df.loc[s, "n_dup"] == dups
+            assert df.loc[s, "dup_rate"] == float(dups) / float(len(docs))
