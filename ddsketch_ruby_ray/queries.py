@@ -338,6 +338,67 @@ def dd_sliding_window_quantiles(sf_dir: str):
     return grouped_sketch_pipeline(ds, [spec], ("window_key",), derive=derive)
 
 
+def dd_ship_latency_by_priority(sf_dir: str):
+    """Join-then-sketch composition: per-lineitem fulfillment latency
+    (whole days between o_orderdate and l_shipdate) sketched per order
+    priority.  The dimension side (orders) takes the BROADCAST plan — the
+    fact side's rows never cross an all-to-all; the only shuffle is the
+    KB-sized per-(block, priority) sketch states."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.joins import broadcast_hash_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = broadcast_hash_join_pipeline(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_shipdate"],
+        right_payload=["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        # timestamps are µs; latencies are non-negative, so Arrow's
+        # truncating int division == the SQL mirror's floor division
+        ship = t.column("l_shipdate").cast(pa.int64())
+        placed = t.column("o_orderdate").cast(pa.int64())
+        days = pc.divide(pc.subtract(ship, placed), 86_400_000_000)
+        return pa.table(
+            {"o_orderpriority": t.column("o_orderpriority"), "latency_days": days}
+        )
+
+    ds = joined.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("o_orderpriority").aggregate(
+        DDSketchAgg(on="latency_days", relative_accuracy=ALPHA, quantiles=QUANTILES, name="s")
+    )
+    return unnest(out, columns=["s"])
+
+
+def dd_interarrival_by_event_type(sf_dir: str):
+    """Window-then-sketch composition: per-user inter-arrival gaps (lag µs,
+    ordered by ts with event_id tie-break) sketched per event type of the
+    LATER event.  One hash shuffle for the ordering; the sketch aggregate
+    drops the per-user first events (null lag), matching SQL lag()."""
+    from .pipelines.windows import ordered_analytics_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ordered = ordered_analytics_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        carry_cols=["event_type"],
+    )
+    out = ordered.groupby("event_type").aggregate(
+        DDSketchAgg(on="prev_gap_us", relative_accuracy=ALPHA, quantiles=QUANTILES, name="s")
+    )
+    return unnest(out, columns=["s"])
+
+
 def user_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user over the events log."""
     from .pipelines.windows import sessionize_pipeline
@@ -2894,6 +2955,8 @@ QUERIES = {
     "dd_windowed_quantiles": dd_windowed_quantiles,
     "dd_incremental_windowed": dd_incremental_windowed,
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
+    "dd_ship_latency_by_priority": dd_ship_latency_by_priority,
+    "dd_interarrival_by_event_type": dd_interarrival_by_event_type,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_event_paths": user_event_paths,
@@ -3854,6 +3917,27 @@ def _family_oracles() -> dict:
             alpha=ALPHA,
             quantiles=QUANTILES,
             include_sum_avg=False,
+        ),
+        "dd_ship_latency_by_priority": ddsketch_quantile_sql(
+            table="(SELECT o.o_orderpriority,"
+            " (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000"
+            " AS latency_days"
+            " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey) j",
+            group_col="o_orderpriority",
+            value_expr="latency_days",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
+        ),
+        "dd_interarrival_by_event_type": ddsketch_quantile_sql(
+            table="(SELECT event_type,"
+            " epoch_us(ts) - lag(epoch_us(ts)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us"
+            " FROM events) g",
+            group_col="event_type",
+            value_expr="gap_us",
+            where="gap_us IS NOT NULL",
+            alpha=ALPHA,
+            quantiles=QUANTILES,
         ),
         "user_sessions": """
             WITH e AS (
