@@ -399,6 +399,27 @@ def dd_interarrival_by_event_type(sf_dir: str):
     return unnest(out, columns=["s"])
 
 
+def markov_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event timeline:
+    counts of adjacent (event_type, next event_type) pairs plus the
+    from-state row totals.  One hash shuffle + per-partition lexsort; the
+    matrix itself is |event_types|² rows, so the n_from column is added on
+    the materialized (KB-sized) result."""
+    from .pipelines.transitions import keyed_transition_counts_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = keyed_transition_counts_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        state_col="event_type",
+    )
+    df = out.to_pandas()  # <= |event_types|^2 rows — KB-sized by construction
+    df["n_from"] = df.groupby("from_state")["n_pair"].transform("sum").astype("int64")
+    return df.sort_values(["from_state", "to_state"]).reset_index(drop=True)
+
+
 def user_sessions(sf_dir: str):
     """Gap-based sessionization (30 min) per user over the events log."""
     from .pipelines.windows import sessionize_pipeline
@@ -2957,6 +2978,7 @@ QUERIES = {
     "dd_sliding_window_quantiles": dd_sliding_window_quantiles,
     "dd_ship_latency_by_priority": dd_ship_latency_by_priority,
     "dd_interarrival_by_event_type": dd_interarrival_by_event_type,
+    "markov_event_transitions": markov_event_transitions,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_event_paths": user_event_paths,
@@ -3939,6 +3961,20 @@ def _family_oracles() -> dict:
             alpha=ALPHA,
             quantiles=QUANTILES,
         ),
+        "markov_event_transitions": """
+            WITH nxt AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+              FROM events
+            )
+            SELECT from_state, to_state,
+                   CAST(count(*) AS BIGINT) AS n_pair,
+                   CAST(sum(count(*)) OVER (PARTITION BY from_state) AS BIGINT)
+                     AS n_from
+            FROM nxt WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
+        """,
         "user_sessions": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) / 1000000.0 AS sec FROM events
