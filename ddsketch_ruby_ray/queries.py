@@ -399,6 +399,79 @@ def dd_interarrival_by_event_type(sf_dir: str):
     return unnest(out, columns=["s"])
 
 
+def rfm_customer_segments(sf_dir: str):
+    """RFM segmentation over the orders log: per-customer recency (last
+    order µs) / frequency (order count) / monetary (exact cent sum), each
+    bucketed 1-4 by EXACT floor-rank quartiles of the customer population.
+    Thresholds come from the sketch-guided exact selection (one sketch build
+    + one candidate scan per metric — no global sort), broadcast once; the
+    bucketing pass is a vectorized compare."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .core.numeric import round_half_away
+    from .pipelines.selection import sketch_exact_quantiles_pipeline
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "r_us": t.column("o_orderdate").cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    rows = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    cust = rows.groupby("o_custkey").aggregate(Max("r_us"), Count(), Sum("cents"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "recency_us": pc.cast(t.column("max(r_us)"), pa.int64()),
+                "frequency": pc.cast(t.column("count()"), pa.int64()),
+                "monetary_c": pc.cast(t.column("sum(cents)"), pa.int64()),
+                "_all": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    # one row per customer — the aggregated table is re-read by three
+    # threshold selections + the final bucketing pass, so pin it once
+    cust = cust.map_batches(rename, batch_format="pyarrow").materialize()
+
+    th = {}
+    for col in ("recency_us", "frequency", "monetary_c"):
+        row = sketch_exact_quantiles_pipeline(
+            cust, group_col="_all", value_col=col, qs=(0.25, 0.5, 0.75), alpha=ALPHA
+        ).take_all()[0]
+        th[col] = (row["exact_p25"], row["exact_p50"], row["exact_p75"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        out = {
+            c: t.column(c)
+            for c in ("o_custkey", "recency_us", "frequency", "monetary_c")
+        }
+        codes = {}
+        for col, short in (("recency_us", "r"), ("frequency", "f"), ("monetary_c", "m")):
+            # int64 -> float64 is exact here (values < 2^53)
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            q25, q50, q75 = th[col]
+            b = (1 + (v > q25) + (v > q50) + (v > q75)).astype(np.int64)
+            codes[short] = b
+            out[f"{short}_bucket"] = pa.array(b)
+        out["rfm_code"] = pa.array(codes["r"] * 100 + codes["f"] * 10 + codes["m"])
+        return pa.table(out)
+
+    return cust.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def markov_event_transitions(sf_dir: str):
     """First-order Markov transition matrix over each user's event timeline:
     counts of adjacent (event_type, next event_type) pairs plus the
@@ -2979,6 +3052,7 @@ QUERIES = {
     "dd_ship_latency_by_priority": dd_ship_latency_by_priority,
     "dd_interarrival_by_event_type": dd_interarrival_by_event_type,
     "markov_event_transitions": markov_event_transitions,
+    "rfm_customer_segments": rfm_customer_segments,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_event_paths": user_event_paths,
@@ -3961,6 +4035,57 @@ def _family_oracles() -> dict:
             alpha=ALPHA,
             quantiles=QUANTILES,
         ),
+        "rfm_customer_segments": """
+            WITH cust AS (
+              SELECT o_custkey,
+                     max(epoch_us(o_orderdate)) AS recency_us,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS monetary_c
+              FROM orders GROUP BY o_custkey
+            ),
+            rq AS (
+              SELECT
+                max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN v END) AS q25,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN v END) AS q50,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN v END) AS q75
+              FROM (SELECT recency_us AS v,
+                           row_number() OVER (ORDER BY recency_us) AS rn,
+                           count(*) OVER () AS n FROM cust)
+            ),
+            fq AS (
+              SELECT
+                max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN v END) AS q25,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN v END) AS q50,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN v END) AS q75
+              FROM (SELECT frequency AS v,
+                           row_number() OVER (ORDER BY frequency) AS rn,
+                           count(*) OVER () AS n FROM cust)
+            ),
+            mq AS (
+              SELECT
+                max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN v END) AS q25,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.50) AS BIGINT)+1 THEN v END) AS q50,
+                max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN v END) AS q75
+              FROM (SELECT monetary_c AS v,
+                           row_number() OVER (ORDER BY monetary_c) AS rn,
+                           count(*) OVER () AS n FROM cust)
+            ),
+            coded AS (
+              SELECT c.o_custkey, c.recency_us, c.frequency, c.monetary_c,
+                     1 + CAST(c.recency_us > rq.q25 AS BIGINT)
+                       + CAST(c.recency_us > rq.q50 AS BIGINT)
+                       + CAST(c.recency_us > rq.q75 AS BIGINT) AS r_bucket,
+                     1 + CAST(c.frequency > fq.q25 AS BIGINT)
+                       + CAST(c.frequency > fq.q50 AS BIGINT)
+                       + CAST(c.frequency > fq.q75 AS BIGINT) AS f_bucket,
+                     1 + CAST(c.monetary_c > mq.q25 AS BIGINT)
+                       + CAST(c.monetary_c > mq.q50 AS BIGINT)
+                       + CAST(c.monetary_c > mq.q75 AS BIGINT) AS m_bucket
+              FROM cust c, rq, fq, mq
+            )
+            SELECT *, r_bucket*100 + f_bucket*10 + m_bucket AS rfm_code FROM coded
+        """,
         "markov_event_transitions": """
             WITH nxt AS (
               SELECT event_type AS from_state,
