@@ -472,6 +472,17 @@ def rfm_customer_segments(sf_dir: str):
     return cust.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sq8_covariance_by_label(sf_dir: str):
+    """Exact integer feature-covariance Gram components per label over the
+    SQ8-quantized embeddings (upper triangle, long form): the
+    representation-drift statistic, bit-reproducible at any block order
+    because every accumulation is int64."""
+    from .pipelines.covariance import sq8_covariance_pipeline
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return sq8_covariance_pipeline(ds, label_col="label", vec_col="embedding")
+
+
 def markov_event_transitions(sf_dir: str):
     """First-order Markov transition matrix over each user's event timeline:
     counts of adjacent (event_type, next event_type) pairs plus the
@@ -3053,6 +3064,7 @@ QUERIES = {
     "dd_interarrival_by_event_type": dd_interarrival_by_event_type,
     "markov_event_transitions": markov_event_transitions,
     "rfm_customer_segments": rfm_customer_segments,
+    "sq8_covariance_by_label": sq8_covariance_by_label,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_event_paths": user_event_paths,
@@ -4035,6 +4047,48 @@ def _family_oracles() -> dict:
             alpha=ALPHA,
             quantiles=QUANTILES,
         ),
+        "sq8_covariance_by_label": """
+            WITH vz AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     (embedding)::DOUBLE[] AS v
+              FROM embeddings
+            ),
+            nz AS (
+              SELECT vec_id, label, v,
+                     CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                          ELSE sqrt(list_dot_product(v, v)) END AS nrm
+              FROM vz
+            ),
+            -- mirrors pipelines/quantize.py::_normalized_e6 / _encode
+            flat AS (
+              SELECT vec_id, label, generate_subscripts(v, 1) AS d,
+                     CAST(round(unnest(v) / nrm * 1000000.0) AS BIGINT) AS v6
+              FROM nz
+            ),
+            amax AS (SELECT greatest(max(abs(v6)), 1) AS a6 FROM flat),
+            codes AS (
+              SELECT vec_id, label, d,
+                     CAST(round(v6 * 127.0 / a6) AS BIGINT) AS q
+              FROM flat, amax
+            ),
+            pairs AS (
+              SELECT a.label, CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+                     a.q AS qi, b.q AS qj
+              FROM codes a JOIN codes b
+                ON a.vec_id = b.vec_id AND b.d >= a.d
+            ),
+            g AS (
+              SELECT label, i, j,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qi) AS BIGINT) AS sum_i,
+                     CAST(sum(qj) AS BIGINT) AS sum_j,
+                     CAST(sum(qi * qj) AS BIGINT) AS sum_ij
+              FROM pairs GROUP BY label, i, j
+            )
+            SELECT label, i, j, n, sum_i, sum_j, sum_ij,
+                   CAST(n * sum_ij - sum_i * sum_j AS BIGINT) AS cov_num
+            FROM g
+        """,
         "rfm_customer_segments": """
             WITH cust AS (
               SELECT o_custkey,
