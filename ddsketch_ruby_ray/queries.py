@@ -1700,7 +1700,7 @@ def multimodal_media_features(sf_dir: str):
 
         return f
 
-    imgs = media.map_batches(only(("ppm", "pgm", "png", "jpeg")),
+    imgs = media.map_batches(only(("ppm", "pgm", "png", "jpeg", "gif", "bmp")),
                              batch_format="pyarrow", zero_copy_batch=True)
     auds = media.map_batches(only(("wav",)), batch_format="pyarrow", zero_copy_batch=True)
     vids = media.map_batches(only(("y4m",)), batch_format="pyarrow", zero_copy_batch=True)

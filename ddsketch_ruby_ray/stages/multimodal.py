@@ -218,6 +218,63 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes):
+    """Windows BMP -> (w, h, c, uint8[h, w, c]); uncompressed (BI_RGB)
+    24-bit BGR and 8-bit palettized, bottom-up or top-down rows, 4-byte
+    row padding — the published BITMAPINFOHEADER layout."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, _, _, _, colors_used = struct.unpack_from("<IIiiI", payload, 30)
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * (bpp // 8) + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, h * stride, pix_off).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return w, h, 3, np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+    ncol = colors_used or 256
+    pal = np.frombuffer(payload, np.uint8, ncol * 4, 14 + hdr_size).reshape(ncol, 4)
+    rgb_pal = np.ascontiguousarray(pal[:, 2::-1])  # BGRx -> RGB
+    return w, h, 3, rgb_pal[rows[:, :w]]
+
+
+def encode_bmp(img: np.ndarray, *, top_down: bool = False, palettized: bool = False) -> bytes:
+    """uint8[h, w, 3] (or [h, w] grayscale when ``palettized``) -> BMP."""
+    if palettized:
+        h, w = img.shape[:2]
+        gray = img if img.ndim == 2 else img[:, :, 0]
+        pal = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = gray
+        bpp, extra = 8, pal
+    else:
+        h, w, _ = img.shape
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+        bpp, extra = 24, b""
+    body = (rows if top_down else rows[::-1]).tobytes()
+    pix_off = 14 + 40 + len(extra)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0, len(body),
+        2835, 2835, 256 if palettized else 0, 0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    return file_hdr + info + extra + body
+
+
 def _g711_mulaw_table() -> np.ndarray:
     """ITU-T G.711 mu-law byte -> linear int16 lookup (the ubiquitous
     telephony companding; matches the classic Sun/CCITT decode table)."""
@@ -248,20 +305,23 @@ _ALAW_LUT = _g711_alaw_table()
 def decode_wav_pcm16(payload: bytes):
     """RIFF/WAVE -> (sample_rate, n_channels, int16[frames, ch]).
 
-    PCM 16-bit (format 1) plus the two G.711 companded telephony formats:
-    A-law (6) and mu-law (7), decoded via the ITU lookup tables to linear
-    int16 — real payloads, no stub."""
+    PCM 16-bit (format 1), the two G.711 companded telephony formats —
+    A-law (6) and mu-law (7), via the ITU lookup tables — and mono IMA/DVI
+    ADPCM (0x11, the published predictor + adaptive-step tables in
+    stages/adpcm.py).  Real payloads, no stub."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, n = 12, len(payload)
     rate = channels = None
     fmt_tag = None
+    block_align = 0
     data = None
     while i + 8 <= n:
         cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt_tag == 1:
                 if bits != 16:
@@ -269,8 +329,13 @@ def decode_wav_pcm16(payload: bytes):
             elif fmt_tag in (6, 7):
                 if bits != 8:
                     raise ValueError("G.711 WAV must be 8-bit")
+            elif fmt_tag == 0x11:
+                if bits != 4:
+                    raise ValueError("IMA ADPCM must be 4-bit")
+                if channels != 1:
+                    raise ValueError("IMA ADPCM: mono only")
             else:
-                raise ValueError("only PCM-16 / A-law / mu-law supported")
+                raise ValueError("only PCM-16 / A-law / mu-law / IMA ADPCM supported")
         elif cid == b"data":
             data = body
         i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -280,6 +345,10 @@ def decode_wav_pcm16(payload: bytes):
         samples = np.frombuffer(
             data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
         )
+    elif fmt_tag == 0x11:
+        from .adpcm import decode_ima_adpcm_blocks
+
+        samples = decode_ima_adpcm_blocks(data, block_align)
     else:
         lut = _ALAW_LUT if fmt_tag == 6 else _MULAW_LUT
         raw = np.frombuffer(
@@ -381,6 +450,16 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
             img = _noise(i, w * h * c).reshape(h, w, c)
             payloads.append(encode_png(img, filter_type=0 if c == 3 else 2))
             fmts.append("png")
+        elif i % 32 == 19:
+            # REAL BMP (subset of the y4m residue class): alternates 24-bit
+            # bottom-up RGB and 8-bit palettized top-down
+            if i % 64 == 19:
+                payloads.append(encode_bmp(_noise(i, w * h * 3).reshape(h, w, 3)))
+            else:
+                payloads.append(
+                    encode_bmp(_noise(i, w * h).reshape(h, w), top_down=True, palettized=True)
+                )
+            fmts.append("bmp")
         elif i % 4 == 0:
             payloads.append(
                 b"P6\n# synthetic\n%d %d\n255\n" % (w, h)
@@ -392,6 +471,16 @@ def synthesize_media_batch(batch: dict) -> pa.Table:
             fmts.append("pgm")
         elif i % 4 == 2:
             rate, nsamp = 8000, 800 + (i % 5) * 80
+            if i % 24 == 22:  # some audio rows are REAL IMA ADPCM (fmt 0x11)
+                from .adpcm import encode_ima_adpcm_wav
+
+                pcm = ((_noise(i, 2 * nsamp).astype(np.int16) - 128) * 200).astype(np.int16)
+                payload, _ = encode_ima_adpcm_wav(
+                    pcm[:nsamp], rate=rate, block_align=128
+                )
+                payloads.append(payload)
+                fmts.append("wav")
+                continue
             if i % 24 in (6, 14):  # a third of audio rows are G.711 telephony
                 fmt_tag = 7 if i % 24 == 6 else 6  # mu-law / A-law
                 data = _noise(i, nsamp).tobytes()
@@ -490,6 +579,12 @@ class ImageDecodeStage:
             from .gif import decode_gif
 
             w, h, c, img = decode_gif(payload)
+            return (
+                {"width": w, "height": h, "channels": c, "format": fmt},
+                self._pixel_embed(img),
+            )
+        if payload[:2] == b"BM":
+            w, h, c, img = decode_bmp(payload)
             return (
                 {"width": w, "height": h, "channels": c, "format": fmt},
                 self._pixel_embed(img),
