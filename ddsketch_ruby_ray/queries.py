@@ -512,6 +512,18 @@ def user_sessions(sf_dir: str):
     return sessionize_pipeline(ds, key_col="user_id", ts_col="ts", gap_s=1800)
 
 
+def session_concurrency_timeline(sf_dir: str):
+    """Global concurrent-session timeline: gap-based session intervals per
+    user, swept (+1 at start, −1 at inclusive end) through the two-phase
+    distributed prefix scan (pipelines/scan.py) — the un-keyed running sum
+    Ray Data cannot express and per-key windowing cannot emulate."""
+    from .pipelines.scan import concurrency_sweep_pipeline, session_intervals_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    iv = session_intervals_pipeline(ds, key_col="user_id", ts_col="ts", gap_s=1800)
+    return concurrency_sweep_pipeline(iv)
+
+
 def user_running_totals(sf_dir: str):
     """Per-user ordered analytics over the events log: row_number, exact
     running value sum (integer 1e-6 units), lag gap to the previous event —
@@ -3065,6 +3077,7 @@ QUERIES = {
     "markov_event_transitions": markov_event_transitions,
     "rfm_customer_segments": rfm_customer_segments,
     "sq8_covariance_by_label": sq8_covariance_by_label,
+    "session_concurrency_timeline": session_concurrency_timeline,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
     "user_event_paths": user_event_paths,
@@ -4047,6 +4060,42 @@ def _family_oracles() -> dict:
             alpha=ALPHA,
             quantiles=QUANTILES,
         ),
+        "session_concurrency_timeline": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            ordered AS (
+              SELECT user_id, us,
+                     lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+              FROM e
+            ),
+            flags AS (
+              SELECT user_id, us,
+                     CASE WHEN prev IS NULL OR us - prev > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ),
+            sess AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS sid
+              FROM flags
+            ),
+            iv AS (
+              SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+              FROM sess GROUP BY user_id, sid
+            ),
+            sweep AS (
+              SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM iv
+              UNION ALL
+              SELECT e_us AS us, CAST(-1 AS BIGINT) AS delta FROM iv
+            )
+            SELECT us, delta,
+                   CAST(sum(delta) OVER (
+                     ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS concurrency
+            FROM sweep
+        """,
         "sq8_covariance_by_label": """
             WITH vz AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,
