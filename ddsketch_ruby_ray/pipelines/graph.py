@@ -1,0 +1,551 @@
+"""Iterative graph algorithms as Dataset shuffles: PageRank + k-hop BFS.
+
+The reference (ddsketch-ruby) has no graph surface at all; these cover the
+two iterative-message-passing shapes a 100-TB corpus pipeline actually
+needs — link-importance scoring (PageRank over, e.g., a web/click graph)
+and seed-expansion (multi-source BFS: "everything within k hops of a
+trusted set").  Ray Data has no iterative primitive, so both reuse the
+partition-vectorized message-passing formulation proven in cc.py: the
+static edge table is hash-partitioned ONCE and pinned; each iteration
+unions the KB-per-node state rows into the edge partitions (groupby the
+precomputed ``_part`` — one keyed shuffle of state, never of edges),
+propagates along the co-located edges with lexsort + segment fills, and
+folds messages per destination with reduceat.  The driver reads ONE scalar
+per iteration (the dangling mass / frontier size), exactly like cc.py's
+changed-count.
+
+PageRank is EXACT fixed-point integer arithmetic, so any execution order
+gives bit-identical ranks and the SQL mirror is plain unrolled CTEs:
+
+  SCALE = 10^12;  r0(v) = SCALE // N
+  r_{t+1}(v) = ((SCALE // N) * 15) // 100
+             + (85 * (sum_{u->v} (r_t(u) // outdeg(u)) + dang_t // N)) // 100
+
+with ``dang_t`` the summed rank of out-degree-0 nodes (standard dangling
+redistribution) and ``//`` floor division of non-negative int64 — no
+floats anywhere, no accumulation-order sensitivity.  All masses are
+<= SCALE so ``85 * x`` stays far from int64 overflow.
+
+BFS labels are min-hop counts; min is order-free, so it is deterministic
+for the same reason cc.py's min-label propagation is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.hashing import hash64_int
+
+__all__ = ["pagerank_pipeline", "bfs_hops_pipeline"]
+
+PR_SCALE = 10**12
+
+
+def _with_part(t: pa.Table, col: str, num_partitions: int) -> pa.Table:
+    k = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    part = (hash64_int(k) % np.uint64(num_partitions)).astype(np.int32)
+    return t.append_column("_part", pa.array(part))
+
+
+def _distinct_edges(edges, *, src_col: str, dst_col: str, num_partitions: int):
+    """-> materialized Dataset[(src, dst, _part)] with exact (src, dst)
+    dedup; partitioned by hash(src) so a src's whole adjacency list is one
+    partition (dedup is therefore global, and propagation needs no second
+    shuffle of edges — ever)."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        return _with_part(
+            pa.table(
+                {
+                    "src": t.column(src_col).cast(pa.int64()),
+                    "dst": t.column(dst_col).cast(pa.int64()),
+                }
+            ),
+            "src",
+            num_partitions,
+        )
+
+    def dedup(g: pa.Table) -> pa.Table:
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s_s, d_s = s[order], d[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (s_s[1:] != s_s[:-1]) | (d_s[1:] != d_s[:-1])
+        part = g.column("_part")[0].as_py() if g.num_rows else 0
+        return pa.table(
+            {
+                "src": pa.array(s_s[keep]),
+                "dst": pa.array(d_s[keep]),
+                "_part": pa.array(
+                    np.full(int(keep.sum()), part, dtype=np.int32)
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _node_states(dedup_edges, *, num_partitions: int):
+    """-> (materialized Dataset[(node, outdeg, _part)] over ALL endpoint
+    nodes, node count N).  outdeg = distinct-dst out-degree, 0 for sinks."""
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return _with_part(
+            pa.table(
+                {
+                    "node": pa.array(np.concatenate([s, d])),
+                    # src endpoints each carry 1 unit of out-degree (edges
+                    # are already distinct), dst endpoints carry 0
+                    "deg1": pa.array(
+                        np.concatenate(
+                            [
+                                np.ones(s.size, np.int64),
+                                np.zeros(d.size, np.int64),
+                            ]
+                        )
+                    ),
+                }
+            ),
+            "node",
+            num_partitions,
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        n = g.column("node").to_numpy(zero_copy_only=False)
+        d1 = g.column("deg1").to_numpy(zero_copy_only=False)
+        order = np.argsort(n, kind="stable")
+        n_s, d_s = n[order], d1[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = n_s[1:] != n_s[:-1]
+        starts = np.flatnonzero(new)
+        part = g.column("_part")[0].as_py()
+        return pa.table(
+            {
+                "node": pa.array(n_s[starts]),
+                "outdeg": pa.array(np.add.reduceat(d_s, starts)),
+                "_part": pa.array(np.full(len(starts), part, dtype=np.int32)),
+            }
+        )
+
+    states = (
+        dedup_edges.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()
+    )
+    return states, states.count()
+
+
+def pagerank_pipeline(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    num_partitions: int = 64,
+):
+    """Dataset[(src, dst)] -> Dataset[(node, rank_fp)]: ``iters`` exact
+    fixed-point PageRank iterations (damping 0.85, SCALE=1e12, dangling
+    mass redistributed uniformly) over the DISTINCT directed edge set."""
+    dedup = _distinct_edges(
+        edges, src_col=src_col, dst_col=dst_col, num_partitions=num_partitions
+    )
+    n_edges = dedup.count()
+    if n_edges == 0:
+        return dedup.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank_fp": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    states, n_nodes = _node_states(dedup, num_partitions=num_partitions)
+    base_share = PR_SCALE // n_nodes  # SCALE // N, reused everywhere
+
+    # attach the initial rank
+    ranks = states.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(t.num_rows, base_share, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    edge_rows = dedup.map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column("src"),
+                "dst": t.column("dst"),
+                "r": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "outdeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "_part": t.column("_part"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # pinned: reused by every iteration
+
+    def propagate(g: pa.Table) -> pa.Table:
+        """state + edge rows of one src-partition -> (dst, contrib)."""
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        r = g.column("r").to_numpy(zero_copy_only=False)
+        deg = g.column("outdeg").to_numpy(zero_copy_only=False)
+        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
+        order = np.lexsort((1 - is_state, key))  # state row heads its segment
+        k_s = key[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new) - 1
+        heads = np.flatnonzero(new)
+        seg_r = r[order][heads][seg]
+        seg_deg = deg[order][heads][seg]
+        e = is_state[order] == 0
+        # every edge segment's head is its src's state row (same hash
+        # partitioning on both unions); deg >= 1 for any src with edges
+        return pa.table(
+            {
+                "node": pa.array(dst[order][e]),
+                "contrib": pa.array(seg_r[e] // seg_deg[e]),
+            }
+        )
+
+    def make_fold(dang_share: int, base: int):
+        def fold(g: pa.Table) -> pa.Table:
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            contrib = g.column("contrib").to_numpy(zero_copy_only=False)
+            is_state = g.column("is_state").to_numpy(zero_copy_only=False)
+            deg = g.column("outdeg").to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            n_s, c_s, is_s, d_s = (
+                node[order],
+                contrib[order],
+                is_state[order],
+                deg[order],
+            )
+            new = np.empty(len(order), dtype=bool)
+            new[0] = True
+            new[1:] = n_s[1:] != n_s[:-1]
+            starts = np.flatnonzero(new)
+            in_sum = np.add.reduceat(c_s, starts)  # state rows carry 0
+            seg = np.cumsum(new) - 1
+            outdeg = np.zeros(len(starts), dtype=np.int64)
+            sm = is_s == 1
+            outdeg[seg[sm]] = d_s[sm]
+            r_new = base + (85 * (in_sum + dang_share)) // 100
+            part = g.column("_part")[0].as_py()
+            return pa.table(
+                {
+                    "node": pa.array(n_s[starts]),
+                    "outdeg": pa.array(outdeg),
+                    "_part": pa.array(
+                        np.full(len(starts), part, dtype=np.int32)
+                    ),
+                    "r": pa.array(r_new),
+                }
+            )
+
+        return fold
+
+    base = (base_share * 15) // 100
+    for _ in range(iters):
+        # one driver scalar per iteration: the dangling mass (cf. cc.py's
+        # changed-count) — a single pass over the KB-per-node state table
+        dang = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "d": pa.array(
+                        [
+                            int(
+                                t.column("r")
+                                .to_numpy(zero_copy_only=False)[
+                                    t.column("outdeg").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                    == 0
+                                ]
+                                .sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("d")
+        dang_share = int(dang) // n_nodes
+
+        state_rows = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("node"),
+                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "r": t.column("r"),
+                    "outdeg": t.column("outdeg"),
+                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        msgs = (
+            state_rows.union(edge_rows)
+            .groupby("_part")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        msg_rows = msgs.map_batches(
+            lambda t: _with_part(
+                pa.table(
+                    {
+                        "node": t.column("node"),
+                        "contrib": t.column("contrib"),
+                        "is_state": pa.array(
+                            np.zeros(t.num_rows, dtype=np.int8)
+                        ),
+                        "outdeg": pa.array(
+                            np.zeros(t.num_rows, dtype=np.int64)
+                        ),
+                    }
+                ),
+                "node",
+                num_partitions,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        old_rows = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "contrib": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "outdeg": t.column("outdeg"),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ranks = (
+            msg_rows.union(old_rows)
+            .groupby("_part")
+            .map_groups(
+                make_fold(dang_share, base), batch_format="pyarrow"
+            )
+            .repartition(min(num_partitions, 16))  # cap iterative block growth
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "rank_fp": t.column("r")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def bfs_hops_pipeline(
+    edges,
+    seeds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 4,
+    num_partitions: int = 64,
+):
+    """Dataset[(src, dst)] x Dataset[seed nodes] -> Dataset[(node, hops)]:
+    minimum hop count (<= max_hops) from ANY seed over the UNDIRECTED edge
+    set; unreachable nodes are absent.  Frontier-style min-propagation:
+    only nodes whose hop IMPROVED last round send messages, so late rounds
+    touch the frontier, not the graph."""
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    both = edges.map_batches(
+        undirect, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dedup = _distinct_edges(
+        both, src_col="src", dst_col="dst", num_partitions=num_partitions
+    )
+    edge_rows = dedup.map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column("src"),
+                "dst": t.column("dst"),
+                "hop": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "_part": t.column("_part"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def seed_states(t: pa.Table) -> pa.Table:
+        n = t.column(seed_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.unique(n)
+        return _with_part(
+            pa.table(
+                {
+                    "node": pa.array(n),
+                    "hop": pa.array(np.zeros(n.size, dtype=np.int64)),
+                    "fresh": pa.array(np.ones(n.size, dtype=np.int8)),
+                }
+            ),
+            "node",
+            num_partitions,
+        )
+
+    hops = seeds.map_batches(
+        seed_states, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def propagate(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        hop = g.column("hop").to_numpy(zero_copy_only=False)
+        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
+        order = np.lexsort((1 - is_state, key))
+        k_s = key[order]
+        new = np.empty(len(order), dtype=bool)
+        if not len(order):
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "cand": pa.array([], pa.int64()),
+                }
+            )
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new) - 1
+        heads = np.flatnonzero(new)
+        head_is_state = is_state[order][heads] == 1
+        seg_hop = hop[order][heads][seg]
+        e = (is_state[order] == 0) & head_is_state[seg]
+        return pa.table(
+            {
+                "node": pa.array(dst[order][e]),
+                "cand": pa.array(seg_hop[e] + 1),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        cand = g.column("cand").to_numpy(zero_copy_only=False)
+        is_old = g.column("is_old").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        n_s, c_s, io_s = node[order], cand[order], is_old[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = n_s[1:] != n_s[:-1]
+        starts = np.flatnonzero(new)
+        mins = np.minimum.reduceat(c_s, starts)
+        seg = np.cumsum(new) - 1
+        old = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+        old[seg[io_s == 1]] = c_s[io_s == 1]
+        part = g.column("_part")[0].as_py()
+        return pa.table(
+            {
+                "node": pa.array(n_s[starts]),
+                "hop": pa.array(mins),
+                "fresh": pa.array((mins < old).astype(np.int8)),
+                "_part": pa.array(np.full(len(starts), part, dtype=np.int32)),
+            }
+        )
+
+    for _ in range(max_hops):
+        # only improved nodes message their neighbors (frontier)
+        state_rows = hops.map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t.column("fresh"), pa.scalar(1, pa.int8()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("node"),
+                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "hop": t.column("hop"),
+                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        msgs = (
+            state_rows.union(edge_rows)
+            .groupby("_part")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        msg_rows = msgs.map_batches(
+            lambda t: _with_part(
+                pa.table(
+                    {
+                        "node": t.column("node"),
+                        "cand": t.column("cand"),
+                        "is_old": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    }
+                ),
+                "node",
+                num_partitions,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        old_rows = hops.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "cand": t.column("hop"),
+                    "is_old": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        hops = (
+            msg_rows.union(old_rows)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+            .repartition(min(num_partitions, 16))
+            .materialize()
+        )
+
+    return hops.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "hops": t.column("hop")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1066,6 +1066,70 @@ def building_top_orders(sf_dir: str):
     )
 
 
+def _cust_supp_edges(sf_dir: str):
+    """Directed customer -> supplier purchase edges (orders ⋈ lineitem on
+    orderkey), node-encoded disjointly (customer = 2k, supplier = 2k+1).
+    The orderkey dimension side (orders) broadcasts; lineitem streams."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.joins import broadcast_hash_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = broadcast_hash_join_pipeline(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_suppkey"],
+        right_payload=["o_custkey"],
+        how="inner",
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(c * 2), "dst": pa.array(s * 2 + 1)})
+
+    return joined.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_customer_supplier(sf_dir: str):
+    """Exact fixed-point PageRank (3 iterations, damping 0.85, SCALE=1e12,
+    dangling mass redistributed) over the distinct customer->supplier
+    purchase graph — iterative message passing as partition-vectorized
+    Dataset shuffles (pipelines/graph.py); all-integer arithmetic, so any
+    merge/execution order is bit-identical and the oracle is plain
+    unrolled SQL."""
+    from .pipelines.graph import pagerank_pipeline
+
+    return pagerank_pipeline(_cust_supp_edges(sf_dir), iters=3)
+
+
+def bfs_hops_customer_supplier(sf_dir: str):
+    """Multi-source BFS (seed expansion): minimum hop count <= 3 from the
+    nation-0 customers over the UNDIRECTED purchase graph — frontier-only
+    min-propagation (pipelines/graph.py), the "everything within k hops of
+    a trusted set" curation primitive."""
+    from .pipelines.graph import bfs_hops_pipeline
+
+    seeds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def pick(t):
+        import numpy as np
+        import pyarrow as pa
+
+        c = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(c[n == 0] * 2)})
+
+    seed_nodes = seeds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_hops_pipeline(
+        _cust_supp_edges(sf_dir), seed_nodes, max_hops=3
+    )
+
+
 # -- sketch family (HLL / Bloom / CMS / t-digest / KLL) ----------------------
 
 def exact_distinct_users_by_event_type(sf_dir: str):
@@ -3093,6 +3157,8 @@ QUERIES = {
     "revenue_by_priority_join": revenue_by_priority_join,
     "revenue_by_priority_broadcast_join": revenue_by_priority_broadcast_join,
     "building_top_orders": building_top_orders,
+    "pagerank_customer_supplier": pagerank_customer_supplier,
+    "bfs_hops_customer_supplier": bfs_hops_customer_supplier,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -4792,3 +4858,91 @@ ORACLE_SQL["tdigest_chars_by_lang"] = tdigest_group_quantiles_sql(
 ORACLE_SQL["kll_chars_by_lang"] = kll_group_quantiles_sql(
     table="documents", key="lang", value="n_chars", k=200, quantiles=QUANTILES
 )
+
+
+_GRAPH_EDGES_SQL = """
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled exact fixed-point PageRank (pipelines/graph.py semantics):
+    every quantity is BIGINT, every division is floor division of
+    non-negatives, so the mirror is bit-exact at any iteration count."""
+    parts = [
+        f"""
+        WITH edges AS ({_GRAPH_EDGES_SQL}),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+          SELECT nodes.node, COALESCE(deg.outdeg, 0) AS outdeg,
+                 1000000000000 // nn.n AS r
+          FROM nodes CROSS JOIN nn LEFT JOIN deg ON deg.node = nodes.node
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        d{i} AS (
+          SELECT COALESCE(CAST(sum(r) AS BIGINT), 0) AS dang
+          FROM r{p} WHERE outdeg = 0
+        ),
+        c{i} AS (
+          SELECT e.dst AS node, CAST(sum(p.r // p.outdeg) AS BIGINT) AS s
+          FROM edges e JOIN r{p} p ON p.node = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT p.node, p.outdeg,
+                 (1000000000000 // nn.n) * 15 // 100
+                 + 85 * (COALESCE(c{i}.s, 0) + d{i}.dang // nn.n) // 100 AS r
+          FROM r{p} p CROSS JOIN nn CROSS JOIN d{i}
+          LEFT JOIN c{i} ON c{i}.node = p.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+def _bfs_sql(hops: int = 3) -> str:
+    parts = [
+        f"""
+        WITH base_edges AS ({_GRAPH_EDGES_SQL}),
+        edges AS (
+          SELECT src, dst FROM base_edges
+          UNION
+          SELECT dst AS src, src AS dst FROM base_edges
+        ),
+        h0 AS (
+          SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS hop
+          FROM customer WHERE c_nationkey = 0
+        )"""
+    ]
+    for i in range(1, hops + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        h{i} AS (
+          SELECT node, min(hop) AS hop FROM (
+            SELECT node, hop FROM h{p}
+            UNION ALL
+            SELECT e.dst AS node, p.hop + 1 AS hop
+            FROM edges e JOIN h{p} p ON p.node = e.src
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, hop AS hops FROM h{hops}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
+ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)

@@ -1,0 +1,131 @@
+"""PageRank / BFS (pipelines/graph.py) vs brute-force references."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+
+from ddsketch_ruby_ray.pipelines.graph import (
+    PR_SCALE,
+    bfs_hops_pipeline,
+    pagerank_pipeline,
+)
+
+
+def _random_graph(seed: int, n_edges: int = 4000):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 300, n_edges)
+    dst = rng.integers(300, 500, n_edges)
+    back_s = rng.integers(300, 500, n_edges // 10)
+    back_d = rng.integers(0, 300, n_edges // 10)
+    s = np.concatenate([src, back_s])
+    d = np.concatenate([dst, back_d])
+    return s, d
+
+
+def _brute_pagerank(pairs, iters=3):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = [0] * n
+    for a, _ in pairs:
+        outdeg[idx[a]] += 1
+    r = [PR_SCALE // n] * n  # Python ints: exact
+    base = ((PR_SCALE // n) * 15) // 100
+    for _ in range(iters):
+        dang = sum(r[i] for i in range(n) if outdeg[i] == 0)
+        dang_share = dang // n
+        in_sum = [0] * n
+        for a, b in pairs:
+            in_sum[idx[b]] += r[idx[a]] // outdeg[idx[a]]
+        r = [base + (85 * (in_sum[i] + dang_share)) // 100 for i in range(n)]
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+class TestPageRank:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(7)
+        # duplicate edges on purpose: the pipeline dedups to the DISTINCT set
+        tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        pairs = sorted(set(zip(s.tolist(), d.tolist())))
+        expect = _brute_pagerank(pairs)
+        got = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(4), num_partitions=8
+        ).to_pandas()
+        gm = dict(zip(got.node, got.rank_fp))
+        assert gm == expect
+
+    def test_mass_conserved_order_free(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(13, 1500)
+        tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        a = pagerank_pipeline(rd.from_arrow(tbl).repartition(2), num_partitions=4).to_pandas()
+        b = pagerank_pipeline(rd.from_arrow(tbl).repartition(7), num_partitions=16).to_pandas()
+        # bit-identical under any partitioning (exact integer arithmetic)
+        assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
+        # total mass stays within the accumulated floor loss: each iteration
+        # drops < 1 unit per edge (r // outdeg), < N for dang // N, and
+        # < 1 per node per // 100
+        n = len(a)
+        n_edges = len({(x, y) for x, y in zip(s.tolist(), d.tolist())})
+        assert 0 <= PR_SCALE - int(a.rank_fp.sum()) <= 3 * (n_edges + 3 * n)
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        got = pagerank_pipeline(rd.from_arrow(tbl), num_partitions=4).to_pandas()
+        assert len(got) == 0
+
+
+class TestBfsHops:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(11, 2000)
+        tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        pairs = set(zip(s.tolist(), d.tolist()))
+        adj = collections.defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        seeds = [0, 1, 2, 3, 4]
+        dist = {x: 0 for x in seeds}
+        frontier = list(seeds)
+        for h in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        got = bfs_hops_pipeline(
+            rd.from_arrow(tbl).repartition(4),
+            rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())})),
+            max_hops=3,
+            num_partitions=8,
+        ).to_pandas()
+        assert dict(zip(got.node, got.hops)) == dist
+
+    def test_isolated_seed_kept(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table(
+            {"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+        )
+        got = bfs_hops_pipeline(
+            rd.from_arrow(tbl),
+            rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())})),
+            max_hops=2,
+            num_partitions=2,
+        ).to_pandas()
+        # a seed outside the graph stays at hop 0; nothing else is reached
+        assert dict(zip(got.node, got.hops)) == {99: 0}
