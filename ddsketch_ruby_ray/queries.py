@@ -1066,6 +1066,18 @@ def building_top_orders(sf_dir: str):
     )
 
 
+def frequent_part_pairs(sf_dir: str):
+    """Market-basket mining: part pairs co-occurring in >= 3 orders, with
+    lift vs independence — bounded per-basket pair generation, packed-key
+    pre-aggregated shuffle, broadcast item supports (pipelines/basket.py)."""
+    from .pipelines.basket import frequent_pairs_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return frequent_pairs_pipeline(
+        ds, basket_col="l_orderkey", item_col="l_partkey", min_support=3
+    )
+
+
 def _cust_supp_edges(sf_dir: str):
     """Directed customer -> supplier purchase edges (orders ⋈ lineitem on
     orderkey), node-encoded disjointly (customer = 2k, supplier = 2k+1).
@@ -3159,6 +3171,7 @@ QUERIES = {
     "building_top_orders": building_top_orders,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "bfs_hops_customer_supplier": bfs_hops_customer_supplier,
+    "frequent_part_pairs": frequent_part_pairs,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -4946,3 +4959,24 @@ def _bfs_sql(hops: int = 3) -> str:
 
 ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
 ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)
+
+ORACLE_SQL["frequent_part_pairs"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM basket),
+    item AS (SELECT l_partkey, count(*) AS c FROM basket GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           CAST(n.n_baskets * p.support AS DOUBLE)
+             / CAST(ia.c * ib.c AS DOUBLE) AS lift
+    FROM pair p
+    CROSS JOIN n
+    JOIN item ia ON ia.l_partkey = p.item_a
+    JOIN item ib ON ib.l_partkey = p.item_b
+"""
