@@ -1078,6 +1078,19 @@ def frequent_part_pairs(sf_dir: str):
     )
 
 
+def pareto_orders(sf_dir: str):
+    """Pareto frontier of orders — cheapest-for-their-recency: no other
+    order is both <= in price and >= in date with one strict.  Two-level
+    skyline: lossless per-block prune, then one candidate-only merge pass
+    (pipelines/skyline.py); comparisons only, so floats mirror bit-exactly."""
+    from .pipelines.skyline import skyline_pipeline
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline_pipeline(
+        ds, minimize_col="o_totalprice", maximize_col="o_orderdate"
+    )
+
+
 def _cust_supp_edges(sf_dir: str):
     """Directed customer -> supplier purchase edges (orders ⋈ lineitem on
     orderkey), node-encoded disjointly (customer = 2k, supplier = 2k+1).
@@ -3172,6 +3185,7 @@ QUERIES = {
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "bfs_hops_customer_supplier": bfs_hops_customer_supplier,
     "frequent_part_pairs": frequent_part_pairs,
+    "pareto_orders": pareto_orders,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -4959,6 +4973,24 @@ def _bfs_sql(hops: int = 3) -> str:
 
 ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
 ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)
+
+ORACLE_SQL["pareto_orders"] = """
+    WITH g AS (
+      SELECT o_totalprice AS p, max(o_orderdate) AS gmax
+      FROM orders GROUP BY o_totalprice
+    ),
+    pre AS (
+      SELECT p, gmax,
+             max(gmax) OVER (
+               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS amax
+      FROM g
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN pre ON pre.p = o.o_totalprice
+    WHERE (pre.amax IS NULL OR pre.amax < o.o_orderdate)
+      AND NOT (pre.gmax > o.o_orderdate)
+"""
 
 ORACLE_SQL["frequent_part_pairs"] = """
     WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
