@@ -1078,6 +1078,22 @@ def frequent_part_pairs(sf_dir: str):
     )
 
 
+BM25_QUERY_TERMS = ("hash", "join", "vector", "stream")
+
+
+def bm25_top_docs(sf_dir: str):
+    """Okapi BM25 retrieval: global top-20 documents for a fixed 4-term
+    query — one stats pass (block partials -> scalar sum -> idfs computed
+    once), one vectorized scoring pass with FIXED-ORDER float summation,
+    and the block top-k pushdown (pipelines/bm25.py)."""
+    from .pipelines.bm25 import bm25_topk_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk_pipeline(
+        ds, key_col="doc_id", text_col="text", query_terms=BM25_QUERY_TERMS, k=20
+    )
+
+
 def pareto_orders(sf_dir: str):
     """Pareto frontier of orders — cheapest-for-their-recency: no other
     order is both <= in price and >= in date with one strict.  Two-level
@@ -3186,6 +3202,7 @@ QUERIES = {
     "bfs_hops_customer_supplier": bfs_hops_customer_supplier,
     "frequent_part_pairs": frequent_part_pairs,
     "pareto_orders": pareto_orders,
+    "bm25_top_docs": bm25_top_docs,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -4973,6 +4990,79 @@ def _bfs_sql(hops: int = 3) -> str:
 
 ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
 ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)
+
+def _bm25_sql(terms, k: int = 20) -> str:
+    """Mirror of pipelines/bm25.py: per-term scores pivot into columns and
+    add LEFT-TO-RIGHT (the engine's fixed summation order); every float
+    subexpression is written in the engine's evaluation order."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n             ".join(
+        f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    idf_cols = ",\n        ".join(
+        f"(SELECT ln((CAST(nn.n - df.df AS DOUBLE) + 0.5)"
+        f" / (CAST(df.df AS DOUBLE) + 0.5)) FROM df WHERE df.term = '{t}')"
+        f" AS idf{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = (
+        "(1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / a.avgdl)))"
+    )
+    score = "\n           + ".join(
+        f"CASE WHEN p.tf{i} IS NULL THEN 0.0 ELSE i.idf{i}"
+        f" * ((CAST(p.tf{i} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(p.tf{i} AS DOUBLE) + {norm})) END"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS key, t.tok AS tok
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    dl AS (SELECT key, count(*) AS dl FROM tok GROUP BY key),
+    nn AS (SELECT count(*) AS n FROM documents),
+    tot AS (SELECT count(*) AS t FROM tok),
+    av AS (
+      SELECT CAST(tot.t AS DOUBLE) / CAST(nn.n AS DOUBLE) AS avgdl
+      FROM tot, nn
+    ),
+    tf AS (
+      SELECT key, tok AS term, count(*) AS tf FROM tok
+      WHERE tok IN ({in_list}) GROUP BY key, tok
+    ),
+    df AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT key, term FROM tf) GROUP BY term
+    ),
+    piv AS (
+      SELECT key,
+             {tf_cols}
+      FROM tf GROUP BY key
+    ),
+    idf AS (
+      SELECT
+        {idf_cols}
+      FROM nn
+    ),
+    scored AS (
+      SELECT p.key AS doc_id, d.dl,
+             {score} AS score
+      FROM piv p
+      JOIN dl d ON d.key = p.key
+      CROSS JOIN idf i
+      CROSS JOIN av a
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, score, CAST(dl AS BIGINT) AS dl
+    FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+ORACLE_SQL["bm25_top_docs"] = _bm25_sql(BM25_QUERY_TERMS, 20)
 
 ORACLE_SQL["pareto_orders"] = """
     WITH g AS (
