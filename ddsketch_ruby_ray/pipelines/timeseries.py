@@ -1,0 +1,87 @@
+"""Time-series primitives over event streams: lag autocorrelation.
+
+Daily-count lag-k autocorrelation — the seasonality / burstiness check a
+monitoring or curation pipeline runs over an event log.  Two stages:
+
+  1. distributed: per-block (day, count) partials -> one tiny keyed sum
+     (the series table is one row per day — KB for years of data).
+  2. the series meets in ONE partition (repartition(1), in-cluster, never
+     the driver) where consecutive-CALENDAR-day pairs (d, d+k) form and
+     the Pearson r comes from exact python-int sufficient statistics with
+     the same fixed float-op order as pipelines/stats.py — bit-exact SQL.
+
+Days with no events simply contribute no pair (calendar join, not
+observed-adjacency).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["daily_count_autocorr_pipeline"]
+
+US_PER_DAY = 86_400_000_000
+
+
+def daily_count_autocorr_pipeline(ds, *, ts_col: str, lag: int = 1):
+    """-> Dataset[(n_pairs, r)] — Pearson autocorrelation of daily event
+    counts at ``lag`` calendar days (r = 0.0 when either variance is 0)."""
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(vals), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    series = (
+        ds.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("c")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cnt = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        if not day.size:
+            return pa.table(
+                {
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "r": pa.array([0.0], pa.float64()),
+                }
+            )
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        pos = np.searchsorted(day, day + lag)
+        pos_c = np.minimum(pos, day.size - 1)
+        hit = day[pos_c] == day + lag
+        x = cnt[hit]
+        y = cnt[pos_c[hit]]
+        n = int(x.size)
+        # python ints: exact at any count magnitude
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
+        sxx = sum(int(a) * int(a) for a in x.tolist())
+        syy = sum(int(b) * int(b) for b in y.tolist())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        r = (
+            float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+            if d1 > 0 and d2 > 0
+            else 0.0
+        )
+        return pa.table(
+            {
+                "n_pairs": pa.array([n], pa.int64()),
+                "r": pa.array([r], pa.float64()),
+            }
+        )
+
+    return series.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

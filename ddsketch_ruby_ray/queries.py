@@ -1078,6 +1078,62 @@ def frequent_part_pairs(sf_dir: str):
     )
 
 
+def trending_event_types_daily(sf_dir: str):
+    """Trending detection: each day's top-3 event types by count (ties ->
+    lexicographically smaller type).  Block-local count pre-aggregation,
+    one small (day, type) keyed sum, then the per-group top-k pushdown."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.topk import per_group_topk
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ty, day))
+        d_s, t_s = day[order], ty[order]
+        new = np.empty(d_s.size, dtype=bool)
+        if d_s.size:
+            new[0] = True
+            new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, d_s.size)).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(d_s[starts]),
+                "event_type": pa.array(t_s[starts].tolist(), pa.string()),
+                "c": pa.array(c),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .sum("c")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["day", "event_type", "cnt"])
+
+    counts = counts.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return per_group_topk(
+        counts, group_col="day", value_col="cnt", tiebreak_col="event_type", k=3
+    )
+
+
+def daily_count_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series (calendar-day
+    pairs; exact integer sufficient statistics, one float conversion per
+    term — pipelines/timeseries.py)."""
+    from .pipelines.timeseries import daily_count_autocorr_pipeline
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return daily_count_autocorr_pipeline(ds, ts_col="ts", lag=1)
+
+
 BM25_QUERY_TERMS = ("hash", "join", "vector", "stream")
 
 
@@ -3203,6 +3259,8 @@ QUERIES = {
     "frequent_part_pairs": frequent_part_pairs,
     "pareto_orders": pareto_orders,
     "bm25_top_docs": bm25_top_docs,
+    "trending_event_types_daily": trending_event_types_daily,
+    "daily_count_autocorr": daily_count_autocorr,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5063,6 +5121,49 @@ def _bm25_sql(terms, k: int = 20) -> str:
 
 
 ORACLE_SQL["bm25_top_docs"] = _bm25_sql(BM25_QUERY_TERMS, 20)
+
+ORACLE_SQL["trending_event_types_daily"] = """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, event_type, cnt,
+             row_number() OVER (
+               PARTITION BY day ORDER BY cnt DESC, event_type
+             ) AS rn
+      FROM c
+    )
+    SELECT day, event_type, cnt FROM r WHERE rn <= 3
+"""
+
+ORACLE_SQL["daily_count_autocorr"] = """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.cnt AS x, b.cnt AS y
+      FROM c a JOIN c b ON b.day = a.day + 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             COALESCE(CAST(sum(x) AS BIGINT), 0) AS sx,
+             COALESCE(CAST(sum(y) AS BIGINT), 0) AS sy,
+             COALESCE(CAST(sum(x * y) AS BIGINT), 0) AS sxy,
+             COALESCE(CAST(sum(x * x) AS BIGINT), 0) AS sxx,
+             COALESCE(CAST(sum(y * y) AS BIGINT), 0) AS syy
+      FROM p
+    )
+    SELECT n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE 0.0 END AS r
+    FROM s
+"""
 
 ORACLE_SQL["pareto_orders"] = """
     WITH g AS (
