@@ -1150,6 +1150,87 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def rrf_hybrid_retrieval(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., constant
+    60) of the BM25 top-50 lexical list and the cosine top-50 semantic
+    list for doc/vec 0 — both lists are KB-sized pipeline outputs that
+    meet in ONE partition for the fuse; doc text and embeddings never
+    co-shuffle.  RRF = 1/(60+r_lex) + 1/(60+r_sem), fixed addition order,
+    bit-exact vs SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .pipelines.bm25 import bm25_topk_pipeline
+    from .pipelines.similarity import knn_bruteforce_pipeline
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lex = bm25_topk_pipeline(
+        docs, key_col="doc_id", text_col="text", query_terms=BM25_QUERY_TERMS, k=50
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [0])],
+    )
+    sem = knn_bruteforce_pipeline(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=(0,), k=50,
+        queries_table=qtbl,
+    )
+
+    def lex_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "val": t.column("rank").cast(pa.int64()),
+            }
+        )
+
+    def sem_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("neighbor_id").cast(pa.int64()),
+                "kind": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "val": t.column("cos4").cast(pa.int64()),
+            }
+        )
+
+    both = lex.map_batches(
+        lex_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(sem.map_batches(sem_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def fuse(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        lex_m = kind == 0
+        l_doc, l_rank = doc[lex_m], val[lex_m]
+        s_doc, s_cos = doc[~lex_m], val[~lex_m]
+        s_order = np.lexsort((s_doc, -s_cos))  # (cos4 DESC, doc ASC) -> rank
+        s_doc = s_doc[s_order]
+        s_rank = np.arange(1, s_doc.size + 1, dtype=np.int64)
+        all_docs = np.unique(np.concatenate([l_doc, s_doc]))
+        rrf = np.zeros(all_docs.size, dtype=np.float64)
+        li = np.searchsorted(all_docs, l_doc)
+        rrf[li] = rrf[li] + 1.0 / (60.0 + l_rank.astype(np.float64))
+        si = np.searchsorted(all_docs, s_doc)
+        rrf[si] = rrf[si] + 1.0 / (60.0 + s_rank.astype(np.float64))
+        order = np.lexsort((all_docs, -rrf))[:20]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "doc_id": pa.array(all_docs[order]),
+                "rrf": pa.array(rrf[order]),
+            }
+        )
+
+    return both.repartition(1).map_batches(
+        fuse, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def pareto_orders(sf_dir: str):
     """Pareto frontier of orders — cheapest-for-their-recency: no other
     order is both <= in price and >= in date with one strict.  Two-level
@@ -3261,6 +3342,7 @@ QUERIES = {
     "bm25_top_docs": bm25_top_docs,
     "trending_event_types_daily": trending_event_types_daily,
     "daily_count_autocorr": daily_count_autocorr,
+    "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5121,6 +5203,35 @@ def _bm25_sql(terms, k: int = 20) -> str:
 
 
 ORACLE_SQL["bm25_top_docs"] = _bm25_sql(BM25_QUERY_TERMS, 20)
+
+ORACLE_SQL["rrf_hybrid_retrieval"] = f"""
+    WITH lex AS (SELECT doc_id, rank AS rl FROM ({_bm25_sql(BM25_QUERY_TERMS, 50)})),
+    vecs AS (SELECT vec_id AS id, (embedding)::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM vecs WHERE id = 0),
+    sem0 AS (
+      SELECT t.id AS doc_id,
+             CAST(floor((list_dot_product(q.v, t.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(t.v, t.v)))) * 10000 + 0.5)
+                  AS BIGINT) AS cos4
+      FROM q, vecs t WHERE t.id <> 0
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos4 DESC, doc_id) AS rs
+      FROM sem0 QUALIFY rs <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + l.rl), 0.0)
+               + COALESCE(1.0 / (60.0 + s.rs), 0.0) AS rrf
+      FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
 
 ORACLE_SQL["trending_event_types_daily"] = """
     WITH c AS (
