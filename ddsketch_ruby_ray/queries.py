@@ -1150,6 +1150,28 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def copurchase_triangles(sf_dir: str):
+    """Triangle count + transitivity of the thresholded co-purchase graph
+    (parts sharing >= 2 orders).  Degree-ordered orientation generates each
+    triangle once at its lowest-rank vertex; the wedge set SEMI-joins the
+    oriented edges (pipelines/graph.py::triangle_count_pipeline)."""
+    import pyarrow as pa
+
+    from .pipelines.basket import frequent_pairs_pipeline
+    from .pipelines.graph import triangle_count_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = frequent_pairs_pipeline(
+        ds, basket_col="l_orderkey", item_col="l_partkey", min_support=2
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t.column("item_a"), "b": t.column("item_b")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return triangle_count_pipeline(edges)
+
+
 def rrf_hybrid_retrieval(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., constant
     60) of the BM25 top-50 lexical list and the cosine top-50 semantic
@@ -3343,6 +3365,7 @@ QUERIES = {
     "trending_event_types_daily": trending_event_types_daily,
     "daily_count_autocorr": daily_count_autocorr,
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
+    "copurchase_triangles": copurchase_triangles,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5203,6 +5226,37 @@ def _bm25_sql(terms, k: int = 20) -> str:
 
 
 ORACLE_SQL["bm25_top_docs"] = _bm25_sql(BM25_QUERY_TERMS, 20)
+
+ORACLE_SQL["copurchase_triangles"] = """
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+      ) GROUP BY node
+    ),
+    w AS (
+      SELECT COALESCE(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) AS wedges
+      FROM deg
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS tri
+      FROM e0 xy
+      JOIN e0 yz ON yz.a = xy.b
+      JOIN e0 xz ON xz.a = xy.a AND xz.b = yz.b
+    )
+    SELECT t.tri AS n_triangles, w.wedges AS n_wedges,
+           CASE WHEN w.wedges > 0
+                THEN CAST(3 * t.tri AS DOUBLE) / CAST(w.wedges AS DOUBLE)
+                ELSE 0.0 END AS transitivity
+    FROM t, w
+"""
 
 ORACLE_SQL["rrf_hybrid_retrieval"] = f"""
     WITH lex AS (SELECT doc_id, rank AS rl FROM ({_bm25_sql(BM25_QUERY_TERMS, 50)})),

@@ -129,3 +129,78 @@ class TestBfsHops:
         ).to_pandas()
         # a seed outside the graph stays at hop 0; nothing else is reached
         assert dict(zip(got.node, got.hops)) == {99: 0}
+
+
+class TestTriangles:
+    def test_vs_brute(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import triangle_count_pipeline
+
+        rng = np.random.default_rng(21)
+        n_nodes, p_edges = 40, 500
+        raw = {
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, n_nodes, p_edges), rng.integers(0, n_nodes, p_edges)
+            )
+            if a < b
+        }
+        edges = sorted(raw)
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        tbl = pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        got = triangle_count_pipeline(
+            rd.from_arrow(tbl).repartition(4), num_partitions=8
+        ).to_pandas()
+        assert int(got.n_triangles[0]) == tri
+        assert int(got.n_wedges[0]) == wedges
+        assert float(got.transitivity[0]) == float(3 * tri) / float(wedges)
+
+    def test_no_triangles_in_bipartite(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import triangle_count_pipeline
+
+        # complete bipartite K(3,3): many wedges, zero triangles
+        left, right = [0, 1, 2], [10, 11, 12]
+        edges = [(a, b) for a in left for b in right]
+        tbl = pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        got = triangle_count_pipeline(rd.from_arrow(tbl)).to_pandas()
+        assert int(got.n_triangles[0]) == 0
+        assert int(got.n_wedges[0]) == 6 * 3  # each node: C(3,2)=3 wedges
+
+    def test_empty_graph(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import triangle_count_pipeline
+
+        tbl = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        got = triangle_count_pipeline(rd.from_arrow(tbl)).to_pandas()
+        assert (
+            int(got.n_triangles[0]),
+            int(got.n_wedges[0]),
+            float(got.transitivity[0]),
+        ) == (0, 0, 0.0)
