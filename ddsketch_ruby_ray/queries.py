@@ -1150,6 +1150,20 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def bootstrap_mean_chars_by_lang(sf_dir: str):
+    """Poisson-bootstrap 95% confidence interval for the mean doc length
+    per lang (Chamandy et al.): deterministic splitmix64-derived Poisson(1)
+    weights make every resample an exact-int one-pass partial sum — the
+    streaming bootstrap (pipelines/bootstrap.py), B=64 resamples."""
+    from .pipelines.bootstrap import poisson_bootstrap_ci_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return poisson_bootstrap_ci_pipeline(
+        ds, group_col="lang", value_col="n_chars", id_col="doc_id",
+        n_resamples=64,
+    )
+
+
 def copurchase_triangles(sf_dir: str):
     """Triangle count + transitivity of the thresholded co-purchase graph
     (parts sharing >= 2 orders).  Degree-ordered orientation generates each
@@ -3366,6 +3380,7 @@ QUERIES = {
     "daily_count_autocorr": daily_count_autocorr,
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "copurchase_triangles": copurchase_triangles,
+    "bootstrap_mean_chars_by_lang": bootstrap_mean_chars_by_lang,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5226,6 +5241,66 @@ def _bm25_sql(terms, k: int = 20) -> str:
 
 
 ORACLE_SQL["bm25_top_docs"] = _bm25_sql(BM25_QUERY_TERMS, 20)
+
+def _bootstrap_sql(
+    *, table: str, group: str, value: str, id_col: str,
+    B: int = 64, lo_q: float = 0.025, hi_q: float = 0.975,
+) -> str:
+    """Mirror of pipelines/bootstrap.py: identical splitmix64 weights
+    (threshold constants embedded at full double precision), exact-int
+    resample sums, one float divide per mean, floor-rank selection."""
+    import math as _math
+
+    from .core.hashing import splitmix64_sql
+    from .pipelines.bootstrap import poisson_thresholds
+
+    th = poisson_thresholds()
+    cases = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(th)
+    )
+    sm = splitmix64_sql(f"d.{id_col} * {B} + b.b")
+    lo_rn = int(_math.floor(lo_q * (B - 1))) + 1
+    hi_rn = int(_math.floor(hi_q * (B - 1))) + 1
+    return f"""
+    WITH b AS (SELECT unnest(range({B})) AS b),
+    rep AS (
+      SELECT d.{group} AS g, d.{value} AS x, b.b,
+             (({sm})::DOUBLE / 18446744073709551616.0) AS u
+      FROM {table} d CROSS JOIN b
+    ),
+    wt AS (SELECT g, b, x, CASE {cases} ELSE {len(th)} END AS w FROM rep),
+    rs AS (
+      SELECT g, b, CAST(sum(w * x) AS BIGINT) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM wt GROUP BY g, b
+    ),
+    m AS (
+      SELECT g, b,
+             CASE WHEN sw > 0 THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                  ELSE 0.0 END AS m
+      FROM rs
+    ),
+    r AS (
+      SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn
+      FROM m
+    ),
+    pt AS (
+      SELECT {group} AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({value}) AS BIGINT) AS sx
+      FROM {table} GROUP BY {group}
+    )
+    SELECT pt.g AS {group}, pt.n,
+           CAST(pt.sx AS DOUBLE) / CAST(pt.n AS DOUBLE) AS mean,
+           lo.m AS ci_lo, hi.m AS ci_hi
+    FROM pt
+    JOIN r lo ON lo.g = pt.g AND lo.rn = {lo_rn}
+    JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
+"""
+
+
+ORACLE_SQL["bootstrap_mean_chars_by_lang"] = _bootstrap_sql(
+    table="documents", group="lang", value="n_chars", id_col="doc_id", B=64
+)
 
 ORACLE_SQL["copurchase_triangles"] = """
     WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
