@@ -34,7 +34,11 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sketch_exact_quantile_pipeline", "sketch_exact_quantiles_pipeline"]
+__all__ = [
+    "sketch_exact_quantile_pipeline",
+    "sketch_exact_quantiles_pipeline",
+    "sketch_exact_weighted_quantile_pipeline",
+]
 
 
 def sketch_exact_quantile_pipeline(
@@ -195,3 +199,128 @@ def _qname(q: float) -> str:
     from ..functions.specs import quantile_name
 
     return quantile_name(q)
+
+
+def sketch_exact_weighted_quantile_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    alpha: float = 0.01,
+    max_candidate_mass_per_group: int = 5_000_000,
+):
+    """-> Dataset[(group_col, exact_w<q>)] — the EXACT WEIGHTED floor-rank
+    quantile per group: the value at which the running weight (ascending
+    value order) first EXCEEDS k = floor(q·(W−1)), W = total weight.
+
+    Weights must be positive integers (the exact-count contract: weighted
+    bin masses then sum exactly in float64 up to 2^53, and the rank
+    arithmetic is integer).  Same two-pass shape as the unweighted
+    selection: the weighted sketch's bucket masses locate the target
+    bucket; only that bucket's rows (value + weight) are re-scanned.
+    Positive values only."""
+    import ray
+
+    from ..functions.aggregates import SketchStateMergeAgg
+    from ..functions.specs import DDSketchSpec
+    from .corpus import sketch_states
+
+    qcol = f"exact_w{_qname(q)}"
+    spec = DDSketchSpec(
+        on=value_col, name="s", relative_accuracy=alpha, quantiles=(), weight=weight_col
+    )
+    states = sketch_states(ds, [spec], (group_col,))
+    merged = states.groupby(group_col).aggregate(SketchStateMergeAgg(spec, emit_state=True))
+
+    targets: dict = {}
+    mapping = None
+    for r in merged.take_all():  # one KB state row per group
+        sk = spec.from_state(r["s"])
+        mapping = sk.mapping
+        if sk.negative_store.count:
+            raise ValueError(
+                "sketch_exact_weighted_quantile_pipeline: positive values only"
+            )
+        w_total = int(sk.count)
+        if w_total == 0:
+            continue
+        zc = int(sk.zero_count)
+        bins = np.asarray(sk.store.bins).astype(np.int64)  # integer masses
+        cum = np.cumsum(bins)
+        k = int(math.floor(q * (w_total - 1)))
+        if k < zc:
+            targets[r[group_col]] = ("zero",)
+            continue
+        b_idx = int(np.searchsorted(cum, k - zc, side="right"))
+        if bins[b_idx] > max_candidate_mass_per_group:
+            raise ValueError(
+                f"bucket for group {r[group_col]!r} holds mass {int(bins[b_idx])}"
+                f" (> {max_candidate_mass_per_group}); pick a different quantile"
+                " or raise the limit"
+            )
+        local = (k - zc) - (int(cum[b_idx - 1]) if b_idx else 0)
+        targets[r[group_col]] = ("bucket", int(sk.store.min_key) + b_idx, local)
+    ref = ray.put((targets, mapping))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        tg, mp = ray.get(ref)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(vals), dtype=bool)
+        pos = vals > mp.min_possible
+        if pos.any():
+            keys = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
+            keys[pos] = np.asarray(mp.key(vals[pos]), dtype=np.int64)
+            for g in np.unique(groups):
+                plan = tg.get(g)
+                if not plan or plan[0] != "bucket":
+                    continue
+                keep |= (groups == g) & (keys == plan[1])
+        return t.select([group_col, value_col, weight_col]).filter(pa.array(keep))
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+    def select(pt: pa.Table) -> pa.Table:
+        tg, _ = ray.get(ref)
+        g = pt.column(group_col).to_numpy(zero_copy_only=False)
+        out_g, out_v = [], []
+        if g.size:
+            v = pt.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            w = pt.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((v, g))
+            g_s, v_s, w_s = g[order], v[order], w[order]
+            new = np.empty(g_s.size, dtype=bool)
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], g_s.size)
+            for srt, end in zip(starts, ends):  # one iteration per GROUP
+                grp = g_s[srt]
+                _, _, local = tg[grp]
+                cumw = np.cumsum(w_s[srt:end])
+                # first value whose running weight EXCEEDS the local rank
+                out_g.append(grp)
+                out_v.append(float(v_s[srt:end][np.searchsorted(cumw, local, side="right")]))
+        out = {group_col: pa.array(out_g), qcol: pa.array(out_v, pa.float64())}
+        return pa.table(out)
+
+    picked = cand.repartition(1).map_batches(
+        select, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    zero_groups = [g for g, plan in targets.items() if plan[0] == "zero"]
+    if zero_groups:
+        import ray.data as rd
+
+        picked = picked.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        group_col: pa.array(zero_groups),
+                        qcol: pa.array([0.0] * len(zero_groups), pa.float64()),
+                    }
+                )
+            )
+        )
+    return picked

@@ -1150,6 +1150,26 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def weighted_median_price_by_flag(sf_dir: str):
+    """EXACT quantity-weighted median of l_extendedprice per returnflag:
+    the weighted sketch's exact bucket masses locate the target bucket,
+    one filtered re-scan selects the crossing value — no global sort
+    (pipelines/selection.py::sketch_exact_weighted_quantile_pipeline)."""
+    from .pipelines.selection import sketch_exact_weighted_quantile_pipeline
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    return sketch_exact_weighted_quantile_pipeline(
+        ds,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        q=0.5,
+        alpha=ALPHA,
+    )
+
+
 def bootstrap_mean_chars_by_lang(sf_dir: str):
     """Poisson-bootstrap 95% confidence interval for the mean doc length
     per lang (Chamandy et al.): deterministic splitmix64-derived Poisson(1)
@@ -3381,6 +3401,7 @@ QUERIES = {
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "copurchase_triangles": copurchase_triangles,
     "bootstrap_mean_chars_by_lang": bootstrap_mean_chars_by_lang,
+    "weighted_median_price_by_flag": weighted_median_price_by_flag,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5297,6 +5318,26 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+ORACLE_SQL["weighted_median_price_by_flag"] = """
+    WITH w AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    tot AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY g),
+    r AS (
+      SELECT g, v,
+             sum(wt) OVER (
+               PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM w
+    )
+    SELECT r.g AS l_returnflag, min(r.v) AS "exact_wp50"
+    FROM r JOIN tot ON tot.g = r.g
+    WHERE r.cum > CAST(floor(0.5 * (tot.tw - 1)) AS BIGINT)
+    GROUP BY r.g
+"""
 
 ORACLE_SQL["bootstrap_mean_chars_by_lang"] = _bootstrap_sql(
     table="documents", group="lang", value="n_chars", id_col="doc_id", B=64
