@@ -282,6 +282,8 @@ def _dedup_job_rows(job: str) -> int:
         default = 1_000_000  # one postings row per TOKEN: the heaviest map
     elif job == "pairs":
         default = 16_000_000  # lang x repo: ~1.8M groups at this size
+    elif job == "graph":
+        default = 8_000_000  # x2 edges per row: 16M-edge PageRank
     else:
         default = 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))
@@ -349,6 +351,32 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
             ds, group_keys=("lang", "repo"), strategy="pairs",
             num_partitions=max(64, rows // 62_500),
         ).count()
+        sec = time.perf_counter() - t0
+        ray.shutdown()
+        print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
+        return
+
+    if job == "graph":
+        # iterative-shuffle throughput: 3 fixed-point PageRank iterations
+        # over 2 synthetic directed edges per corpus row (2M-node id space);
+        # measures the per-iteration state-union + keyed-fold machinery
+        from ddsketch_ruby_ray.pipelines.graph import pagerank_pipeline
+
+        _NODES = np.uint64(2_000_000)
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            h = _path_hash(t)
+            h2 = hash64_int(h.astype(np.int64), seed=1)
+            h3 = hash64_int(h.astype(np.int64), seed=2)
+            src = np.concatenate([h % _NODES, h2 % _NODES]).astype(np.int64)
+            dst = np.concatenate([h2 % _NODES, h3 % _NODES]).astype(np.int64)
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        t0 = time.perf_counter()
+        edges = read_corpus(path, ["path"]).map_batches(
+            to_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        n = pagerank_pipeline(edges, iters=3, num_partitions=64).count()
         sec = time.perf_counter() - t0
         ray.shutdown()
         print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
