@@ -1,0 +1,161 @@
+"""Exact set similarity BETWEEN GROUPS: vocabulary Jaccard per group pair.
+
+"How much does source A's vocabulary overlap source B's?" — the exact
+companion to the KMV overlap ESTIMATES (pipelines/setops.py).  The trick
+that keeps it one pass + one thin shuffle: a token's membership across
+all G groups collapses to a G-bit mask, and every pairwise intersection /
+union is a sum over the 2^G mask-count table — which has at most
+min(#distinct masks, vocab) rows and in practice a handful.  No pairwise
+join over tokens, no G passes.
+
+  1. per block: tokenize, dedup (group, token) incidences (one lexsort);
+  2. hash-partition by TOKEN: per-token OR-fold of the group bits, then
+     count tokens per mask — the shuffle carries distinct (token, group)
+     incidences (vocab-bounded, never the token stream), the output is
+     the KB mask-count table;
+  3. finalize: for each group pair, intersection = Σ counts[mask has
+     both bits], union = Σ counts[mask has either]; Jaccard = one float
+     divide of exact ints.
+
+Requires #groups <= 63 (bitmask in int64) — group here is a SOURCE/split
+tag, not a key column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.hashing import hash256_str
+
+__all__ = ["vocab_jaccard_pipeline"]
+
+
+def vocab_jaccard_pipeline(
+    ds,
+    *,
+    group_col: str,
+    text_col: str,
+    num_partitions: int = 64,
+):
+    """-> Dataset[(group_a, group_b, n_a, n_b, n_inter, n_union, jaccard)]
+    for every unordered group pair (group_a < group_b)."""
+    import ray.data as rd
+
+    from .dedup import tokenize
+
+    # group universe: tiny distinct aggregate (the bitmask index)
+    groups = sorted(
+        r[group_col]
+        for r in ds.groupby(group_col).count().take_all()
+    )
+    if len(groups) > 63:
+        raise ValueError(f"vocab_jaccard_pipeline supports <= 63 groups, got {len(groups)}")
+    g_idx = {g: i for i, g in enumerate(groups)}
+
+    def incidences(t: pa.Table) -> pa.Table:
+        """Block-local distinct (group, token): one lexsort + run dedup —
+        the only per-row Python is the shared tokenizer split."""
+        gs = t.column(group_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        toks: list[str] = []
+        bounds = [0]
+        for s in texts:
+            toks.extend(tokenize(s))
+            bounds.append(len(toks))
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "bit": pa.array([], pa.int64()),
+                }
+            )
+        terms = np.array(toks, dtype=object)
+        sizes = np.diff(np.asarray(bounds, dtype=np.int64))
+        bits = np.repeat(
+            np.array([g_idx[g] for g in gs.tolist()], dtype=np.int64), sizes
+        )
+        order = np.lexsort((terms, bits))
+        b_s, t_s = bits[order], terms[order]
+        keep = np.empty(t_s.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (b_s[1:] != b_s[:-1]) | (t_s[1:] != t_s[:-1])
+        return pa.table(
+            {
+                "token": pa.array(t_s[keep].tolist(), pa.string()),
+                "bit": pa.array(b_s[keep]),
+            }
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = hash256_str(t.column("token"), lanes=1)[0]
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def mask_counts(pt: pa.Table) -> pa.Table:
+        tok = np.array(pt.column("token").to_pylist(), dtype=object)
+        bit = pt.column("bit").to_numpy(zero_copy_only=False)
+        if not tok.size:
+            return pa.table(
+                {"mask": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        order = np.argsort(tok, kind="stable")
+        t_s, b_s = tok[order], bit[order]
+        new = np.empty(t_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = t_s[1:] != t_s[:-1]
+        seg = np.cumsum(new) - 1
+        masks = np.zeros(int(new.sum()), dtype=np.int64)
+        np.bitwise_or.at(masks, seg, np.int64(1) << b_s)
+        vals, c = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(vals), "c": pa.array(c.astype(np.int64))})
+
+    table = (
+        ds.map_batches(incidences, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(mask_counts, batch_format="pyarrow")
+        .groupby("mask")
+        .sum("c")
+        .take_all()  # <= distinct masks (KB)
+    )
+    mask_c = {int(r["mask"]): int(r["sum(c)"]) for r in table}
+
+    rows = {
+        "group_a": [], "group_b": [], "n_a": [], "n_b": [],
+        "n_inter": [], "n_union": [], "jaccard": [],
+    }
+    size = {
+        i: sum(c for m, c in mask_c.items() if (m >> i) & 1)
+        for i in range(len(groups))
+    }
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            inter = sum(
+                c for m, c in mask_c.items() if ((m >> i) & 1) and ((m >> j) & 1)
+            )
+            union = sum(
+                c for m, c in mask_c.items() if ((m >> i) & 1) or ((m >> j) & 1)
+            )
+            rows["group_a"].append(groups[i])
+            rows["group_b"].append(groups[j])
+            rows["n_a"].append(size[i])
+            rows["n_b"].append(size[j])
+            rows["n_inter"].append(inter)
+            rows["n_union"].append(union)
+            rows["jaccard"].append(
+                float(inter) / float(union) if union else 0.0
+            )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "group_a": pa.array(rows["group_a"], pa.string()),
+                "group_b": pa.array(rows["group_b"], pa.string()),
+                "n_a": pa.array(rows["n_a"], pa.int64()),
+                "n_b": pa.array(rows["n_b"], pa.int64()),
+                "n_inter": pa.array(rows["n_inter"], pa.int64()),
+                "n_union": pa.array(rows["n_union"], pa.int64()),
+                "jaccard": pa.array(rows["jaccard"], pa.float64()),
+            }
+        )
+    )

@@ -1150,6 +1150,18 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def vocab_jaccard_sources(sf_dir: str):
+    """EXACT vocabulary Jaccard between every source pair — per-token
+    G-bit membership masks collapse all pairwise set ops into one KB
+    mask-count table; the shuffle carries distinct (token, source)
+    incidences, never the token stream (pipelines/setsim.py).  The exact
+    companion to the KMV overlap estimates."""
+    from .pipelines.setsim import vocab_jaccard_pipeline
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_jaccard_pipeline(ds, group_col="source", text_col="text")
+
+
 def weighted_median_price_by_flag(sf_dir: str):
     """EXACT quantity-weighted median of l_extendedprice per returnflag:
     the weighted sketch's exact bucket masses locate the target bucket,
@@ -3402,6 +3414,7 @@ QUERIES = {
     "copurchase_triangles": copurchase_triangles,
     "bootstrap_mean_chars_by_lang": bootstrap_mean_chars_by_lang,
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
+    "vocab_jaccard_sources": vocab_jaccard_sources,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5318,6 +5331,45 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+ORACLE_SQL["vocab_jaccard_sources"] = """
+    WITH src AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    tok AS (
+      SELECT DISTINCT d.source, t.tok
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    tb AS (
+      SELECT tok.tok, bit_or(1 << src.idx) AS mask
+      FROM tok JOIN src USING (source) GROUP BY tok.tok
+    ),
+    mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY mask),
+    pairs AS (
+      SELECT a.source AS group_a, a.idx AS ai, b.source AS group_b, b.idx AS bi
+      FROM src a JOIN src b ON a.source < b.source
+    ),
+    agg AS (
+      SELECT p.group_a, p.group_b,
+        (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM mc
+          WHERE ((mask >> p.ai) & 1) = 1) AS n_a,
+        (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM mc
+          WHERE ((mask >> p.bi) & 1) = 1) AS n_b,
+        (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM mc
+          WHERE ((mask >> p.ai) & 1) = 1 AND ((mask >> p.bi) & 1) = 1) AS n_inter,
+        (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM mc
+          WHERE ((mask >> p.ai) & 1) = 1 OR ((mask >> p.bi) & 1) = 1) AS n_union
+      FROM pairs p
+    )
+    SELECT group_a, group_b, n_a, n_b, n_inter, n_union,
+           CASE WHEN n_union > 0
+                THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM agg
+"""
 
 ORACLE_SQL["weighted_median_price_by_flag"] = """
     WITH w AS (
