@@ -1806,6 +1806,18 @@ def levenshtein_dedup_pairs(sf_dir: str):
     )
 
 
+def jaro_dedup_pairs(sf_dir: str):
+    """LSH candidates verified by JARO-WINKLER similarity >= 0.90 (the
+    record-linkage metric: prefix-weighted, typo tolerant), quantized to
+    1e-4 like the cosine verifies; DuckDB's own jaro_winkler_similarity is
+    the mirror (byte-level parity pinned by fuzz in tests)."""
+    from .pipelines.dedup import jaro_winkler_pairs_pipeline
+
+    return jaro_winkler_pairs_pipeline(
+        _docs(sf_dir), key_col="doc_id", text_col="text", threshold=0.90
+    )
+
+
 def damerau_dedup_pairs(sf_dir: str):
     """LSH candidates verified by FULL Damerau-Levenshtein distance <= 40
     (adjacent transpositions cost 1 — the typo/OCR near-dup metric).  Same
@@ -3469,6 +3481,7 @@ QUERIES = {
     "levenshtein_dedup_pairs": levenshtein_dedup_pairs,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "damerau_dedup_pairs": damerau_dedup_pairs,
+    "jaro_dedup_pairs": jaro_dedup_pairs,
     "containment_dedup_pairs": containment_dedup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dup_fraction_docs": dup_fraction_docs,
@@ -4594,6 +4607,17 @@ def _family_oracles() -> dict:
             JOIN documents da ON da.doc_id = p.a
             JOIN documents db ON db.doc_id = p.b
             WHERE levenshtein(da.text, db.text) <= 40
+        """,
+        "jaro_dedup_pairs": f"""
+            WITH jw_pairs AS ({lsh_pairs_sql(**dedup_kw)})
+            SELECT p.a, p.b,
+                   CAST(floor(jaro_winkler_similarity(da.text, db.text)
+                              * 10000 + 0.5) AS BIGINT) AS jw4
+            FROM jw_pairs p
+            JOIN documents da ON da.doc_id = p.a
+            JOIN documents db ON db.doc_id = p.b
+            WHERE floor(jaro_winkler_similarity(da.text, db.text)
+                        * 10000 + 0.5) >= 9000
         """,
         "damerau_dedup_pairs": f"""
             WITH dl_pairs AS ({lsh_pairs_sql(**dedup_kw)})
