@@ -283,7 +283,7 @@ def _dedup_job_rows(job: str) -> int:
     elif job == "pairs":
         default = 16_000_000  # lang x repo: ~1.8M groups at this size
     elif job == "graph":
-        default = 8_000_000  # x2 edges per row: 16M-edge PageRank
+        default = 16_000_000  # x2 edges per row: 32M-edge PageRank
     else:
         default = 16_000_000
     return int(os.environ.get(f"GRAFT_DEDUP_ROWS_{job.upper()}", default))

@@ -40,6 +40,7 @@ from ..core.hashing import hash64_int
 __all__ = ["pagerank_pipeline", "bfs_hops_pipeline", "triangle_count_pipeline"]
 
 PR_SCALE = 10**12
+_PR_REDUCE_PARTS = 64
 
 
 def _with_part(t: pa.Table, col: str, num_partitions: int) -> pa.Table:
@@ -157,10 +158,28 @@ def pagerank_pipeline(
     dst_col: str = "dst",
     iters: int = 3,
     num_partitions: int = 64,
+    mode: str = "auto",
+    max_broadcast_nodes: int = 8_000_000,
 ):
     """Dataset[(src, dst)] -> Dataset[(node, rank_fp)]: ``iters`` exact
     fixed-point PageRank iterations (damping 0.85, SCALE=1e12, dangling
-    mass redistributed uniformly) over the DISTINCT directed edge set."""
+    mass redistributed uniformly) over the DISTINCT directed edge set.
+
+    Two physical plans with BIT-IDENTICAL output (exact integers):
+
+    * ``"broadcast"`` — the Spark-classic shape: the (node, rank//outdeg)
+      table broadcasts each iteration, the PINNED edge blocks emit
+      block-pre-aggregated (dst, contribution) partials, and one thin
+      keyed sum folds them.  The edge table is NEVER re-shuffled.  Rank
+      state is O(nodes) on the driver — right while the node table fits
+      (a 2M-node rank array is 48 MB).
+    * ``"shuffle"`` — fully distributed state: rank rows co-partition
+      with the edge table and every iteration is a state-union +
+      keyed-fold exchange (the cc.py formulation).  Edge rows ride
+      through the per-iteration groupby, so it costs more per iteration
+      but holds no per-node driver state — the >max_broadcast_nodes path.
+
+    ``"auto"`` picks broadcast iff the node count fits."""
     dedup = _distinct_edges(
         edges, src_col=src_col, dst_col=dst_col, num_partitions=num_partitions
     )
@@ -175,6 +194,20 @@ def pagerank_pipeline(
             ),
             batch_format="pyarrow",
         )
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"mode must be auto|broadcast|shuffle, got {mode!r}")
+    if mode in ("auto", "broadcast"):
+        try:
+            return _pagerank_broadcast(
+                dedup,
+                iters=iters,
+                max_nodes=(
+                    max_broadcast_nodes if mode == "auto" else (1 << 62)
+                ),
+            )
+        except _TooManyNodes:
+            pass  # auto: node table too large to broadcast -> shuffle plan
+
     states, n_nodes = _node_states(dedup, num_partitions=num_partitions)
     base_share = PR_SCALE // n_nodes  # SCALE // N, reused everywhere
 
@@ -346,13 +379,16 @@ def pagerank_pipeline(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        # the repartition cap is LOAD-BEARING: without it the next
+        # iteration's union/groupby lineage fans out over the groupby's
+        # many small output blocks (measured 23.5 s -> 183 s at 16M edges)
         ranks = (
             msg_rows.union(old_rows)
             .groupby("_part")
             .map_groups(
                 make_fold(dang_share, base), batch_format="pyarrow"
             )
-            .repartition(min(num_partitions, 16))  # cap iterative block growth
+            .repartition(min(num_partitions, 16))
             .materialize()
         )
 
@@ -362,6 +398,207 @@ def pagerank_pipeline(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+class _TooManyNodes(Exception):
+    """Broadcast PageRank found more nodes than the caller's cap."""
+
+
+def _pagerank_broadcast(dedup, *, iters: int, max_nodes: int):
+    """Broadcast-rank PageRank (see pagerank_pipeline docstring).
+
+    ONE exchange total, then shuffle-free iterations:
+
+      build: the only all-to-all re-pins the edges partitioned + sorted
+      by DST.  The same map that feeds it ALSO emits each block's final
+      (src, outdeg) rows — the dedup'd table is src-partitioned, so
+      segment counts are exact with no extra pass; the carrier rows ride
+      the one shuffle (2 extra columns, #nodes extra rows).  The pinned
+      blocks then yield the exact distinct-dst set (each dst lives in
+      exactly one block), and the driver assembles nodes/outdeg arrays.
+
+      iterate: one map over the pinned blocks — contribution lookup via a
+      single searchsorted against the broadcast node array + reduceat
+      over the presorted dst runs; each block's output IS the final
+      per-dst in-sum for its partition; thin (node, sum) blocks collect
+      via arrow refs and the exact-integer update runs vectorized on the
+      driver.  No shuffle, no sort, ever again.
+
+    (History: the first formulation shuffled per-block partials through a
+    keyed fold every iteration — the three partial exchanges were the
+    measured wall floor at 16M edges; the native groupby().sum() variant
+    before it spent 60 s finalizing 1.7M groups; a separate node-states
+    shuffle and an int32-index rewrite pass each added a barrier that
+    cost more than it saved.)
+
+    Raises :class:`_TooManyNodes` if the node table exceeds ``max_nodes``
+    (rank state is O(nodes) on the driver and broadcast per iteration).
+    """
+    import ray
+    import ray.data as rd
+
+    def to_dst_part(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        part = (hash64_int(dst) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+        if src.size:
+            # src-partitioned dedup blocks are (src, dst)-sorted: segment
+            # counts are each src's FINAL out-degree — emit them as
+            # carrier rows (is_deg=1) through the one shuffle
+            new = np.empty(src.size, dtype=bool)
+            new[0] = True
+            new[1:] = src[1:] != src[:-1]
+            starts = np.flatnonzero(new)
+            deg_node = src[starts]
+            deg_val = np.diff(np.append(starts, src.size))
+        else:
+            deg_node = src[:0]
+            deg_val = src[:0]
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate([dst, deg_node])),
+                "src": pa.array(np.concatenate([src, deg_val])),
+                "is_deg": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(dst.size, dtype=np.int8),
+                            np.ones(deg_node.size, dtype=np.int8),
+                        ]
+                    )
+                ),
+                "_part": pa.array(
+                    np.concatenate(
+                        [
+                            part,
+                            (
+                                hash64_int(deg_node)
+                                % np.uint64(_PR_REDUCE_PARTS)
+                            ).astype(np.int32),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def sort_block(g: pa.Table) -> pa.Table:
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        isd = g.column("is_deg").to_numpy(zero_copy_only=False)
+        o = np.lexsort((dst,))
+        return pa.table(
+            {
+                "dst": pa.array(dst[o]),
+                "src": pa.array(src[o]),
+                "is_deg": pa.array(isd[o]),
+            }
+        )
+
+    by_dst = (
+        dedup.map_batches(to_dst_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(sort_block, batch_format="pyarrow")
+        .materialize()  # pinned for every iteration
+    )
+
+    # one collect pass: distinct dsts AND the deg carrier rows per block
+    def block_meta(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        isd = t.column("is_deg").to_numpy(zero_copy_only=False)
+        e = isd == 0
+        d_e = dst[e]
+        if d_e.size:
+            new = np.empty(d_e.size, dtype=bool)
+            new[0] = True
+            new[1:] = d_e[1:] != d_e[:-1]
+            uniq = d_e[np.flatnonzero(new)]
+        else:
+            uniq = d_e
+        m = isd == 1
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([uniq, dst[m]])),
+                "deg": pa.array(
+                    np.concatenate([np.zeros(uniq.size, dtype=np.int64), src[m]])
+                ),
+                "is_deg": pa.array(
+                    np.concatenate(
+                        [np.zeros(uniq.size, dtype=np.int8), np.ones(int(m.sum()), dtype=np.int8)]
+                    )
+                ),
+            }
+        )
+
+    meta_tabs = [
+        ray.get(r)
+        for r in by_dst.map_batches(
+            block_meta, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    meta = pa.concat_tables([t for t in meta_tabs if t.num_rows])
+    m_node = meta.column("node").to_numpy(zero_copy_only=False)
+    m_deg = meta.column("deg").to_numpy(zero_copy_only=False)
+    m_isd = meta.column("is_deg").to_numpy(zero_copy_only=False)
+    nodes_arr = np.unique(m_node)  # union of distinct dsts and srcs
+    n_nodes = int(nodes_arr.size)
+    if n_nodes > max_nodes:
+        raise _TooManyNodes(n_nodes)
+    outdeg_arr = np.zeros(n_nodes, dtype=np.int64)
+    dm = m_isd == 1
+    outdeg_arr[np.searchsorted(nodes_arr, m_node[dm])] = m_deg[dm]
+    nodes_ref = ray.put(nodes_arr)
+
+    base_share = PR_SCALE // n_nodes
+    dangling = outdeg_arr == 0
+    r_arr = np.full(n_nodes, base_share, dtype=np.int64)
+    base = (base_share * 15) // 100
+    safe_deg = np.where(dangling, 1, outdeg_arr)
+
+    for _ in range(iters):
+        dang_share = int(r_arr[dangling].sum()) // n_nodes
+        contrib_arr = np.where(dangling, 0, r_arr // safe_deg)
+        ref = ray.put(contrib_arr)
+
+        def in_sums(t: pa.Table) -> pa.Table:
+            ns = ray.get(nodes_ref)
+            ca = ray.get(ref)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            isd = t.column("is_deg").to_numpy(zero_copy_only=False)
+            e = isd == 0
+            dst, src = dst[e], src[e]
+            if not dst.size:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                )
+            c = ca[np.searchsorted(ns, src)]
+            new = np.empty(dst.size, dtype=bool)
+            new[0] = True
+            new[1:] = dst[1:] != dst[:-1]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {
+                    "node": pa.array(dst[starts]),
+                    "s": pa.array(np.add.reduceat(c, starts)),
+                }
+            )
+
+        in_sum = np.zeros(n_nodes, dtype=np.int64)
+        reduced = by_dst.map_batches(
+            in_sums, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for tr in reduced.to_arrow_refs():
+            t = ray.get(tr)
+            if t.num_rows:
+                idx = np.searchsorted(
+                    nodes_arr, t.column("node").to_numpy(zero_copy_only=False)
+                )
+                in_sum[idx] = t.column("s").to_numpy(zero_copy_only=False)
+        r_arr = base + (85 * (in_sum + dang_share)) // 100
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes_arr), "rank_fp": pa.array(r_arr)})
     )
 
 

@@ -204,3 +204,18 @@ class TestTriangles:
             int(got.n_wedges[0]),
             float(got.transitivity[0]),
         ) == (0, 0, 0.0)
+
+
+class TestPageRankModes:
+    def test_broadcast_equals_shuffle(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(31, 2500)
+        tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        a = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(3), num_partitions=8, mode="broadcast"
+        ).to_pandas()
+        b = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(3), num_partitions=8, mode="shuffle"
+        ).to_pandas()
+        assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
