@@ -32,6 +32,7 @@ __all__ = [
     "moving_window_pipeline",
     "ranked_analytics_pipeline",
     "funnel_pipeline",
+    "multi_funnel_pipeline",
     "ordered_concat_pipeline",
 ]
 
@@ -575,3 +576,119 @@ def ordered_concat_pipeline(
         )
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def multi_funnel_pipeline(
+    ds,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps,
+    window_s: int,
+    num_partitions: int = 64,
+):
+    """K-stage ordered funnel: -> Dataset[(step, event_type, users)].
+
+    Stage 0 users = anyone with a ``steps[0]`` event (anchor = their FIRST
+    such event); stage i users = stage i-1 users whose FIRST ``steps[i]``
+    event at ts >= the previous matched ts lies within ``window_s``
+    seconds of it (inclusive bounds, per-step window).  Generalizes
+    :func:`funnel_pipeline` to arbitrary chains.
+
+    Same physical plan: filter to the step types before the one user-hash
+    shuffle; each partition resolves every resident user's whole chain
+    with one lexsort per step + the joins.py merge-rank trick (no per-user
+    Python); only K per-partition counts leave the reduce.
+    """
+    from ..core.hashing import hash64_int
+    from .joins import _merge_rank
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("multi_funnel_pipeline needs >= 2 steps")
+    win_us = int(window_s) * 1_000_000
+    step_idx = {name: i for i, name in enumerate(steps)}
+
+    def project(t: pa.Table) -> pa.Table:
+        ty = t.column(type_col).to_numpy(zero_copy_only=False)
+        sel = np.isin(ty, np.array(steps, dtype=object))
+        u = t.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)[sel]
+        si = np.fromiter(
+            (step_idx[x] for x in ty[sel].tolist()), dtype=np.int8, count=int(sel.sum())
+        )
+        part = (hash64_int(u) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "us": pa.array(us),
+                "si": pa.array(si),
+                "_part": pa.array(part),
+            }
+        )
+
+    parted = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        si = g.column("si").to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(steps), dtype=np.int64)
+        # stage 0: first anchor event per user
+        m0 = si == 0
+        if m0.any():
+            u0, t0 = u[m0], us[m0]
+            order = np.lexsort((t0, u0))
+            u0, t0 = u0[order], t0[order]
+            first = np.empty(u0.size, dtype=bool)
+            first[0] = True
+            first[1:] = u0[1:] != u0[:-1]
+            alive_u, alive_t = u0[first], t0[first]
+        else:
+            alive_u = u[:0]
+            alive_t = us[:0]
+        counts[0] = alive_u.size
+        for i in range(1, len(steps)):
+            if not alive_u.size:
+                break
+            mi = si == i
+            ui, ti = u[mi], us[mi]
+            order = np.lexsort((ti, ui))
+            ui, ti = ui[order], ti[order]
+            # first step-i event at (user, ts) >= (u, prev_ts)
+            pos = _merge_rank(ui, ti, alive_u, alive_t - 1, inclusive=True)
+            ok = pos < ui.size
+            pos_c = np.minimum(pos, max(ui.size - 1, 0))
+            ok &= ui[pos_c] == alive_u
+            ok &= ti[pos_c] - alive_t <= win_us
+            alive_u = alive_u[ok]
+            alive_t = ti[pos_c[ok]]
+            counts[i] = alive_u.size
+        return pa.table(
+            {
+                "step": pa.array(np.arange(len(steps), dtype=np.int64)),
+                "users": pa.array(counts),
+            }
+        )
+
+    summed = (
+        parted.groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+        .groupby("step")
+        .sum("users")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        st = t.column("step").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "step": pa.array(st),
+                "event_type": pa.array([steps[int(x)] for x in st], pa.string()),
+                "users": pa.array(
+                    t.column("sum(users)").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -1150,6 +1150,25 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def funnel_view_click_purchase(sf_dir: str):
+    """Three-stage ordered funnel view -> click -> purchase (each stage's
+    FIRST qualifying event within 1 h of the previous match, inclusive) —
+    the k-step generalization of the two-stage funnel, resolved per user
+    partition with one lexsort per stage + the merge-rank trick
+    (pipelines/windows.py::multi_funnel_pipeline)."""
+    from .pipelines.windows import multi_funnel_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return multi_funnel_pipeline(
+        ds,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=("view", "click", "purchase"),
+        window_s=3600,
+    )
+
+
 def vocab_jaccard_sources(sf_dir: str):
     """EXACT vocabulary Jaccard between every source pair — per-token
     G-bit membership masks collapse all pairwise set ops into one KB
@@ -3427,6 +3446,7 @@ QUERIES = {
     "bootstrap_mean_chars_by_lang": bootstrap_mean_chars_by_lang,
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
     "vocab_jaccard_sources": vocab_jaccard_sources,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5355,6 +5375,33 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+ORACLE_SQL["funnel_view_click_purchase"] = """
+    WITH s0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s0 ON s0.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t
+        AND epoch_us(e.ts) - s0.t <= 3600000000
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t
+        AND epoch_us(e.ts) - s1.t <= 3600000000
+      GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+    UNION ALL
+    SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+"""
 
 ORACLE_SQL["vocab_jaccard_sources"] = """
     WITH src AS (
