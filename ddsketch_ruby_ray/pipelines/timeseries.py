@@ -21,7 +21,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["daily_count_autocorr_pipeline"]
+__all__ = ["daily_count_autocorr_pipeline", "cusum_daily_pipeline"]
 
 US_PER_DAY = 86_400_000_000
 
@@ -79,6 +79,76 @@ def daily_count_autocorr_pipeline(ds, *, ts_col: str, lag: int = 1):
             {
                 "n_pairs": pa.array([n], pa.int64()),
                 "r": pa.array([r], pa.float64()),
+            }
+        )
+
+    return series.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cusum_daily_pipeline(ds, *, ts_col: str):
+    """Two-sided CUSUM change-point statistic over the DENSE daily count
+    series: -> Dataset[(day, cnt, cusum_pos, cusum_neg)].
+
+    Page's cumulative-sum detector with allowance k = floor(mean daily
+    count):  pos_t = max(0, pos_{t-1} + cnt_t - k),  neg_t = max(0,
+    neg_{t-1} + k - cnt_t) — a spike/drought alarm raises where the
+    statistic runs away.  Calendar days with no events count as ZERO
+    (gap-filled between the observed min and max day), which is what makes
+    a total outage visible.  All arithmetic is exact int64; the recurrence
+    is inherently sequential, so it runs over the KB-sized daily series in
+    the single finalize partition (the distributed work is the count
+    reduction) and the SQL mirror is a recursive CTE.
+    """
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(vals), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    series = (
+        ds.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("c")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cnt = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "cusum_pos": pa.array([], pa.int64()),
+                "cusum_neg": pa.array([], pa.int64()),
+            }
+        )
+        if not day.size:
+            return empty
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        dense_days = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+        dense = np.zeros(dense_days.size, dtype=np.int64)
+        dense[np.searchsorted(dense_days, day)] = cnt
+        k = int(dense.sum()) // dense.size  # floor mean over CALENDAR days
+        pos = np.zeros(dense.size, dtype=np.int64)
+        neg = np.zeros(dense.size, dtype=np.int64)
+        p = n = 0
+        for i, x in enumerate(dense.tolist()):  # sequential by nature; KB series
+            p = max(0, p + x - k)
+            n = max(0, n + k - x)
+            pos[i] = p
+            neg[i] = n
+        return pa.table(
+            {
+                "day": pa.array(dense_days),
+                "cnt": pa.array(dense),
+                "cusum_pos": pa.array(pos),
+                "cusum_neg": pa.array(neg),
             }
         )
 

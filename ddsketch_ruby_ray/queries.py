@@ -1150,6 +1150,17 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def cusum_daily_events(sf_dir: str):
+    """Page's two-sided CUSUM change-point statistic over the gap-filled
+    daily event-count series (allowance = floor mean; exact int64; the
+    inherently-sequential recurrence runs over the KB daily series —
+    pipelines/timeseries.py::cusum_daily_pipeline)."""
+    from .pipelines.timeseries import cusum_daily_pipeline
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return cusum_daily_pipeline(ds, ts_col="ts")
+
+
 def funnel_view_click_purchase(sf_dir: str):
     """Three-stage ordered funnel view -> click -> purchase (each stage's
     FIRST qualifying event within 1 h of the previous match, inclusive) —
@@ -3447,6 +3458,7 @@ QUERIES = {
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
     "vocab_jaccard_sources": vocab_jaccard_sources,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cusum_daily_events": cusum_daily_events,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5375,6 +5387,43 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+ORACLE_SQL["cusum_daily_events"] = """
+    WITH RECURSIVE c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT min(day) AS d0, max(day) AS d1,
+             CAST(sum(cnt) AS BIGINT) AS tot
+      FROM c
+    ),
+    days AS (
+      SELECT b.d0 + x.x AS day
+      FROM b, LATERAL (
+        SELECT unnest(range(CAST(b.d1 - b.d0 + 1 AS BIGINT))) AS x
+      ) x
+    ),
+    dense AS (
+      SELECT days.day, COALESCE(c.cnt, 0) AS cnt
+      FROM days LEFT JOIN c USING (day)
+    ),
+    kk AS (SELECT tot // (d1 - d0 + 1) AS k FROM b),
+    r AS (
+      SELECT d.day, d.cnt,
+             GREATEST(CAST(0 AS BIGINT), d.cnt - kk.k) AS cusum_pos,
+             GREATEST(CAST(0 AS BIGINT), kk.k - d.cnt) AS cusum_neg
+      FROM dense d, kk WHERE d.day = (SELECT d0 FROM b)
+      UNION ALL
+      SELECT d.day, d.cnt,
+             GREATEST(CAST(0 AS BIGINT), r.cusum_pos + d.cnt - kk.k),
+             GREATEST(CAST(0 AS BIGINT), r.cusum_neg + kk.k - d.cnt)
+      FROM r JOIN dense d ON d.day = r.day + 1
+      CROSS JOIN kk
+    )
+    SELECT day, cnt, cusum_pos, cusum_neg FROM r
+"""
 
 ORACLE_SQL["funnel_view_click_purchase"] = """
     WITH s0 AS (

@@ -60,3 +60,57 @@ class TestDailyAutocorr:
         days = [0, 1, 2, 3] * 7  # every day the same count
         n, r = _run(days)
         assert (n, r) == (3, 0.0)
+
+
+class TestCusumDaily:
+    def _run(self, days):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import cusum_daily_pipeline
+
+        us = np.asarray(days, np.int64) * US_PER_DAY + 7
+        tbl = pa.table({"ts": pa.array(us, pa.int64())})
+        return (
+            cusum_daily_pipeline(rd.from_arrow(tbl).repartition(3), ts_col="ts")
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+
+    def test_vs_brute(self, ray_session):
+        rng = np.random.default_rng(23)
+        days = rng.integers(0, 40, 4000)
+        df = self._run(days)
+        vals, cnt = np.unique(np.asarray(days, np.int64), return_counts=True)
+        dense_days = list(range(int(vals[0]), int(vals[-1]) + 1))
+        lut = dict(zip(vals.tolist(), cnt.tolist()))
+        dense = [lut.get(d, 0) for d in dense_days]
+        k = sum(dense) // len(dense)
+        p = n = 0
+        exp_p, exp_n = [], []
+        for x in dense:
+            p = max(0, p + x - k)
+            n = max(0, n + k - x)
+            exp_p.append(p)
+            exp_n.append(n)
+        assert df.day.tolist() == dense_days
+        assert df.cnt.tolist() == dense
+        assert df.cusum_pos.tolist() == exp_p
+        assert df.cusum_neg.tolist() == exp_n
+
+    def test_gap_days_zero_filled_and_alarm(self, ray_session):
+        # steady 10/day, then a 3-day outage: cusum_neg climbs by k each day
+        days = [d for d in range(10) for _ in range(10)] + [13] * 10
+        df = self._run(days)
+        assert len(df) == 14
+        assert df.cnt.tolist()[10:13] == [0, 0, 0]
+        k = (10 * 11) // 14
+        assert df.cusum_neg.tolist()[10:13] == [k, 2 * k, 3 * k]
+
+    def test_level_shift_detected(self, ray_session):
+        # 5/day for 20 days then 50/day for 5 days: cusum_pos explodes late
+        days = [d for d in range(20) for _ in range(5)] + [
+            d for d in range(20, 25) for _ in range(50)
+        ]
+        df = self._run(days)
+        assert df.cusum_pos.iloc[-1] > 5 * df.cusum_pos.iloc[19]
