@@ -21,7 +21,11 @@ import math
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["daily_count_autocorr_pipeline", "cusum_daily_pipeline"]
+__all__ = [
+    "daily_count_autocorr_pipeline",
+    "cusum_daily_pipeline",
+    "ewma_daily_pipeline",
+]
 
 US_PER_DAY = 86_400_000_000
 
@@ -149,6 +153,68 @@ def cusum_daily_pipeline(ds, *, ts_col: str):
                 "cnt": pa.array(dense),
                 "cusum_pos": pa.array(pos),
                 "cusum_neg": pa.array(neg),
+            }
+        )
+
+    return series.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ewma_daily_pipeline(ds, *, ts_col: str, alpha: float = 0.3):
+    """Exponentially weighted moving average of the DENSE daily count
+    series: -> Dataset[(day, cnt, ewma)].
+
+    ewma_0 = cnt_0;  ewma_t = alpha * cnt_t + (1 - alpha) * ewma_{t-1} —
+    the smoothing recurrence is sequential, so like the CUSUM it runs over
+    the KB daily series in the single finalize partition.  Although the
+    values are floats, the recurrence evaluates the SAME IEEE ops in the
+    SAME order on both sides (a recursive CTE is sequential too), so the
+    mirror is bit-exact with no quantization.  Gap days count as zero.
+    """
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(vals), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    series = (
+        ds.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("c")
+    )
+    a = float(alpha)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cnt = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        if not day.size:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        dense_days = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+        dense = np.zeros(dense_days.size, dtype=np.int64)
+        dense[np.searchsorted(dense_days, day)] = cnt
+        out = np.empty(dense.size, dtype=np.float64)
+        e = float(dense[0])
+        out[0] = e
+        for i in range(1, dense.size):  # sequential recurrence; KB series
+            e = a * float(dense[i]) + (1.0 - a) * e
+            out[i] = e
+        return pa.table(
+            {
+                "day": pa.array(dense_days),
+                "cnt": pa.array(dense),
+                "ewma": pa.array(out),
             }
         )
 

@@ -1150,6 +1150,17 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def ewma_daily_events(sf_dir: str):
+    """EWMA smoothing (alpha=0.3) of the gap-filled daily event-count
+    series — the sequential float recurrence evaluates identical IEEE ops
+    in identical order on both sides (recursive CTE mirror), so even the
+    float column is bit-exact (pipelines/timeseries.py)."""
+    from .pipelines.timeseries import ewma_daily_pipeline
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return ewma_daily_pipeline(ds, ts_col="ts", alpha=0.3)
+
+
 def cusum_daily_events(sf_dir: str):
     """Page's two-sided CUSUM change-point statistic over the gap-filled
     daily event-count series (allowance = floor mean; exact int64; the
@@ -3459,6 +3470,7 @@ QUERIES = {
     "vocab_jaccard_sources": vocab_jaccard_sources,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cusum_daily_events": cusum_daily_events,
+    "ewma_daily_events": ewma_daily_events,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5387,6 +5399,34 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+ORACLE_SQL["ewma_daily_events"] = """
+    WITH RECURSIVE c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+    days AS (
+      SELECT b.d0 + x.x AS day
+      FROM b, LATERAL (
+        SELECT unnest(range(CAST(b.d1 - b.d0 + 1 AS BIGINT))) AS x
+      ) x
+    ),
+    dense AS (
+      SELECT days.day, COALESCE(c.cnt, 0) AS cnt
+      FROM days LEFT JOIN c USING (day)
+    ),
+    r AS (
+      SELECT d.day, d.cnt, CAST(d.cnt AS DOUBLE) AS ewma
+      FROM dense d WHERE d.day = (SELECT d0 FROM b)
+      UNION ALL
+      SELECT d.day, d.cnt,
+             0.3 * CAST(d.cnt AS DOUBLE) + (1.0 - 0.3) * r.ewma
+      FROM r JOIN dense d ON d.day = r.day + 1
+    )
+    SELECT day, cnt, ewma FROM r
+"""
 
 ORACLE_SQL["cusum_daily_events"] = """
     WITH RECURSIVE c AS (

@@ -114,3 +114,46 @@ class TestCusumDaily:
         ]
         df = self._run(days)
         assert df.cusum_pos.iloc[-1] > 5 * df.cusum_pos.iloc[19]
+
+
+class TestEwmaDaily:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import ewma_daily_pipeline
+
+        rng = np.random.default_rng(29)
+        days = rng.integers(0, 25, 2000)
+        us = np.asarray(days, np.int64) * US_PER_DAY + 3
+        df = (
+            ewma_daily_pipeline(
+                rd.from_arrow(pa.table({"ts": pa.array(us, pa.int64())})).repartition(3),
+                ts_col="ts",
+                alpha=0.3,
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        vals, cnt = np.unique(np.asarray(days, np.int64), return_counts=True)
+        lut = dict(zip(vals.tolist(), cnt.tolist()))
+        dense = [lut.get(d, 0) for d in range(int(vals[0]), int(vals[-1]) + 1)]
+        e = float(dense[0])
+        exp = [e]
+        for x in dense[1:]:
+            e = 0.3 * float(x) + (1.0 - 0.3) * e
+            exp.append(e)
+        assert df.ewma.tolist() == exp  # bit-exact: same op order
+
+    def test_constant_series_is_fixed_point(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import ewma_daily_pipeline
+
+        days = [d for d in range(10) for _ in range(4)]
+        us = np.asarray(days, np.int64) * US_PER_DAY
+        df = ewma_daily_pipeline(
+            rd.from_arrow(pa.table({"ts": pa.array(us, pa.int64())})),
+            ts_col="ts",
+        ).to_pandas()
+        assert set(df.ewma.tolist()) == {4.0}
