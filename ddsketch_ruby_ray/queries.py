@@ -1150,6 +1150,85 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def ab_event_mix_zscores(sf_dir: str):
+    """A/B experiment readout: users hash-split 50/50 (seed 1); for each
+    event type, the two-proportion z-score of its share of each arm's
+    traffic.  Counts are exact ints through one tiny (type, arm) shuffle;
+    the z expression is evaluated in a fixed IEEE op order, so the float
+    column is bit-exact vs SQL."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ds = assign_split(
+        ds, id_col="user_id", splits={"A": 0.5, "B": 0.5}, seed=1, out_col="grp"
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        gr = t.column("grp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((gr, ty))
+        t_s, g_s = ty[order], gr[order]
+        new = np.empty(t_s.size, dtype=bool)
+        if t_s.size:
+            new[0] = True
+            new[1:] = (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, t_s.size)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(t_s[starts].tolist(), pa.string()),
+                "grp": pa.array(g_s[starts].tolist(), pa.string()),
+                "c": pa.array(c),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "grp"])
+        .sum("c")
+        .take_all()  # <= #types x 2 rows
+    )
+    ca: dict = {}
+    cb: dict = {}
+    for r in counts:
+        (ca if r["grp"] == "A" else cb)[r["event_type"]] = int(r["sum(c)"])
+    ta = sum(ca.values())
+    tb = sum(cb.values())
+    rows = {"event_type": [], "n_a": [], "n_b": [], "z": []}
+    for ty in sorted(set(ca) | set(cb)):
+        na, nb = ca.get(ty, 0), cb.get(ty, 0)
+        if ta == 0 or tb == 0:
+            z = 0.0
+        else:
+            pp = float(na + nb) / float(ta + tb)
+            if pp <= 0.0 or pp >= 1.0:
+                z = 0.0
+            else:
+                z = (float(na) / float(ta) - float(nb) / float(tb)) / math.sqrt(
+                    pp * (1.0 - pp) * (1.0 / float(ta) + 1.0 / float(tb))
+                )
+        rows["event_type"].append(ty)
+        rows["n_a"].append(na)
+        rows["n_b"].append(nb)
+        rows["z"].append(z)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n_a": pa.array(rows["n_a"], pa.int64()),
+                "n_b": pa.array(rows["n_b"], pa.int64()),
+                "z": pa.array(rows["z"], pa.float64()),
+            }
+        )
+    )
+
+
 def ewma_daily_events(sf_dir: str):
     """EWMA smoothing (alpha=0.3) of the gap-filled daily event-count
     series — the sequential float recurrence evaluates identical IEEE ops
@@ -3471,6 +3550,7 @@ QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cusum_daily_events": cusum_daily_events,
     "ewma_daily_events": ewma_daily_events,
+    "ab_event_mix_zscores": ab_event_mix_zscores,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5399,6 +5479,52 @@ def _bootstrap_sql(
     JOIN r hi ON hi.g = pt.g AND hi.rn = {hi_rn}
 """
 
+
+def _ab_zscores_sql() -> str:
+    from .core.hashing import splitmix64_sql
+    from .stages.sampling import split_thresholds
+
+    h = splitmix64_sql("user_id", 1)
+    th = split_thresholds([0.5, 0.5])[0]
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN {h} < {th}::HUGEINT THEN 'A' ELSE 'B' END AS grp
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2
+    ),
+    t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY grp),
+    w AS (
+      SELECT e.event_type,
+             COALESCE((SELECT n FROM c WHERE c.event_type = e.event_type
+                       AND c.grp = 'A'), 0) AS n_a,
+             COALESCE((SELECT n FROM c WHERE c.event_type = e.event_type
+                       AND c.grp = 'B'), 0) AS n_b,
+             COALESCE((SELECT t FROM t WHERE grp = 'A'), 0) AS ta,
+             COALESCE((SELECT t FROM t WHERE grp = 'B'), 0) AS tb
+      FROM (SELECT DISTINCT event_type FROM events) e
+    )
+    SELECT event_type, n_a, n_b,
+           CASE WHEN ta = 0 OR tb = 0
+                     OR CAST(n_a + n_b AS DOUBLE) / CAST(ta + tb AS DOUBLE) <= 0.0
+                     OR CAST(n_a + n_b AS DOUBLE) / CAST(ta + tb AS DOUBLE) >= 1.0
+                THEN 0.0
+                ELSE (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                      - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+                     / sqrt((CAST(n_a + n_b AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+                            * (1.0 - CAST(n_a + n_b AS DOUBLE)
+                                     / CAST(ta + tb AS DOUBLE))
+                            * (1.0 / CAST(ta AS DOUBLE)
+                               + 1.0 / CAST(tb AS DOUBLE)))
+           END AS z
+    FROM w
+"""
+
+
+ORACLE_SQL["ab_event_mix_zscores"] = _ab_zscores_sql()
 
 ORACLE_SQL["ewma_daily_events"] = """
     WITH RECURSIVE c AS (
