@@ -602,6 +602,87 @@ def _pagerank_broadcast(dedup, *, iters: int, max_nodes: int):
     )
 
 
+def _bfs_broadcast(dedup, seeds, *, seed_col: str, max_hops: int, max_nodes: int):
+    """Broadcast-frontier BFS over the pinned src-partitioned edge table:
+    per hop, ONE map (mask edges whose src is in the broadcast frontier —
+    searchsorted over the sorted frontier — emit block-distinct dsts) and
+    one arrow-ref collect; the driver keeps the visited set (O(reached
+    nodes) — the same fits-in-memory contract as the PageRank broadcast
+    plan) and diffs the next frontier.  No shuffle after the one-time
+    edge build."""
+    import ray
+    import ray.data as rd
+
+    seed_tabs = [
+        ray.get(r)
+        for r in seeds.map_batches(
+            lambda t: pa.table(
+                {"node": t.column(seed_col).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
+    ]
+    seed_tabs = [t for t in seed_tabs if t.num_rows]
+    if seed_tabs:
+        frontier = np.unique(
+            pa.concat_tables(seed_tabs).column("node").to_numpy(zero_copy_only=False)
+        )
+    else:
+        frontier = np.empty(0, dtype=np.int64)
+    visited_nodes = [frontier]
+    visited_hops = [np.zeros(frontier.size, dtype=np.int64)]
+    visited_sorted = frontier.copy()
+
+    for hop in range(1, max_hops + 1):
+        if not frontier.size:
+            break
+        if visited_sorted.size > max_nodes:
+            raise _TooManyNodes(int(visited_sorted.size))
+        ref = ray.put(frontier)  # sorted
+
+        def neighbors(t: pa.Table) -> pa.Table:
+            fr = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(fr, src)
+            pos_c = np.minimum(pos, max(fr.size - 1, 0))
+            hit = fr.size and (fr[pos_c] == src)
+            cand = np.unique(dst[hit]) if np.any(hit) else dst[:0]
+            return pa.table({"node": pa.array(cand)})
+
+        tabs = [
+            ray.get(r)
+            for r in dedup.map_batches(
+                neighbors, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            break
+        cand = np.unique(
+            pa.concat_tables(tabs).column("node").to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(visited_sorted, cand)
+        pos_c = np.minimum(pos, max(visited_sorted.size - 1, 0))
+        fresh = cand[~((visited_sorted.size > 0) & (visited_sorted[pos_c] == cand))]
+        if not fresh.size:
+            break
+        visited_nodes.append(fresh)
+        visited_hops.append(np.full(fresh.size, hop, dtype=np.int64))
+        visited_sorted = np.union1d(visited_sorted, fresh)
+        frontier = fresh  # already sorted (np.unique / boolean filter)
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.concatenate(visited_nodes)),
+                "hops": pa.array(np.concatenate(visited_hops)),
+            }
+        )
+    )
+
+
 def bfs_hops_pipeline(
     edges,
     seeds,
@@ -611,12 +692,20 @@ def bfs_hops_pipeline(
     seed_col: str = "node",
     max_hops: int = 4,
     num_partitions: int = 64,
+    mode: str = "auto",
+    max_broadcast_nodes: int = 8_000_000,
 ):
     """Dataset[(src, dst)] x Dataset[seed nodes] -> Dataset[(node, hops)]:
     minimum hop count (<= max_hops) from ANY seed over the UNDIRECTED edge
-    set; unreachable nodes are absent.  Frontier-style min-propagation:
-    only nodes whose hop IMPROVED last round send messages, so late rounds
-    touch the frontier, not the graph."""
+    set; unreachable nodes are absent.
+
+    ``mode="broadcast"`` (and ``"auto"`` while the reached set fits):
+    broadcast-frontier expansion over the pinned edge table — one shuffle
+    total (the edge build), one map + collect per hop.  ``"shuffle"``:
+    fully distributed frontier-style min-propagation (only nodes whose hop
+    improved message their neighbors) — the unbounded-reach path."""
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"mode must be auto|broadcast|shuffle, got {mode!r}")
 
     def undirect(t: pa.Table) -> pa.Table:
         s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -634,6 +723,20 @@ def bfs_hops_pipeline(
     dedup = _distinct_edges(
         both, src_col="src", dst_col="dst", num_partitions=num_partitions
     )
+    if mode in ("auto", "broadcast"):
+        try:
+            return _bfs_broadcast(
+                dedup,
+                seeds,
+                seed_col=seed_col,
+                max_hops=max_hops,
+                max_nodes=(
+                    max_broadcast_nodes if mode == "auto" else (1 << 62)
+                ),
+            )
+        except _TooManyNodes:
+            pass  # auto: reached set outgrew the driver -> shuffle plan
+
     edge_rows = dedup.map_batches(
         lambda t: pa.table(
             {

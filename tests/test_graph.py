@@ -219,3 +219,21 @@ class TestPageRankModes:
             rd.from_arrow(tbl).repartition(3), num_partitions=8, mode="shuffle"
         ).to_pandas()
         assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
+
+
+class TestBfsModes:
+    def test_broadcast_equals_shuffle(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(37, 1500)
+        tbl = pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2], pa.int64())}))
+        a = bfs_hops_pipeline(
+            rd.from_arrow(tbl).repartition(3), seeds, max_hops=3,
+            num_partitions=8, mode="broadcast",
+        ).to_pandas()
+        b = bfs_hops_pipeline(
+            rd.from_arrow(tbl).repartition(3), seeds, max_hops=3,
+            num_partitions=8, mode="shuffle",
+        ).to_pandas()
+        assert dict(zip(a.node, a.hops)) == dict(zip(b.node, b.hops))
