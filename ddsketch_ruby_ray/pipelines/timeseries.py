@@ -25,6 +25,7 @@ __all__ = [
     "daily_count_autocorr_pipeline",
     "cusum_daily_pipeline",
     "ewma_daily_pipeline",
+    "ohlc_pipeline",
 ]
 
 US_PER_DAY = 86_400_000_000
@@ -221,3 +222,78 @@ def ewma_daily_pipeline(ds, *, ts_col: str, alpha: float = 0.3):
     return series.repartition(1).map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ohlc_pipeline(
+    ds,
+    *,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_s: int = 3600,
+    num_partitions: int = 32,
+):
+    """Per-tumbling-window OHLC bars: -> Dataset[(w, open_value, high,
+    low, close_value, n)].
+
+    The order-dependent aggregate pair (open = value of the FIRST event
+    by (ts, id), close = the LAST) plus plain extrema.  One keyed shuffle
+    of the thin (window, ts, id, value) rows co-locates each window; a
+    single lexsort + segment boundaries resolve all four stats at once.
+    Comparisons and identity only — float values mirror bit-exactly.
+    """
+    from ..core.hashing import hash64_int
+
+    win_us = int(window_s) * 1_000_000
+
+    def project(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = us // win_us
+        part = (hash64_int(w) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "w": pa.array(w),
+                "us": pa.array(us),
+                "eid": t.column(id_col).cast(pa.int64()),
+                "v": t.column(value_col).cast(pa.float64()),
+                "_part": pa.array(part),
+            }
+        )
+
+    parted = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        if not w.size:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "open_value": pa.array([], pa.float64()),
+                    "high": pa.array([], pa.float64()),
+                    "low": pa.array([], pa.float64()),
+                    "close_value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, us, w))
+        w_s, v_s = w[order], v[order]
+        new = np.empty(w_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = w_s[1:] != w_s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], w_s.size) - 1
+        return pa.table(
+            {
+                "w": pa.array(w_s[starts]),
+                "open_value": pa.array(v_s[starts]),
+                "high": pa.array(np.maximum.reduceat(v_s, starts)),
+                "low": pa.array(np.minimum.reduceat(v_s, starts)),
+                "close_value": pa.array(v_s[ends]),
+                "n": pa.array(np.diff(np.append(starts, w_s.size)).astype(np.int64)),
+            }
+        )
+
+    return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")

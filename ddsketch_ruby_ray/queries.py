@@ -1150,6 +1150,19 @@ def bm25_top_docs(sf_dir: str):
     )
 
 
+def ohlc_hourly_values(sf_dir: str):
+    """Per-hour OHLC bars over the event value stream (open/close = the
+    order-dependent first/last by (ts, event_id); high/low/n plain) — one
+    keyed shuffle + one lexsort per partition resolves all four stats
+    (pipelines/timeseries.py::ohlc_pipeline)."""
+    from .pipelines.timeseries import ohlc_pipeline
+
+    ds = _read(sf_dir, "events", ["ts", "event_id", "value"])
+    return ohlc_pipeline(
+        ds, ts_col="ts", value_col="value", id_col="event_id", window_s=3600
+    )
+
+
 def ab_event_mix_zscores(sf_dir: str):
     """A/B experiment readout: users hash-split 50/50 (seed 1); for each
     event type, the two-proportion z-score of its share of each arm's
@@ -3551,6 +3564,7 @@ QUERIES = {
     "cusum_daily_events": cusum_daily_events,
     "ewma_daily_events": ewma_daily_events,
     "ab_event_mix_zscores": ab_event_mix_zscores,
+    "ohlc_hourly_values": ohlc_hourly_values,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5525,6 +5539,31 @@ def _ab_zscores_sql() -> str:
 
 
 ORACLE_SQL["ab_event_mix_zscores"] = _ab_zscores_sql()
+
+ORACLE_SQL["ohlc_hourly_values"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) // 3600000000 AS w, epoch_us(ts) AS us,
+             event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT w, value,
+             row_number() OVER (PARTITION BY w ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY w ORDER BY us DESC, event_id DESC
+             ) AS rn_d
+      FROM e
+    ),
+    o AS (SELECT w, value AS open_value FROM r WHERE rn_a = 1),
+    c AS (SELECT w, value AS close_value FROM r WHERE rn_d = 1),
+    s AS (
+      SELECT w, max(value) AS high, min(value) AS low,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY w
+    )
+    SELECT s.w, o.open_value, s.high, s.low, c.close_value, s.n
+    FROM s JOIN o USING (w) JOIN c USING (w)
+"""
 
 ORACLE_SQL["ewma_daily_events"] = """
     WITH RECURSIVE c AS (

@@ -157,3 +157,59 @@ class TestEwmaDaily:
             ts_col="ts",
         ).to_pandas()
         assert set(df.ewma.tolist()) == {4.0}
+
+
+class TestOhlc:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import ohlc_pipeline
+
+        rng = np.random.default_rng(31)
+        n = 5000
+        us = rng.integers(0, 50 * 3600, n) * 1_000_000
+        eid = rng.permutation(n)
+        v = rng.random(n) * 100
+        tbl = pa.table(
+            {
+                "ts": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+                "eid": pa.array(np.asarray(eid, np.int64)),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+        df = (
+            ohlc_pipeline(
+                rd.from_arrow(tbl).repartition(5),
+                ts_col="ts", value_col="v", id_col="eid", window_s=3600,
+                num_partitions=8,
+            )
+            .to_pandas()
+            .sort_values("w")
+            .reset_index(drop=True)
+        )
+        rows = sorted(zip(us // 3_600_000_000, us, eid, v))
+        by_w: dict = {}
+        for w, t, i, x in rows:
+            by_w.setdefault(w, []).append(x)
+        for r in df.itertuples():
+            vals = by_w[r.w]
+            assert (r.open_value, r.close_value) == (vals[0], vals[-1])
+            assert (r.high, r.low, r.n) == (max(vals), min(vals), len(vals))
+        assert len(df) == len(by_w)
+
+    def test_tie_on_ts_breaks_by_id(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import ohlc_pipeline
+
+        tbl = pa.table(
+            {
+                "ts": pa.array([1000, 1000, 1000], pa.int64()).cast(pa.timestamp("us")),
+                "eid": pa.array([5, 1, 9], pa.int64()),
+                "v": pa.array([50.0, 10.0, 90.0], pa.float64()),
+            }
+        )
+        df = ohlc_pipeline(
+            rd.from_arrow(tbl), ts_col="ts", value_col="v", id_col="eid"
+        ).to_pandas()
+        assert (df.open_value[0], df.close_value[0]) == (10.0, 90.0)
