@@ -37,7 +37,12 @@ import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["pagerank_pipeline", "bfs_hops_pipeline", "triangle_count_pipeline"]
+__all__ = [
+    "pagerank_pipeline",
+    "bfs_hops_pipeline",
+    "sssp_pipeline",
+    "triangle_count_pipeline",
+]
 
 PR_SCALE = 10**12
 _PR_REDUCE_PARTS = 64
@@ -1039,6 +1044,171 @@ def triangle_count_pipeline(
                 "n_triangles": pa.array([n_tri], pa.int64()),
                 "n_wedges": pa.array([n_wedges], pa.int64()),
                 "transitivity": pa.array([trans], pa.float64()),
+            }
+        )
+    )
+
+
+def sssp_pipeline(
+    edges,
+    seeds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    max_rounds: int = 4,
+    num_partitions: int = 64,
+    max_broadcast_nodes: int = 8_000_000,
+):
+    """K-round Bellman-Ford single-source-set shortest paths over the
+    UNDIRECTED weighted edge set: -> Dataset[(node, dist)] — the minimum
+    total weight over paths of <= max_rounds edges from ANY seed
+    (unreached nodes absent).  Weights must be non-negative int64, so the
+    min-plus relaxation is exact and order-free.
+
+    Broadcast-frontier plan (the BFS/PageRank contract: the reached
+    distance table fits the driver): edges pin partitioned by src after
+    the one build exchange (undirected symmetrization keeps the MINIMUM
+    weight per direction-independent pair); per round ONE map relaxes the
+    edges whose src improved last round (searchsorted against the sorted
+    frontier, per-block per-dst min via lexsort+reduceat) and the driver
+    folds the per-block minima.  Rounds after the frontier empties are
+    free."""
+    import ray
+    import ray.data as rd
+
+    def norm(t: pa.Table) -> pa.Table:
+        src = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = np.concatenate([src, dst])
+        d2 = np.concatenate([dst, src])
+        w2 = np.concatenate([w, w])
+        part = (hash64_int(s2) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(s2),
+                "dst": pa.array(d2),
+                "w": pa.array(w2),
+                "_part": pa.array(part),
+            }
+        )
+
+    def dedup_min(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, dst, src))
+        s_s, d_s, w_s = src[order], dst[order], w[order]
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            keep[0] = True
+            keep[1:] = (s_s[1:] != s_s[:-1]) | (d_s[1:] != d_s[:-1])
+        # first row of each (src, dst) run carries the MIN weight
+        return pa.table(
+            {
+                "src": pa.array(s_s[keep]),
+                "dst": pa.array(d_s[keep]),
+                "w": pa.array(w_s[keep]),
+            }
+        )
+
+    pinned = (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(dedup_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    seed_tabs = [
+        ray.get(r)
+        for r in seeds.map_batches(
+            lambda t: pa.table({"node": t.column(seed_col).cast(pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
+    ]
+    seed_tabs = [t for t in seed_tabs if t.num_rows]
+    if seed_tabs:
+        frontier = np.unique(
+            pa.concat_tables(seed_tabs).column("node").to_numpy(zero_copy_only=False)
+        )
+    else:
+        frontier = np.empty(0, dtype=np.int64)
+    dist: dict = {int(x): 0 for x in frontier.tolist()}
+    f_dist = np.zeros(frontier.size, dtype=np.int64)
+
+    for _ in range(max_rounds):
+        if not frontier.size:
+            break
+        if len(dist) > max_broadcast_nodes:
+            raise _TooManyNodes(len(dist))
+        ref = ray.put((frontier, f_dist))  # frontier sorted
+
+        def relax(t: pa.Table) -> pa.Table:
+            fr, fd = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(fr, src)
+            pos_c = np.minimum(pos, max(fr.size - 1, 0))
+            hit = fr[pos_c] == src
+            if not np.any(hit):
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+                )
+            cand_n = dst[hit]
+            cand_d = fd[pos_c[hit]] + w[hit]
+            order = np.lexsort((cand_d, cand_n))
+            n_s, d_s = cand_n[order], cand_d[order]
+            new = np.empty(n_s.size, dtype=bool)
+            new[0] = True
+            new[1:] = n_s[1:] != n_s[:-1]
+            first = np.flatnonzero(new)  # per-dst MIN candidate
+            return pa.table(
+                {"node": pa.array(n_s[first]), "d": pa.array(d_s[first])}
+            )
+
+        tabs = [
+            ray.get(r)
+            for r in pinned.map_batches(
+                relax, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            break
+        cat = pa.concat_tables(tabs)
+        nn = cat.column("node").to_numpy(zero_copy_only=False)
+        dd = cat.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dd, nn))
+        nn, dd = nn[order], dd[order]
+        new = np.empty(nn.size, dtype=bool)
+        new[0] = True
+        new[1:] = nn[1:] != nn[:-1]
+        first = np.flatnonzero(new)
+        next_f = []
+        next_d = []
+        for n_, d_ in zip(nn[first].tolist(), dd[first].tolist()):
+            if n_ not in dist or d_ < dist[n_]:
+                dist[n_] = d_
+                next_f.append(n_)
+                next_d.append(d_)
+        if not next_f:
+            break
+        order2 = np.argsort(np.asarray(next_f, dtype=np.int64))
+        frontier = np.asarray(next_f, dtype=np.int64)[order2]
+        f_dist = np.asarray(next_d, dtype=np.int64)[order2]
+
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes),
+                "dist": pa.array(
+                    np.array([dist[int(x)] for x in nodes.tolist()], dtype=np.int64)
+                ),
             }
         )
     )

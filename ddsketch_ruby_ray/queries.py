@@ -1432,6 +1432,55 @@ def rrf_hybrid_retrieval(sf_dir: str):
     )
 
 
+def supply_latency_sssp(sf_dir: str):
+    """Weighted shortest paths (4-round Bellman-Ford min-plus) from the
+    nation-0 customers over the undirected supply graph, edge weight =
+    MINIMUM ship latency in days between a customer and a supplier — the
+    min-per-pair dedup and the relaxation are both exact-int and
+    order-free (pipelines/graph.py::sssp_pipeline)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.graph import sssp_pipeline
+    from .pipelines.joins import broadcast_hash_join_pipeline
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = broadcast_hash_join_pipeline(
+        li,
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols=["l_suppkey", "l_shipdate"],
+        right_payload=["o_custkey", "o_orderdate"],
+        how="inner",
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(c * 2),
+                "dst": pa.array(s * 2 + 1),
+                "w": pa.array((ship - od) // 86_400_000_000),
+            }
+        )
+
+    edges = joined.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    seeds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def pick(t):
+        c = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(c[n == 0] * 2)})
+
+    seed_nodes = seeds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return sssp_pipeline(edges, seed_nodes, max_rounds=4)
+
+
 def pareto_orders(sf_dir: str):
     """Pareto frontier of orders — cheapest-for-their-recency: no other
     order is both <= in price and >= in date with one strict.  Two-level
@@ -3565,6 +3614,7 @@ QUERIES = {
     "ewma_daily_events": ewma_daily_events,
     "ab_event_mix_zscores": ab_event_mix_zscores,
     "ohlc_hourly_values": ohlc_hourly_values,
+    "supply_latency_sssp": supply_latency_sssp,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5361,6 +5411,48 @@ def _bfs_sql(hops: int = 3) -> str:
     )
     return "".join(parts)
 
+
+def _sssp_sql(rounds: int = 4) -> str:
+    parts = [
+        """
+        WITH e0 AS (
+          SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+                 (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                   // 86400000000 AS w
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        em AS (SELECT a, b, CAST(min(w) AS BIGINT) AS w FROM e0 GROUP BY a, b),
+        edges AS (
+          SELECT a AS src, b AS dst, w FROM em
+          UNION ALL
+          SELECT b AS src, a AS dst, w FROM em
+        ),
+        d0 AS (
+          SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS d
+          FROM customer WHERE c_nationkey = 0
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        d{i} AS (
+          SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{p}
+            UNION ALL
+            SELECT e.dst AS node, p.d + e.w AS d
+            FROM edges e JOIN d{p} p ON p.node = e.src
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, d AS dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["supply_latency_sssp"] = _sssp_sql(4)
 
 ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
 ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)

@@ -237,3 +237,68 @@ class TestBfsModes:
             num_partitions=8, mode="shuffle",
         ).to_pandas()
         assert dict(zip(a.node, a.hops)) == dict(zip(b.node, b.hops))
+
+
+class TestSssp:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import sssp_pipeline
+
+        rng = np.random.default_rng(41)
+        n_e = 2000
+        src = rng.integers(0, 150, n_e)
+        dst = rng.integers(0, 150, n_e)
+        w = rng.integers(1, 20, n_e)
+        keep = src != dst
+        src, dst, w = src[keep], dst[keep], w[keep]
+        tbl = pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+        seeds = [0, 1]
+        K = 4
+        # brute: Bellman-Ford over the min-weight undirected simple graph
+        ew: dict = {}
+        for a, b, x in zip(src.tolist(), dst.tolist(), w.tolist()):
+            k = (min(a, b), max(a, b))
+            ew[k] = min(ew.get(k, 10**9), x)
+        INF = float("inf")
+        dist = {s: 0 for s in seeds}
+        for _ in range(K):
+            new = dict(dist)
+            for (a, b), x in ew.items():
+                if a in dist and dist[a] + x < new.get(b, INF):
+                    new[b] = dist[a] + x
+                if b in dist and dist[b] + x < new.get(a, INF):
+                    new[a] = dist[b] + x
+            dist = new
+        got = sssp_pipeline(
+            rd.from_arrow(tbl).repartition(4),
+            rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())})),
+            max_rounds=K,
+            num_partitions=8,
+        ).to_pandas()
+        assert dict(zip(got.node, got.dist)) == dist
+
+    def test_parallel_edges_take_min_weight(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import sssp_pipeline
+
+        tbl = pa.table(
+            {
+                "src": pa.array([1, 1], pa.int64()),
+                "dst": pa.array([2, 2], pa.int64()),
+                "w": pa.array([10, 3], pa.int64()),
+            }
+        )
+        got = sssp_pipeline(
+            rd.from_arrow(tbl),
+            rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())})),
+            max_rounds=2,
+        ).to_pandas()
+        assert dict(zip(got.node, got.dist)) == {1: 0, 2: 3}
