@@ -1432,6 +1432,41 @@ def rrf_hybrid_retrieval(sf_dir: str):
     )
 
 
+def apportion_sample_quota_by_lang(sf_dir: str):
+    """Hamilton largest-remainder apportionment of a 1000-doc sample
+    budget across languages proportionally to corpus share — all-integer
+    quotas, identical on every layout (pipelines/inequality.py)."""
+    from .pipelines.inequality import largest_remainder_quota_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return largest_remainder_quota_pipeline(ds, group_col="lang", budget=1000)
+
+
+def gini_price_inequality(sf_dir: str):
+    """Gini inequality coefficient of line-item prices (exact cents;
+    sorted-rank identity over the distinct-value count table — python-int
+    rank·value sums, one float divide; pipelines/inequality.py)."""
+    import pyarrow as pa
+
+    from .core.numeric import round_half_away
+    from .pipelines.inequality import gini_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cents": pa.array(round_half_away(v * 100.0).astype(np.int64))}
+        )
+
+    return gini_pipeline(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        value_col="cents",
+    )
+
+
 def supply_latency_sssp(sf_dir: str):
     """Weighted shortest paths (4-round Bellman-Ford min-plus) from the
     nation-0 customers over the undirected supply graph, edge weight =
@@ -3615,6 +3650,8 @@ QUERIES = {
     "ab_event_mix_zscores": ab_event_mix_zscores,
     "ohlc_hourly_values": ohlc_hourly_values,
     "supply_latency_sssp": supply_latency_sssp,
+    "apportion_sample_quota_by_lang": apportion_sample_quota_by_lang,
+    "gini_price_inequality": gini_price_inequality,
     "bloom_prefiltered_revenue_join": bloom_prefiltered_revenue_join,
     "urgent_orders_right_join": urgent_orders_right_join,
     "customer_orders_full_join": customer_orders_full_join,
@@ -5453,6 +5490,49 @@ def _sssp_sql(rounds: int = 4) -> str:
 
 
 ORACLE_SQL["supply_latency_sssp"] = _sssp_sql(4)
+
+ORACLE_SQL["apportion_sample_quota_by_lang"] = """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    b AS (
+      SELECT c.lang, c.n,
+             (1000 * c.n) // t.total AS base,
+             (1000 * c.n) % t.total AS rem
+      FROM c, t
+    ),
+    l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+    r AS (
+      SELECT lang, n, base,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM b
+    )
+    SELECT r.lang, r.n,
+           CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, l
+"""
+
+ORACLE_SQL["gini_price_inequality"] = """
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total,
+             sum(CAST(rn AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+      FROM r
+    )
+    SELECT n, total,
+           CASE WHEN n = 0 OR total = 0 THEN 0.0
+                ELSE CAST(2 * six - (n + 1) * total AS DOUBLE)
+                     / CAST(n * total AS DOUBLE)
+           END AS gini
+    FROM s
+"""
 
 ORACLE_SQL["pagerank_customer_supplier"] = _pagerank_sql(3)
 ORACLE_SQL["bfs_hops_customer_supplier"] = _bfs_sql(3)
