@@ -906,13 +906,23 @@ def triangle_count_pipeline(
     """Dataset[(a, b)] (undirected simple edges, a < b, distinct) ->
     Dataset[(n_triangles, n_wedges, transitivity)] — one row.
 
+    Node ids must be non-negative and < 2^32: wedge/edge candidate keys
+    pack as ``(x << 32) | y`` and larger or negative ids would silently
+    collide; the first map stage validates the bound and raises loudly.
+
     Degree-ordered orientation (Chiba–Nishizeki / "rank by (degree, id)"):
     every edge points from its lower-(deg, id) endpoint to the higher one,
     so each triangle is generated EXACTLY ONCE as a wedge at its
     lowest-rank vertex, and the heaviest adjacency list any single task
     owns is O(sqrt(E)) out-neighbors — the classic hub-skew bound.  The
-    wedge set (candidate pairs at each center) then SEMI-joins the
-    oriented edge set; the match count is the triangle count.
+    wedge set (candidate pairs at each center) then semi-joins the
+    oriented edge set; the match count is the triangle count.  Wedge
+    generation and the closure check run in ONE execution: the wedge
+    stage passes the partition's oriented edges through alongside its
+    wedge candidates, both keyed by ``hash(x)`` (a wedge (x, y) can only
+    close via the oriented edge x -> y, which lives in edge partition
+    ``hash(u=x)``), so the closure probe is the very next keyed exchange
+    — no separate join pipeline, no extra materialization.
 
     n_wedges is the standard open+closed 2-path count sum(d*(d-1)/2)
     (exact python ints over the dimension-sized degree table), and
@@ -921,15 +931,20 @@ def triangle_count_pipeline(
     import ray
     import ray.data as rd
 
-    from .joins import hash_join_pipeline
+    _bound = np.int64(1) << np.int64(32)
 
     def norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": t.column(a_col).cast(pa.int64()),
-                "b": t.column(b_col).cast(pa.int64()),
-            }
-        )
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.size:
+            lo = min(a.min(), b.min())
+            hi = max(a.max(), b.max())
+            if lo < 0 or hi >= _bound:
+                raise ValueError(
+                    f"triangle_count_pipeline: node ids must be in [0, 2^32)"
+                    f" for packed wedge keys; got range [{lo}, {hi}]"
+                )
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     e = edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
@@ -984,21 +999,27 @@ def triangle_count_pipeline(
             {
                 "u": pa.array(u),
                 "v": pa.array(v),
-                "pk": pa.array((u << np.int64(32)) | v),
                 "_part": pa.array(part),
             }
         )
 
-    oriented = e.map_batches(
-        orient, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def wedges_of(g: pa.Table) -> pa.Table:
+    def wedges_and_edges(g: pa.Table) -> pa.Table:
+        """Per hash(u) partition: emit wedge candidates (kind=1) AND the
+        partition's oriented edges (kind=0), both re-keyed by the hash of
+        the candidate/closing edge's lower-rank endpoint, so one more
+        keyed exchange co-locates every wedge with the only edge that can
+        close it."""
         ns, rk = ray.get(ref)
         u = g.column("u").to_numpy(zero_copy_only=False)
         v = g.column("v").to_numpy(zero_copy_only=False)
         if not u.size:
-            return pa.table({"pk": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "_cpart": pa.array([], pa.int32()),
+                }
+            )
         rv = rk[np.searchsorted(ns, v)]
         order = np.lexsort((rv, u))  # each u's out-list in rank order
         u_s, v_s = u[order], v[order]
@@ -1014,27 +1035,40 @@ def triangle_count_pipeline(
         excl = np.concatenate([[0], np.cumsum(cnt)[:-1]])
         second = np.arange(int(cnt.sum())) - np.repeat(excl, cnt) + first + 1
         x, y = v_s[first], v_s[second]  # rank(x) < rank(y): oriented pair
-        return pa.table({"pk": pa.array((x << np.int64(32)) | y)})
+        pk = np.concatenate([(x << np.int64(32)) | y, (u << np.int64(32)) | v])
+        kind = np.concatenate(
+            [np.ones(x.size, np.int8), np.zeros(u.size, np.int8)]
+        )
+        lead = np.concatenate([x, u])
+        cpart = (hash64_int(lead) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "pk": pa.array(pk),
+                "kind": pa.array(kind),
+                "_cpart": pa.array(cpart),
+            }
+        )
 
-    wedges = oriented.groupby("_part").map_groups(
-        wedges_of, batch_format="pyarrow"
-    )
+    def close_count(g: pa.Table) -> pa.Table:
+        pk = g.column("pk").to_numpy(zero_copy_only=False)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        edge_pk = np.sort(pk[kind == 0])
+        wedge_pk = pk[kind == 1]
+        if not edge_pk.size or not wedge_pk.size:
+            n = 0
+        else:
+            idx = np.searchsorted(edge_pk, wedge_pk)
+            idx[idx == edge_pk.size] = edge_pk.size - 1
+            n = int((edge_pk[idx] == wedge_pk).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
 
-    closed = hash_join_pipeline(
-        wedges,
-        oriented,
-        left_key="pk",
-        right_key="pk",
-        left_cols=["pk"],
-        right_payload=(),
-        how="semi",
-    )
     n_tri = int(
-        closed.map_batches(
-            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).sum("n")
+        e.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(wedges_and_edges, batch_format="pyarrow")
+        .groupby("_cpart")
+        .map_groups(close_count, batch_format="pyarrow")
+        .sum("n")
         or 0
     )
     trans = float(3 * n_tri) / float(n_wedges) if n_wedges > 0 else 0.0
@@ -1059,6 +1093,7 @@ def sssp_pipeline(
     seed_col: str = "node",
     max_rounds: int = 4,
     num_partitions: int = 64,
+    mode: str = "auto",
     max_broadcast_nodes: int = 8_000_000,
 ):
     """K-round Bellman-Ford single-source-set shortest paths over the
@@ -1067,16 +1102,19 @@ def sssp_pipeline(
     (unreached nodes absent).  Weights must be non-negative int64, so the
     min-plus relaxation is exact and order-free.
 
-    Broadcast-frontier plan (the BFS/PageRank contract: the reached
-    distance table fits the driver): edges pin partitioned by src after
-    the one build exchange (undirected symmetrization keeps the MINIMUM
-    weight per direction-independent pair); per round ONE map relaxes the
-    edges whose src improved last round (searchsorted against the sorted
-    frontier, per-block per-dst min via lexsort+reduceat) and the driver
-    folds the per-block minima.  Rounds after the frontier empties are
-    free."""
-    import ray
-    import ray.data as rd
+    ``mode="broadcast"`` (and ``"auto"`` while the reached set fits): the
+    BFS/PageRank contract — the reached distance table fits the driver;
+    edges pin partitioned by src after the one build exchange (undirected
+    symmetrization keeps the MINIMUM weight per direction-independent
+    pair); per round ONE map relaxes the edges whose src improved last
+    round (searchsorted against the sorted frontier, per-block per-dst min
+    via lexsort+reduceat) and the driver folds the per-block minima.
+    Rounds after the frontier empties are free.  ``mode="shuffle"``: fully
+    distributed min-plus propagation (the BFS shuffle plan with weighted
+    relaxation) — only nodes whose distance improved message their
+    neighbors; no driver-side state, the unbounded-reach path."""
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"mode must be auto|broadcast|shuffle, got {mode!r}")
 
     def norm(t: pa.Table) -> pa.Table:
         src = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1121,6 +1159,35 @@ def sssp_pipeline(
         .materialize()
     )
 
+    if mode in ("auto", "broadcast"):
+        try:
+            return _sssp_broadcast(
+                pinned,
+                seeds,
+                seed_col=seed_col,
+                max_rounds=max_rounds,
+                max_nodes=(
+                    max_broadcast_nodes if mode == "auto" else (1 << 62)
+                ),
+            )
+        except _TooManyNodes:
+            pass  # auto: reached set outgrew the driver -> shuffle plan
+    return _sssp_shuffle(
+        pinned,
+        seeds,
+        seed_col=seed_col,
+        max_rounds=max_rounds,
+        num_partitions=num_partitions,
+    )
+
+
+def _sssp_broadcast(pinned, seeds, *, seed_col: str, max_rounds: int, max_nodes: int):
+    """Broadcast-frontier Bellman-Ford over the pinned src-partitioned
+    min-weight edge table (see ``sssp_pipeline``); raises ``_TooManyNodes``
+    when the reached distance table outgrows the driver contract."""
+    import ray
+    import ray.data as rd
+
     seed_tabs = [
         ray.get(r)
         for r in seeds.map_batches(
@@ -1142,7 +1209,7 @@ def sssp_pipeline(
     for _ in range(max_rounds):
         if not frontier.size:
             break
-        if len(dist) > max_broadcast_nodes:
+        if len(dist) > max_nodes:
             raise _TooManyNodes(len(dist))
         ref = ray.put((frontier, f_dist))  # frontier sorted
 
@@ -1211,4 +1278,177 @@ def sssp_pipeline(
                 ),
             }
         )
+    )
+
+
+def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitions: int):
+    """Fully distributed min-plus Bellman-Ford (the BFS shuffle plan with
+    weighted relaxation): distance state lives in a hash-partitioned
+    (node, dist, fresh) table, never the driver.  Per round, fresh state
+    rows union the pinned src-partitioned edge rows (edge weight rides the
+    shared ``w`` column; state rows carry their distance there), one keyed
+    exchange co-locates each node's state with its out-edges, relaxation +
+    per-dst block-local min happen in the group fold, and a second keyed
+    exchange folds candidate minima into the state table.  Only improved
+    nodes message their neighbors next round."""
+
+    def edge_rows_of(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": t.column("src"),
+                "dst": t.column("dst"),
+                "w": t.column("w"),
+                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "_part": pa.array(
+                    (hash64_int(src) % np.uint64(num_partitions)).astype(np.int32)
+                ),
+            }
+        )
+
+    edge_rows = pinned.map_batches(
+        edge_rows_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def seed_states(t: pa.Table) -> pa.Table:
+        n = np.unique(t.column(seed_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        return _with_part(
+            pa.table(
+                {
+                    "node": pa.array(n),
+                    "dist": pa.array(np.zeros(n.size, dtype=np.int64)),
+                    "fresh": pa.array(np.ones(n.size, dtype=np.int8)),
+                }
+            ),
+            "node",
+            num_partitions,
+        )
+
+    state = seeds.map_batches(
+        seed_states, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def relax(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
+        )
+        if not key.size:
+            return empty
+        order = np.lexsort((1 - is_state, key))  # state head leads its segment
+        k_s = key[order]
+        new = np.empty(k_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new) - 1
+        heads = np.flatnonzero(new)
+        head_is_state = is_state[order][heads] == 1
+        seg_dist = w[order][heads][seg]  # head's dist (edge-only segs: garbage, masked)
+        e = (is_state[order] == 0) & head_is_state[seg]
+        if not np.any(e):
+            return empty
+        cand_n = dst[order][e]
+        cand_d = seg_dist[e] + w[order][e]
+        # block-local per-dst min cuts the candidate exchange to one row
+        # per (block, dst) — min-plus is idempotent so this is exact
+        o2 = np.lexsort((cand_d, cand_n))
+        n_s, d_s = cand_n[o2], cand_d[o2]
+        first = np.empty(n_s.size, dtype=bool)
+        first[0] = True
+        first[1:] = n_s[1:] != n_s[:-1]
+        return pa.table(
+            {"node": pa.array(n_s[first]), "cand": pa.array(d_s[first])}
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        cand = g.column("cand").to_numpy(zero_copy_only=False)
+        is_old = g.column("is_old").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        n_s, c_s, io_s = node[order], cand[order], is_old[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = n_s[1:] != n_s[:-1]
+        starts = np.flatnonzero(new)
+        mins = np.minimum.reduceat(c_s, starts)
+        seg = np.cumsum(new) - 1
+        old = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+        old[seg[io_s == 1]] = c_s[io_s == 1]
+        part = g.column("_part")[0].as_py()
+        return pa.table(
+            {
+                "node": pa.array(n_s[starts]),
+                "dist": pa.array(np.minimum(mins, old)),
+                "fresh": pa.array((mins < old).astype(np.int8)),
+                "_part": pa.array(np.full(len(starts), part, dtype=np.int32)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        fresh_rows = state.map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t.column("fresh"), pa.scalar(1, pa.int8()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("node"),
+                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "w": t.column("dist"),
+                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        msgs = (
+            fresh_rows.union(edge_rows)
+            .groupby("_part")
+            .map_groups(relax, batch_format="pyarrow")
+        )
+        msg_rows = msgs.map_batches(
+            lambda t: _with_part(
+                pa.table(
+                    {
+                        "node": t.column("node"),
+                        "cand": t.column("cand"),
+                        "is_old": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    }
+                ),
+                "node",
+                num_partitions,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        old_rows = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "cand": t.column("dist"),
+                    "is_old": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                    "_part": t.column("_part"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        state = (
+            msg_rows.union(old_rows)
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow")
+            .repartition(min(num_partitions, 16))
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "dist": t.column("dist")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

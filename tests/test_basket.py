@@ -70,3 +70,29 @@ class TestFrequentPairs:
     def test_singleton_baskets_emit_nothing(self, ray_session):
         got = _run([1, 2, 3], [7, 8, 9], min_support=1)
         assert got == {}
+
+    def test_many_distinct_pairs_exact(self, ray_session):
+        """High-cardinality pair domain exercises the hash-partition
+        reduceat fold (the plan that replaces native groupby('pk').sum)."""
+        rng = np.random.default_rng(9)
+        baskets = np.repeat(np.arange(4000), 4)
+        items = rng.integers(0, 400, baskets.size)
+        assert _run(baskets.tolist(), items.tolist(), 1) == _brute(
+            baskets.tolist(), items.tolist(), 1
+        )
+
+    def test_item_id_out_of_bound_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from ray.exceptions import RayTaskError
+
+        tbl = pa.table(
+            {
+                "b": pa.array([1, 1], pa.int64()),
+                "i": pa.array([5, 1 << 31], pa.int64()),
+            }
+        )
+        with pytest.raises((RayTaskError, ValueError), match="2\\^31"):
+            frequent_pairs_pipeline(
+                rd.from_arrow(tbl), basket_col="b", item_col="i"
+            ).to_pandas()

@@ -302,3 +302,81 @@ class TestSssp:
             max_rounds=2,
         ).to_pandas()
         assert dict(zip(got.node, got.dist)) == {1: 0, 2: 3}
+
+
+class TestSsspModes:
+    def test_broadcast_equals_shuffle(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import sssp_pipeline
+
+        rng = np.random.default_rng(53)
+        src = rng.integers(0, 200, 3000)
+        dst = rng.integers(0, 200, 3000)
+        w = rng.integers(1, 25, 3000)
+        keep = src != dst
+        tbl = pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "w": pa.array(w[keep], pa.int64()),
+            }
+        )
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0, 5], pa.int64())}))
+        a = sssp_pipeline(
+            rd.from_arrow(tbl).repartition(4), seeds, max_rounds=4,
+            num_partitions=8, mode="broadcast",
+        ).to_pandas()
+        b = sssp_pipeline(
+            rd.from_arrow(tbl).repartition(4), seeds, max_rounds=4,
+            num_partitions=8, mode="shuffle",
+        ).to_pandas()
+        assert len(a) == len(b) > 2
+        assert dict(zip(a.node, a.dist)) == dict(zip(b.node, b.dist))
+
+    def test_auto_falls_back_to_shuffle(self, ray_session):
+        """auto with a tiny driver cap must silently switch plans and
+        still produce the broadcast answer."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import sssp_pipeline
+
+        rng = np.random.default_rng(54)
+        src = rng.integers(0, 60, 500)
+        dst = rng.integers(0, 60, 500)
+        w = rng.integers(1, 9, 500)
+        keep = src != dst
+        tbl = pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "w": pa.array(w[keep], pa.int64()),
+            }
+        )
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+        ref = sssp_pipeline(
+            rd.from_arrow(tbl), seeds, max_rounds=3, mode="broadcast"
+        ).to_pandas()
+        got = sssp_pipeline(
+            rd.from_arrow(tbl), seeds, max_rounds=3, mode="auto",
+            max_broadcast_nodes=2,
+        ).to_pandas()
+        assert dict(zip(got.node, got.dist)) == dict(zip(ref.node, ref.dist))
+
+
+class TestTriangleIdBound:
+    def test_big_node_id_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from ray.exceptions import RayTaskError
+
+        from ddsketch_ruby_ray.pipelines.graph import triangle_count_pipeline
+
+        tbl = pa.table(
+            {
+                "a": pa.array([1, (1 << 32) + 7], pa.int64()),
+                "b": pa.array([2, 3], pa.int64()),
+            }
+        )
+        with pytest.raises((RayTaskError, ValueError), match="2\\^32"):
+            triangle_count_pipeline(rd.from_arrow(tbl)).to_pandas()
