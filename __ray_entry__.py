@@ -13,8 +13,17 @@ nothing here (or in the library) initialises or shuts down Ray.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# The driver may import this module by file path with an arbitrary cwd;
+# make the sibling package importable regardless (idempotent, no other
+# side effects at import time — the library imports stay lazy below).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry() -> Any:

@@ -169,12 +169,25 @@ def _decode_store(data: bytes) -> dict[int, float]:
 
 
 def deserialize_sketch(
-    data: bytes, *, store: str | None = None, bin_limit: int | None = None
+    data: bytes,
+    *,
+    store: str | None = None,
+    bin_limit: int | None = None,
+    compat: str | None = None,
 ) -> DDSketch:
     """proto bytes -> sketch.  count/sum/min/max are reconstructed from the
     histogram (the wire format does not carry them - they become estimates,
     exactly as in the reference's distributed topology where only the proto
-    crosses nodes)."""
+    crosses nodes).
+
+    ``compat="ddsketch-ruby"`` reads payloads written by the reference gem,
+    whose serializer puts ``relative_accuracy`` in the proto ``gamma`` field
+    (`/root/reference/lib/ddsketch/proto.rb:34-44`, ``gamma:
+    mapping.relative_accuracy``): the field is interpreted as alpha and the
+    true gamma derived as ``1 + 2a/(1-a)``.  Without the flag the field is
+    true gamma (our serializer's convention, which round-trips)."""
+    if compat not in (None, "ddsketch-ruby"):
+        raise ValueError(f"unknown compat mode {compat!r}")
     gamma = None
     offset = 0.0
     interp = None
@@ -203,7 +216,11 @@ def deserialize_sketch(
             zero_count = v
     if gamma is None:
         raise ValueError("proto DDSketch missing mapping.gamma")
-    mapping = mapping_from_tag(interp, None, offset, gamma=gamma)
+    if compat == "ddsketch-ruby":
+        # the wire value is alpha, not gamma (reference quirk; see docstring)
+        mapping = mapping_from_tag(interp, gamma, offset)
+    else:
+        mapping = mapping_from_tag(interp, None, offset, gamma=gamma)
 
     if store == "collapse_lowest":
         sk: DDSketch = LogCollapsingLowestDenseSketch(bin_limit=bin_limit or 2048, mapping=mapping)
@@ -216,14 +233,17 @@ def deserialize_sketch(
     total_sum = 0.0
     mn, mx = math.inf, -math.inf
     for side, counts in ((1, pos), (-1, neg)):
-        for k, c in sorted(counts.items()):
-            sk_store = sk.store if side == 1 else sk.negative_store
-            sk_store.add(k, c)
-            val = side * mapping.value(k)
-            total += c
-            total_sum += val * c
-            mn = min(mn, val)
-            mx = max(mx, val)
+        if not counts:
+            continue
+        keys = np.fromiter(sorted(counts), dtype=np.int64, count=len(counts))
+        c = np.array([counts[int(k)] for k in keys], dtype=np.float64)
+        sk_store = sk.store if side == 1 else sk.negative_store
+        sk_store.add_batch(keys, c)  # one scatter-add, not a per-key loop
+        vals = side * np.asarray(mapping.value(keys), dtype=np.float64)
+        total += float(c.sum())
+        total_sum += float((vals * c).sum())
+        mn = min(mn, float(vals.min()))
+        mx = max(mx, float(vals.max()))
     if zero_count:
         sk.zero_count = zero_count
         total += zero_count

@@ -98,6 +98,21 @@ def bm25_topk_pipeline(
     stats = ds.map_batches(
         stats_partials, batch_format="pyarrow", zero_copy_batch=True
     ).sum(["_n", "_tot"] + df_cols)
+    if stats is None or stats.get("sum(_n)") is None:
+        # zero input rows: Dataset.sum returns None — emit the empty result
+        # table instead of crashing on int(None)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "rank": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        )
     n_docs = int(stats["sum(_n)"])
     total_toks = int(stats["sum(_tot)"])
     dfs = [int(stats[f"sum({c})"]) for c in df_cols]

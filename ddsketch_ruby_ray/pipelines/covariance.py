@@ -82,10 +82,12 @@ def sq8_covariance_pipeline(ds, *, label_col: str, vec_col: str):
         si = t.column("s_i_sum").to_numpy(zero_copy_only=False).astype(np.int64)
         sj = t.column("s_j_sum").to_numpy(zero_copy_only=False).astype(np.int64)
         sij = t.column("s_ij_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-        if n.size and (
-            np.abs(sij).max(initial=0) > _I64_MAX // max(1, int(n.max(initial=1)))
-            or np.abs(si.astype(object) * sj).max(initial=0) > _I64_MAX
-        ):
+        # guard the NUMERATOR itself, not its two terms: n*sij and si*sj can
+        # each fit int64 while their difference wraps (opposite signs near
+        # the bound).  Object ints are exact; this table is dimension-sized
+        # (labels x d^2/2 rows), so the Python-int pass is trivial.
+        num_obj = n.astype(object) * sij.astype(object) - si.astype(object) * sj
+        if n.size and max((abs(x) for x in num_obj), default=0) > _I64_MAX:
             raise OverflowError(
                 "sq8_covariance_pipeline: covariance numerator exceeds int64 —"
                 " corpus too large for the int64 fast path"
@@ -99,7 +101,7 @@ def sq8_covariance_pipeline(ds, *, label_col: str, vec_col: str):
                 "sum_i": pa.array(si),
                 "sum_j": pa.array(sj),
                 "sum_ij": pa.array(sij),
-                "cov_num": pa.array(n * sij - si * sj),
+                "cov_num": pa.array(num_obj.astype(np.int64)),
             }
         )
 

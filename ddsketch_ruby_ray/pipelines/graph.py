@@ -599,7 +599,10 @@ def _pagerank_broadcast(dedup, *, iters: int, max_nodes: int):
                 idx = np.searchsorted(
                     nodes_arr, t.column("node").to_numpy(zero_copy_only=False)
                 )
-                in_sum[idx] = t.column("s").to_numpy(zero_copy_only=False)
+                # add, don't assign: correct even if a dst's rows ever split
+                # across output blocks (whole-block batches make each dst
+                # appear once today, but the fold must not depend on that)
+                np.add.at(in_sum, idx, t.column("s").to_numpy(zero_copy_only=False))
         r_arr = base + (85 * (in_sum + dang_share)) // 100
 
     return rd.from_arrow(

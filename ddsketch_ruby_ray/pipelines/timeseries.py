@@ -30,6 +30,25 @@ __all__ = [
 
 US_PER_DAY = 86_400_000_000
 
+# Gap-fill guard: cusum/ewma densify the calendar between min and max day,
+# so ONE corrupt outlier timestamp (epoch 0 among 2026 data) inflates the
+# dense array without bound — a data-driven OOM on the reduce task.  274
+# years of daily data is far past any real event-log span; raise loudly
+# instead of allocating.
+MAX_CALENDAR_DAYS = 100_000
+
+
+def _dense_days(day: np.ndarray) -> np.ndarray:
+    span = int(day[-1]) - int(day[0]) + 1
+    if span > MAX_CALENDAR_DAYS:
+        raise ValueError(
+            f"calendar gap-fill span {span} days exceeds MAX_CALENDAR_DAYS="
+            f"{MAX_CALENDAR_DAYS} (min day {int(day[0])}, max day "
+            f"{int(day[-1])}) — likely corrupt outlier timestamps; clean or "
+            "clip the input day range"
+        )
+    return np.arange(day[0], day[-1] + 1, dtype=np.int64)
+
 
 def daily_count_autocorr_pipeline(ds, *, ts_col: str, lag: int = 1):
     """-> Dataset[(n_pairs, r)] — Pearson autocorrelation of daily event
@@ -136,7 +155,7 @@ def cusum_daily_pipeline(ds, *, ts_col: str):
             return empty
         order = np.argsort(day)
         day, cnt = day[order], cnt[order]
-        dense_days = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+        dense_days = _dense_days(day)
         dense = np.zeros(dense_days.size, dtype=np.int64)
         dense[np.searchsorted(dense_days, day)] = cnt
         k = int(dense.sum()) // dense.size  # floor mean over CALENDAR days
@@ -202,7 +221,7 @@ def ewma_daily_pipeline(ds, *, ts_col: str, alpha: float = 0.3):
             )
         order = np.argsort(day)
         day, cnt = day[order], cnt[order]
-        dense_days = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+        dense_days = _dense_days(day)
         dense = np.zeros(dense_days.size, dtype=np.int64)
         dense[np.searchsorted(dense_days, day)] = cnt
         out = np.empty(dense.size, dtype=np.float64)

@@ -92,3 +92,11 @@ class TestBm25:
         a = _run(docs, ["hash"], 10)
         b = _run(docs, ["hash", "nosuchterm"], 10)
         assert [r[1] for r in a] == [r[1] for r in b]
+
+
+class TestEmptyInput:
+    def test_zero_rows_returns_empty_table(self, ray_session):
+        # Dataset.sum returns None on zero rows; the pipeline must emit the
+        # empty (rank, key, score, dl) table instead of TypeError-ing
+        out = _run({}, ["alpha", "beta"], k=5)
+        assert out == []

@@ -273,3 +273,72 @@ class TestGoldenBytes:
         a, b = sk.store.to_state(), back.store.to_state()
         assert a["bin_offset"] == b["bin_offset"]
         assert np.array_equal(np.asarray(a["bins"]), np.asarray(b["bins"]))
+
+
+class TestRubyCompatRead:
+    """`compat="ddsketch-ruby"`: the reference gem serializes
+    ``relative_accuracy`` into the proto ``gamma`` field
+    (`/root/reference/lib/ddsketch/proto.rb:36`); reading those bytes as
+    true gamma silently mis-scales every quantile."""
+
+    def _ruby_bytes(self, sk):
+        """Bytes exactly as the Ruby gem would emit for a sketch holding
+        sk's bins: google-protobuf serializer, gamma field := alpha."""
+        DDM = _golden_pool()
+        msg = DDM()
+        msg.mapping.gamma = sk.mapping.relative_accuracy  # the quirk
+        if sk.mapping.offset:
+            msg.mapping.indexOffset = sk.mapping.offset
+        interp = {None: 0, "linear": 1, "cubic": 3}[sk.mapping.interpolation]
+        if interp:
+            msg.mapping.interpolation = interp
+        for store, field in (
+            (sk.store, msg.positiveValues),
+            (sk.negative_store, msg.negativeValues),
+        ):
+            st = store.to_state()
+            bins = list(map(float, st["bins"]))
+            if bins:
+                field.contiguousBinCounts.extend(bins)
+                field.contiguousBinIndexOffset = int(st["bin_offset"])
+        if sk.zero_count:
+            msg.zeroCount = float(sk.zero_count)
+        return msg.SerializeToString(deterministic=True)
+
+    def test_ruby_quirk_bytes_round_trip_quantiles(self):
+        # oracle: a sketch built directly from the README:96-113 topology
+        # (our Sketch is conformance-pinned to the gem, so its bins are
+        # what the gem would serialize)
+        oracle = _filled(0.01, values=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, -3.1415, 0.0])
+        back = deserialize_sketch(self._ruby_bytes(oracle), compat="ddsketch-ruby")
+        assert back.mapping.gamma == pytest.approx(oracle.mapping.gamma, rel=0, abs=0)
+        for q in (0.0, 0.25, 0.5, 0.75, 0.99, 1.0):
+            assert back.get_quantile_value(q) == oracle.get_quantile_value(q)
+        assert back.count == oracle.count
+
+    @pytest.mark.parametrize("interp", [None, "linear", "cubic"])
+    def test_all_mappings(self, interp):
+        from ddsketch_ruby_ray.core.mapping import mapping_from_tag
+
+        sk = DDSketch(mapping=mapping_from_tag(interp, 0.02))
+        sk.add_batch(np.geomspace(0.5, 1e4, 64))
+        back = deserialize_sketch(self._ruby_bytes(sk), compat="ddsketch-ruby")
+        assert back.mapping == sk.mapping
+        st_a, st_b = sk.store.to_state(), back.store.to_state()
+        assert st_a["bin_offset"] == st_b["bin_offset"]
+        assert np.array_equal(np.asarray(st_a["bins"]), np.asarray(st_b["bins"]))
+
+    def test_without_compat_misreads(self):
+        # the same bytes read WITHOUT the flag must NOT produce the oracle
+        # mapping (this is exactly the silent mis-scale the flag prevents)
+        sk = _filled(0.01, values=[1.0, 10.0, 100.0])
+        data = self._ruby_bytes(sk)
+        try:
+            raw = deserialize_sketch(data)
+        except ValueError:
+            return  # gamma=0.01 < 1 may be rejected outright: also fine
+        assert raw.mapping.gamma != sk.mapping.gamma
+
+    def test_unknown_compat_rejected(self):
+        with pytest.raises(ValueError, match="unknown compat"):
+            deserialize_sketch(b"", compat="sketches-py")

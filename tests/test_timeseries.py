@@ -213,3 +213,42 @@ class TestOhlc:
             rd.from_arrow(tbl), ts_col="ts", value_col="v", id_col="eid"
         ).to_pandas()
         assert (df.open_value[0], df.close_value[0]) == (10.0, 90.0)
+
+
+class TestCalendarSpanGuard:
+    """One corrupt outlier timestamp must raise loudly, not OOM the
+    gap-fill (MAX_CALENDAR_DAYS bound in _dense_days)."""
+
+    def test_cusum_outlier_raises(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import cusum_daily_pipeline
+
+        # year-9999-style corrupt row: span far past MAX_CALENDAR_DAYS
+        days = [20_500 + d for d in range(5)] + [2_900_000]
+        us = np.asarray(days, np.int64) * US_PER_DAY
+        ds = rd.from_arrow(pa.table({"ts": pa.array(us, pa.int64())}))
+        import pytest
+
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError), match="MAX_CALENDAR_DAYS"):
+            cusum_daily_pipeline(ds, ts_col="ts").to_pandas()
+
+    def test_ewma_outlier_raises(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import ewma_daily_pipeline
+
+        days = [0, 1, 2, 3_000_000]
+        us = np.asarray(days, np.int64) * US_PER_DAY
+        ds = rd.from_arrow(pa.table({"ts": pa.array(us, pa.int64())}))
+        import pytest
+
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError), match="MAX_CALENDAR_DAYS"):
+            ewma_daily_pipeline(ds, ts_col="ts").to_pandas()
+
+    def test_span_at_bound_ok(self, ray_session):
+        from ddsketch_ruby_ray.pipelines.timeseries import MAX_CALENDAR_DAYS
+
+        assert MAX_CALENDAR_DAYS >= 100_000  # ~274 years of daily data fits

@@ -7,6 +7,12 @@ default, with a tiny-ulp fallback report so mismatches are diagnosable.
 
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 (with query names given, only those queries are checked)
+
+``--sample N`` picks a deterministic stratified subset of ~N queries that
+still touches every family (family = first underscore token of the query
+name): one per family first, then round-robin across families in name
+order.  Bounds the gate's wall time as the registry grows while keeping
+full-family coverage; the full run stays the authority.
 """
 
 from __future__ import annotations
@@ -35,6 +41,28 @@ def to_pandas(result) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def stratified_sample(names: list[str], n: int) -> list[str]:
+    """Deterministic ~n-query subset touching every family (first
+    underscore token); one per family, then round-robin in name order."""
+    fams: dict[str, list[str]] = {}
+    for q in sorted(names):
+        fams.setdefault(q.split("_", 1)[0], []).append(q)
+    picked: list[str] = []
+    rank = 0
+    while len(picked) < max(n, len(fams)):
+        added = False
+        for fam in sorted(fams):
+            if rank < len(fams[fam]):
+                picked.append(fams[fam][rank])
+                added = True
+                if len(picked) >= max(n, len(fams)) and rank > 0:
+                    break
+        if not added:
+            break
+        rank += 1
+    return [q for q in names if q in set(picked)]
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
@@ -120,5 +148,18 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf, only=sys.argv[2:] or None))
+    argv = sys.argv[1:]
+    sample_n = 0
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:] or None
+    if sample_n:
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as _e
+
+        only = stratified_sample(sorted(_e.queries()), sample_n)
+        print(f"[sample] {len(only)} of {len(_e.queries())} queries")
+    raise SystemExit(main(sf, only=only))
