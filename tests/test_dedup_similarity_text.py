@@ -1193,3 +1193,60 @@ class TestDupRateByGroup:
             assert df.loc[s, "n_docs"] == len(docs)
             assert df.loc[s, "n_dup"] == dups
             assert df.loc[s, "dup_rate"] == float(dups) / float(len(docs))
+
+
+class TestLineDedupJoinPlan:
+    """The hash-co-partitioned join plan must be bit-identical to the
+    broadcast plan (VERDICT r3 #4: the heavy set is unbounded at 100 TB)."""
+
+    def _run(self, docs, *, mode, min_count=3, blocks=4, **kw):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.linededup import line_dedup_pipeline
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        return (
+            line_dedup_pipeline(
+                rd.from_arrow(t).repartition(blocks),
+                key_col="doc_id",
+                text_col="text",
+                min_count=min_count,
+                mode=mode,
+                **kw,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    DOCS = TestLineDedup.DOCS + [
+        "cookie banner\ncookie banner\nunique delta",
+        "keep me one\nkeep me one\nkeep me one",  # line hits min_count solo
+        "tail\n\n\ntail",  # blank boilerplate interior lines
+    ]
+
+    def test_join_equals_broadcast(self, ray_session):
+        a = self._run(self.DOCS, mode="broadcast")
+        b = self._run(self.DOCS, mode="join")
+        assert a.equals(b)
+
+    def test_auto_switches_to_join(self, ray_session):
+        # force the plan decision: any heavy set is "too big" to broadcast
+        a = self._run(self.DOCS, mode="broadcast")
+        b = self._run(self.DOCS, mode="auto", max_broadcast_lines=0)
+        assert a.equals(b)
+
+    def test_join_with_no_heavy_lines(self, ray_session):
+        got = self._run(self.DOCS, mode="join", min_count=10**6)
+        assert (got.n_kept == got.n_lines).all()
+
+    def test_unknown_mode_rejected(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown mode"):
+            self._run(self.DOCS, mode="bogus")
