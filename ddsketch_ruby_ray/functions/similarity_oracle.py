@@ -118,8 +118,14 @@ def ivf_knn_sql(
     n_probe: int = 3,
     kmeans_iters: int = 5,
     sample_n: int = 256,
+    auto_size: bool = False,
 ) -> str:
     """IVF approximate top-k, mirroring ivf_knn_pipeline bit-for-bit.
+
+    ``auto_size=True`` mirrors the pipeline's ``n_lists="auto"``: n_lists
+    and sample_n become scalar subqueries over ``count(*)`` with the exact
+    ``ivf_auto_params`` formula (GREATEST(16, floor(sqrt(N) + 0.5)); 32
+    samples per centroid, floor at 256) — n_lists/sample_n args ignored.
 
     The entire quantizer is replayed in SQL: the (splitmix64(id), id) top-N
     sample, splitmix64-seeded init, and ``kmeans_iters`` UNROLLED iterations
@@ -136,6 +142,22 @@ def ivf_knn_sql(
     sm_id = splitmix64_sql("id")
     sm_c = splitmix64_sql("c.c")
     Q = "1000000.0"
+
+    if auto_size:
+        # Mirror ivf_auto_params exactly: n_lists = max(16, floor(sqrt(N)+.5)),
+        # sample_n = max(256, 32*n_lists).  sqrt is IEEE-correctly-rounded in
+        # both libms, so the derived ints agree bit-for-bit with the pipeline.
+        params_cte = """params AS MATERIALIZED (
+  SELECT GREATEST(16, CAST(floor(sqrt(count(*)::DOUBLE) + 0.5) AS BIGINT)) AS n_lists
+  FROM {table}
+),
+""".format(table=table)
+        n_lists_expr = "(SELECT n_lists FROM params)"
+        sample_n_expr = "(SELECT GREATEST(256, 32 * n_lists) FROM params)"
+    else:
+        params_cte = ""
+        n_lists_expr = str(int(n_lists))
+        sample_n_expr = str(int(sample_n))
 
     it_ctes = []
     for i in range(1, kmeans_iters + 1):
@@ -172,7 +194,7 @@ cent{i} AS MATERIALIZED (
     final = f"cent{kmeans_iters}"
 
     return f"""
-WITH vecs AS MATERIALIZED (
+WITH {params_cte}vecs AS MATERIALIZED (
   SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS v,
          list_transform(({vec_col})::DOUBLE[], e -> floor(e * {Q} + 0.5)) AS vq
   FROM {table}
@@ -191,11 +213,11 @@ nvecs AS MATERIALIZED (
 sample AS MATERIALIZED (
   SELECT id, nq, row_number() OVER (ORDER BY {sm_id}, id) AS rn
   FROM nvecs
-  QUALIFY rn <= {sample_n}
+  QUALIFY rn <= {sample_n_expr}
 ),
 cent0 AS MATERIALIZED (
   SELECT c.c AS c, s.nq AS cq
-  FROM (SELECT unnest(range({n_lists})) AS c) c
+  FROM (SELECT unnest(range({n_lists_expr})) AS c) c
   JOIN sample s
     ON s.rn - 1 = ({sm_c} % (SELECT count(*) FROM sample))
 ),

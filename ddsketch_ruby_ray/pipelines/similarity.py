@@ -294,6 +294,16 @@ def _ivf_train_quantizer(
     return centroids
 
 
+def ivf_auto_params(n_total: int) -> tuple[int, int]:
+    """Scale-honest IVF sizing from the corpus row count: ``n_lists ~
+    sqrt(N)`` (the classic IVF balance point — probe cost n_probe*N/n_lists
+    vs quantizer cost n_lists per vector) and a training sample of 32
+    vectors per centroid.  floor(x + 0.5) to match the SQL mirror's
+    half-up rounding exactly."""
+    n_lists = max(16, int(math.floor(math.sqrt(max(n_total, 1)) + 0.5)))
+    return n_lists, max(256, 32 * n_lists)
+
+
 def ivf_knn_pipeline(
     ds,
     *,
@@ -301,7 +311,7 @@ def ivf_knn_pipeline(
     vec_col: str,
     query_ids,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     n_probe: int = 4,
     kmeans_iters: int = 5,
     sample_n: int = 256,
@@ -328,8 +338,17 @@ def ivf_knn_pipeline(
     recall vs brute force is pytest-checked.  At 10^12 rows the assignment
     pass is the only full scan, and probing touches n_probe/n_lists of the
     data per query.
+
+    ``n_lists="auto"`` sizes the quantizer from the measured row count
+    (:func:`ivf_auto_params`: ``n_lists ~ sqrt(N)``, 32 sample vectors per
+    centroid) — the count is a parquet-metadata read, and the SQL mirror
+    derives the identical values from ``count(*)`` (``auto_size=True``).
     """
     import ray
+
+    if n_lists == "auto":
+        n_lists, sample_n = ivf_auto_params(ds.count())
+    n_lists = int(n_lists)
 
     # ---- deterministic sample: global top-N by (splitmix64(id), id)
     def local_sample(batch: pa.Table) -> pa.Table:

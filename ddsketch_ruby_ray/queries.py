@@ -2374,13 +2374,16 @@ def knn_cosine_top5(sf_dir: str):
 def ivf_knn_top5(sf_dir: str):
     """IVF approximate top-5 (scale path).  Oracle-backed: the hash-sampled,
     integer-quantized k-means quantizer is deterministic and replayed in SQL
-    (unrolled iterations); recall vs brute force is pytest-pinned."""
+    (unrolled iterations); recall vs brute force is pytest-pinned.
+    n_lists="auto" sizes the quantizer from the measured corpus count
+    (n_lists ~ sqrt(N), 32 training vectors per centroid) so the same call
+    is scale-honest at 10^6 or 10^12 rows."""
     from .pipelines.similarity import ivf_knn_pipeline
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_knn_pipeline(
         ds, id_col="vec_id", vec_col="embedding", query_ids=KNN_QUERY_IDS, k=5,
-        n_lists=8, n_probe=3, queries_table=_query_vectors(sf_dir),
+        n_lists="auto", n_probe=3, queries_table=_query_vectors(sf_dir),
     )
 
 
@@ -4924,7 +4927,7 @@ def _family_oracles() -> dict:
             vec_col="embedding",
             query_ids=KNN_QUERY_IDS,
             k=5,
-            n_lists=8,
+            auto_size=True,
             n_probe=3,
         ),
         "kmeans_clusters_embeddings": kmeans_sql(

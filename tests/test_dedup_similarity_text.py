@@ -305,6 +305,59 @@ class TestSimilarity:
             ).to_pandas()
             assert sorted(zip(got.a, got.b, got.cos4)) == want, chunks
 
+    def test_ivf_auto_params_formula(self):
+        from ddsketch_ruby_ray.pipelines.similarity import ivf_auto_params
+
+        assert ivf_auto_params(0) == (16, 512)
+        assert ivf_auto_params(500) == (22, 704)  # round(sqrt(500)) = 22
+        assert ivf_auto_params(100_000) == (316, 10_112)
+        assert ivf_auto_params(10**12) == (1_000_000, 32_000_000)
+
+    def test_ivf_auto_recall_at_100k(self, ray_session):
+        """Auto-sized IVF (n_lists ~ sqrt(N) = 316, sample 32/centroid) at
+        100k clustered vectors: recall@5 vs exact cosine stays high while
+        probing only n_probe/n_lists ~ 1.3%% of the lists."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.similarity import ivf_knn_pipeline
+
+        rng = np.random.default_rng(7)
+        n_clusters, per, dim = 200, 500, 16
+        centers = rng.normal(0, 1, (n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = (
+            np.repeat(centers, per, axis=0)
+            + rng.normal(0, 0.05, (n_clusters * per, dim))
+        ).astype(np.float32)
+        n = len(vecs)
+        ids = np.arange(n, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        queries = [0, 777, 25_000, 60_001, 99_999]
+        got = ivf_knn_pipeline(
+            rd.from_arrow(tbl).repartition(8),
+            id_col="vec_id", vec_col="embedding",
+            query_ids=queries, k=5, n_lists="auto", n_probe=4,
+        ).to_pandas()
+
+        m = vecs.astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        hits = total = 0
+        for q in queries:
+            cos = m @ m[q]
+            cos[q] = -np.inf
+            true5 = set(np.argpartition(-cos, 5)[:5])
+            approx = set(got[got.query_id == q].neighbor_id)
+            hits += len(true5 & approx)
+            total += 5
+        assert total == 25 and hits / total >= 0.8, (hits, total)
+
     def test_srp_neardup_recall_and_precision(self, ray_session):
         """SRP bucket+verify finds most true near-dup pairs (recall), and
         never emits a pair below threshold (exact verify => full precision)."""
