@@ -454,8 +454,18 @@ def _pagerank_broadcast(
     Raises :class:`_TooManyNodes` if the node table exceeds ``max_nodes``
     (rank state is O(nodes) on the driver and broadcast per iteration).
     """
+    import os
+    import time
+
     import ray
     import ray.data as rd
+
+    _prof = bool(os.environ.get("GRAFT_PR_PROFILE"))
+    _t0 = time.perf_counter()
+
+    def _mark(label: str) -> None:
+        if _prof:
+            print(f"[pr-profile] {label}: {time.perf_counter() - _t0:.2f}s")
 
     def norm_dst_part(t: pa.Table) -> pa.Table:
         return _with_part(
@@ -502,6 +512,7 @@ def _pagerank_broadcast(
         .map_groups(dedup_sort, batch_format="pyarrow")
         .materialize()  # pinned for every iteration
     )
+    _mark("fused edge exchange (dedup+pin) materialized")
 
     # ONE meta pass over the pinned blocks: distinct-dst runs (kind 0) and
     # the deg partials (kind 1), both routed by hash(node) through a thin
@@ -555,6 +566,7 @@ def _pagerank_broadcast(
         .map_groups(meta_fold, batch_format="pyarrow")
         .to_arrow_refs()
     ]
+    _mark("meta fold collected")
     meta_tabs = [t for t in meta_tabs if t.num_rows]
     if not meta_tabs:
         return rd.from_arrow(
@@ -579,50 +591,75 @@ def _pagerank_broadcast(
     base = (base_share * 15) // 100
     safe_deg = np.where(dangling, 1, outdeg_arr)
 
+    # ONE shuffle-free reindex pass: rewrite the pinned blocks to int32
+    # (src_idx, dst_idx) positions in the sorted node array, dropping the
+    # carrier rows.  Every iteration is then a pure gather + reduceat —
+    # no per-iteration searchsorted over the node table (was ~70% of each
+    # iteration's CPU at 32M edges) — and the pinned bytes drop from
+    # 17 B/edge (2x int64 + int8) to 8 B/edge, halving the block-read
+    # bandwidth the iterations consume.  int32 is safe: indices are
+    # positions in nodes_arr, and n_nodes <= max_nodes << 2^31.
+    def reindex(t: pa.Table) -> pa.Table:
+        ns = ray.get(nodes_ref)
+        isd = t.column("is_deg").to_numpy(zero_copy_only=False)
+        e = isd == 0
+        dst = t.column("dst").to_numpy(zero_copy_only=False)[e]
+        src = t.column("src").to_numpy(zero_copy_only=False)[e]
+        return pa.table(
+            {
+                "src_idx": pa.array(np.searchsorted(ns, src).astype(np.int32)),
+                "dst_idx": pa.array(np.searchsorted(ns, dst).astype(np.int32)),
+            }
+        )
+
+    pinned = by_dst.map_batches(
+        reindex, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    del by_dst  # release the pre-index blocks
+    _mark("int32 reindex pass materialized")
+
     for _ in range(iters):
         dang_share = int(r_arr[dangling].sum()) // n_nodes
         contrib_arr = np.where(dangling, 0, r_arr // safe_deg)
         ref = ray.put(contrib_arr)
 
         def in_sums(t: pa.Table) -> pa.Table:
-            ns = ray.get(nodes_ref)
             ca = ray.get(ref)
-            dst = t.column("dst").to_numpy(zero_copy_only=False)
-            src = t.column("src").to_numpy(zero_copy_only=False)
-            isd = t.column("is_deg").to_numpy(zero_copy_only=False)
-            e = isd == 0
-            dst, src = dst[e], src[e]
-            if not dst.size:
+            si = t.column("src_idx").to_numpy(zero_copy_only=False)
+            di = t.column("dst_idx").to_numpy(zero_copy_only=False)
+            if not di.size:
                 return pa.table(
-                    {"node": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                    {"idx": pa.array([], pa.int32()), "s": pa.array([], pa.int64())}
                 )
-            c = ca[np.searchsorted(ns, src)]
-            new = np.empty(dst.size, dtype=bool)
+            c = ca[si]
+            new = np.empty(di.size, dtype=bool)
             new[0] = True
-            new[1:] = dst[1:] != dst[:-1]
+            new[1:] = di[1:] != di[:-1]  # dst_idx inherits the dst sort
             starts = np.flatnonzero(new)
             return pa.table(
                 {
-                    "node": pa.array(dst[starts]),
+                    "idx": pa.array(di[starts]),
                     "s": pa.array(np.add.reduceat(c, starts)),
                 }
             )
 
         in_sum = np.zeros(n_nodes, dtype=np.int64)
-        reduced = by_dst.map_batches(
+        reduced = pinned.map_batches(
             in_sums, batch_format="pyarrow", zero_copy_batch=True
         )
         for tr in reduced.to_arrow_refs():
             t = ray.get(tr)
             if t.num_rows:
-                idx = np.searchsorted(
-                    nodes_arr, t.column("node").to_numpy(zero_copy_only=False)
-                )
                 # add, don't assign: correct even if a dst's rows ever split
                 # across output blocks (whole-block batches make each dst
                 # appear once today, but the fold must not depend on that)
-                np.add.at(in_sum, idx, t.column("s").to_numpy(zero_copy_only=False))
+                np.add.at(
+                    in_sum,
+                    t.column("idx").to_numpy(zero_copy_only=False),
+                    t.column("s").to_numpy(zero_copy_only=False),
+                )
         r_arr = base + (85 * (in_sum + dang_share)) // 100
+        _mark("iteration")
 
     return rd.from_arrow(
         pa.table({"node": pa.array(nodes_arr), "rank_fp": pa.array(r_arr)})
