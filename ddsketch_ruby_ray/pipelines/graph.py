@@ -156,6 +156,43 @@ def _node_states(dedup_edges, *, num_partitions: int):
     return states, states.count()
 
 
+def _pin_edge_slices(part_ds, columns: tuple, sort_col: str = "dst") -> dict:
+    """Split a materialized ``_part``-partitioned edge Dataset into
+    per-partition object-store tables sorted by ``sort_col`` —
+    ``{part: [ObjectRef, ...]}``.
+
+    Iterative shuffle-mode algorithms gather these slices BY REF inside
+    their per-partition group tasks, so each iteration exchanges only the
+    O(nodes) state rows; the edge bytes never ride a shuffle again (the
+    previous shape unioned the full edge table into every iteration's
+    groupby and re-sorted it each round).  On a multi-node cluster the
+    first gather pulls a slice to the consuming node and the object store
+    retains the secondary copy, so later rounds read locally.  Driver
+    memory is O(partitions) refs, never edge rows.
+    """
+    import ray
+
+    @ray.remote
+    def split(tbl: pa.Table) -> dict:
+        prt = tbl.column("_part").to_numpy(zero_copy_only=False)
+        cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in columns}
+        out = {}
+        for p in np.unique(prt):
+            m = prt == p
+            sl = {c: v[m] for c, v in cols.items()}
+            o = np.argsort(sl[sort_col], kind="stable")
+            out[int(p)] = ray.put(
+                pa.table({c: pa.array(v[o]) for c, v in sl.items()})
+            )
+        return out
+
+    refs: dict[int, list] = {}
+    for d in ray.get([split.remote(r) for r in part_ds.to_arrow_refs()]):
+        for p, ref in d.items():
+            refs.setdefault(p, []).append(ref)
+    return refs
+
+
 def pagerank_pipeline(
     edges,
     *,
@@ -179,10 +216,11 @@ def pagerank_pipeline(
       state is O(nodes) on the driver — right while the node table fits
       (a 2M-node rank array is 48 MB).
     * ``"shuffle"`` — fully distributed state: rank rows co-partition
-      with the edge table and every iteration is a state-union +
-      keyed-fold exchange (the cc.py formulation).  Edge rows ride
-      through the per-iteration groupby, so it costs more per iteration
-      but holds no per-node driver state — the >max_broadcast_nodes path.
+      with the PINNED per-partition edge slices (object-store tables
+      gathered by ref inside the group task — edges never re-shuffle),
+      and every iteration exchanges only the O(nodes) state rows plus
+      block-pre-aggregated message partials.  No per-node driver state —
+      the >max_broadcast_nodes path.
 
     ``"auto"`` picks broadcast iff the node count fits."""
     if mode not in ("auto", "broadcast", "shuffle"):
@@ -230,46 +268,57 @@ def pagerank_pipeline(
         zero_copy_batch=True,
     ).materialize()
 
-    edge_rows = dedup.map_batches(
-        lambda t: pa.table(
-            {
-                "key": t.column("src"),
-                "dst": t.column("dst"),
-                "r": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "outdeg": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "_part": t.column("_part"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()  # pinned: reused by every iteration
+    # Pin the edge table ONCE as per-partition dst-sorted object-store
+    # tables: iterations shuffle ONLY the O(nodes) state rows (see
+    # _pin_edge_slices).
+    import ray
+
+    edge_refs = _pin_edge_slices(dedup, ("src", "dst"))
 
     def propagate(g: pa.Table) -> pa.Table:
-        """state + edge rows of one src-partition -> (dst, contrib)."""
-        key = g.column("key").to_numpy(zero_copy_only=False)
-        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        """One src-partition's STATE rows -> per-dst partial contributions
+        over that partition's pinned edge slices (fetched by ref, never
+        shuffled)."""
+        part = int(g.column("_part")[0].as_py()) if g.num_rows else -1
+        refs = edge_refs.get(part, [])
+        node = g.column("node").to_numpy(zero_copy_only=False)
         r = g.column("r").to_numpy(zero_copy_only=False)
         deg = g.column("outdeg").to_numpy(zero_copy_only=False)
-        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
-        order = np.lexsort((1 - is_state, key))  # state row heads its segment
-        k_s = key[order]
-        new = np.empty(len(order), dtype=bool)
-        new[0] = True
-        new[1:] = k_s[1:] != k_s[:-1]
-        seg = np.cumsum(new) - 1
-        heads = np.flatnonzero(new)
-        seg_r = r[order][heads][seg]
-        seg_deg = deg[order][heads][seg]
-        e = is_state[order] == 0
-        # every edge segment's head is its src's state row (same hash
-        # partitioning on both unions); deg >= 1 for any src with edges
-        return pa.table(
-            {
-                "node": pa.array(dst[order][e]),
-                "contrib": pa.array(seg_r[e] // seg_deg[e]),
-            }
-        )
+        o = np.argsort(node, kind="stable")
+        node_s, r_s, deg_s = node[o], r[o], deg[o]
+        outs = []
+        for ref in refs:
+            et = ray.get(ref)
+            src = et.column("src").to_numpy(zero_copy_only=False)
+            dst = et.column("dst").to_numpy(zero_copy_only=False)
+            if not src.size:
+                continue
+            # every src hashes to this partition, so it has a state row;
+            # outdeg >= 1 for any src with edges
+            idx = np.searchsorted(node_s, src)
+            contrib = r_s[idx] // deg_s[idx]
+            new = np.empty(dst.size, dtype=bool)
+            new[0] = True
+            new[1:] = dst[1:] != dst[:-1]
+            starts = np.flatnonzero(new)
+            # pre-aggregate per dst within the slice: the message exchange
+            # carries min(E, dsts-per-slice) partial rows, not E rows
+            outs.append(
+                pa.table(
+                    {
+                        "node": pa.array(dst[starts]),
+                        "contrib": pa.array(np.add.reduceat(contrib, starts)),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "contrib": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
 
     def make_fold(dang_share: int, base: int):
         def fold(g: pa.Table) -> pa.Table:
@@ -337,24 +386,11 @@ def pagerank_pipeline(
         ).sum("d")
         dang_share = int(dang) // n_nodes
 
-        state_rows = ranks.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("node"),
-                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    "r": t.column("r"),
-                    "outdeg": t.column("outdeg"),
-                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                    "_part": t.column("_part"),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        msgs = (
-            state_rows.union(edge_rows)
-            .groupby("_part")
-            .map_groups(propagate, batch_format="pyarrow")
+        # ONE keyed exchange of the O(nodes) state table; the edges stay
+        # pinned in the object store and are gathered by ref inside
+        # propagate — never shuffled after the build
+        msgs = ranks.groupby("_part").map_groups(
+            propagate, batch_format="pyarrow"
         )
         msg_rows = msgs.map_batches(
             lambda t: _with_part(
@@ -801,19 +837,12 @@ def bfs_hops_pipeline(
         except _TooManyNodes:
             pass  # auto: reached set outgrew the driver -> shuffle plan
 
-    edge_rows = dedup.map_batches(
-        lambda t: pa.table(
-            {
-                "key": t.column("src"),
-                "dst": t.column("dst"),
-                "hop": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "_part": t.column("_part"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    import ray
+
+    # per-partition dst-sorted edge slices, gathered by ref inside the
+    # frontier group tasks — per hop, only the O(frontier) state rows and
+    # the per-dst candidate partials ride a shuffle, never the edges
+    edge_refs = _pin_edge_slices(dedup, ("src", "dst"))
 
     def seed_states(t: pa.Table) -> pa.Table:
         n = t.column(seed_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -835,33 +864,47 @@ def bfs_hops_pipeline(
     ).materialize()
 
     def propagate(g: pa.Table) -> pa.Table:
-        key = g.column("key").to_numpy(zero_copy_only=False)
-        dst = g.column("dst").to_numpy(zero_copy_only=False)
-        hop = g.column("hop").to_numpy(zero_copy_only=False)
-        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
-        order = np.lexsort((1 - is_state, key))
-        k_s = key[order]
-        new = np.empty(len(order), dtype=bool)
-        if not len(order):
-            return pa.table(
-                {
-                    "node": pa.array([], pa.int64()),
-                    "cand": pa.array([], pa.int64()),
-                }
-            )
-        new[0] = True
-        new[1:] = k_s[1:] != k_s[:-1]
-        seg = np.cumsum(new) - 1
-        heads = np.flatnonzero(new)
-        head_is_state = is_state[order][heads] == 1
-        seg_hop = hop[order][heads][seg]
-        e = (is_state[order] == 0) & head_is_state[seg]
-        return pa.table(
-            {
-                "node": pa.array(dst[order][e]),
-                "cand": pa.array(seg_hop[e] + 1),
-            }
+        """One partition's FRONTIER state rows -> per-dst min candidate
+        hops over that partition's pinned edge slices (fetched by ref)."""
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
         )
+        if not g.num_rows:
+            return empty
+        part = int(g.column("_part")[0].as_py())
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        hop = g.column("hop").to_numpy(zero_copy_only=False)
+        o = np.argsort(node, kind="stable")
+        node_s, hop_s = node[o], hop[o]
+        outs = []
+        for ref in edge_refs.get(part, []):
+            et = ray.get(ref)
+            src = et.column("src").to_numpy(zero_copy_only=False)
+            dst = et.column("dst").to_numpy(zero_copy_only=False)
+            if not src.size:
+                continue
+            pos = np.searchsorted(node_s, src)
+            pc_ = np.minimum(pos, node_s.size - 1)
+            valid = node_s[pc_] == src  # src in the frontier
+            if not valid.any():
+                continue
+            dv = dst[valid]  # dst-sorted slice: order survives the mask
+            cv = hop_s[pc_[valid]] + 1
+            new = np.empty(dv.size, dtype=bool)
+            new[0] = True
+            new[1:] = dv[1:] != dv[:-1]
+            starts = np.flatnonzero(new)
+            # per-dst min within the slice: min is idempotent, so the
+            # candidate exchange carries one row per (slice, dst)
+            outs.append(
+                pa.table(
+                    {
+                        "node": pa.array(dv[starts]),
+                        "cand": pa.array(np.minimum.reduceat(cv, starts)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
 
     def fold(g: pa.Table) -> pa.Table:
         node = g.column("node").to_numpy(zero_copy_only=False)
@@ -888,30 +931,20 @@ def bfs_hops_pipeline(
         )
 
     for _ in range(max_hops):
-        # only improved nodes message their neighbors (frontier)
-        state_rows = hops.map_batches(
+        # only improved nodes message their neighbors (frontier); the
+        # frontier is O(reached) rows — materialize once, reuse for the
+        # empty-check and the exchange
+        frontier = hops.map_batches(
             lambda t: t.filter(
                 pa.compute.equal(t.column("fresh"), pa.scalar(1, pa.int8()))
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("node"),
-                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    "hop": t.column("hop"),
-                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                    "_part": t.column("_part"),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        msgs = (
-            state_rows.union(edge_rows)
-            .groupby("_part")
-            .map_groups(propagate, batch_format="pyarrow")
+        ).materialize()
+        if frontier.count() == 0:
+            break  # fixed point: no node improved last hop
+        msgs = frontier.groupby("_part").map_groups(
+            propagate, batch_format="pyarrow"
         )
         msg_rows = msgs.map_batches(
             lambda t: _with_part(
@@ -1343,31 +1376,29 @@ def _sssp_broadcast(pinned, seeds, *, seed_col: str, max_rounds: int, max_nodes:
 def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitions: int):
     """Fully distributed min-plus Bellman-Ford (the BFS shuffle plan with
     weighted relaxation): distance state lives in a hash-partitioned
-    (node, dist, fresh) table, never the driver.  Per round, fresh state
-    rows union the pinned src-partitioned edge rows (edge weight rides the
-    shared ``w`` column; state rows carry their distance there), one keyed
-    exchange co-locates each node's state with its out-edges, relaxation +
-    per-dst block-local min happen in the group fold, and a second keyed
-    exchange folds candidate minima into the state table.  Only improved
-    nodes message their neighbors next round."""
+    (node, dist, fresh) table, never the driver.  The min-weight edge
+    table is pinned ONCE as per-partition dst-sorted object-store slices
+    (see ``_pin_edge_slices``); per round, one keyed exchange co-locates
+    each fresh node's state with its partition, relaxation + per-dst
+    block-local min run in the group task against the by-ref slices, and
+    a second keyed exchange folds candidate minima into the state table.
+    Only improved nodes message their neighbors next round — the edges
+    never re-shuffle."""
+    import ray
 
-    def edge_rows_of(t: pa.Table) -> pa.Table:
+    def with_src_part(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "key": t.column("src"),
-                "dst": t.column("dst"),
-                "w": t.column("w"),
-                "is_state": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
-                "_part": pa.array(
-                    (hash64_int(src) % np.uint64(num_partitions)).astype(np.int32)
-                ),
-            }
+        return t.append_column(
+            "_part",
+            pa.array((hash64_int(src) % np.uint64(num_partitions)).astype(np.int32)),
         )
 
-    edge_rows = pinned.map_batches(
-        edge_rows_of, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    edge_refs = _pin_edge_slices(
+        pinned.map_batches(
+            with_src_part, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize(),
+        ("src", "dst", "w"),
+    )
 
     def seed_states(t: pa.Table) -> pa.Table:
         n = np.unique(t.column(seed_col).to_numpy(zero_copy_only=False).astype(np.int64))
@@ -1388,39 +1419,48 @@ def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitio
     ).materialize()
 
     def relax(g: pa.Table) -> pa.Table:
-        key = g.column("key").to_numpy(zero_copy_only=False)
-        dst = g.column("dst").to_numpy(zero_copy_only=False)
-        w = g.column("w").to_numpy(zero_copy_only=False)
-        is_state = g.column("is_state").to_numpy(zero_copy_only=False)
+        """One partition's FRESH state rows -> per-dst min (dist + w)
+        candidates over the partition's pinned edge slices (by ref).
+        Block-local per-dst min cuts the candidate exchange to one row per
+        (slice, dst) — min-plus is idempotent so this is exact."""
         empty = pa.table(
             {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
         )
-        if not key.size:
+        if not g.num_rows:
             return empty
-        order = np.lexsort((1 - is_state, key))  # state head leads its segment
-        k_s = key[order]
-        new = np.empty(k_s.size, dtype=bool)
-        new[0] = True
-        new[1:] = k_s[1:] != k_s[:-1]
-        seg = np.cumsum(new) - 1
-        heads = np.flatnonzero(new)
-        head_is_state = is_state[order][heads] == 1
-        seg_dist = w[order][heads][seg]  # head's dist (edge-only segs: garbage, masked)
-        e = (is_state[order] == 0) & head_is_state[seg]
-        if not np.any(e):
-            return empty
-        cand_n = dst[order][e]
-        cand_d = seg_dist[e] + w[order][e]
-        # block-local per-dst min cuts the candidate exchange to one row
-        # per (block, dst) — min-plus is idempotent so this is exact
-        o2 = np.lexsort((cand_d, cand_n))
-        n_s, d_s = cand_n[o2], cand_d[o2]
-        first = np.empty(n_s.size, dtype=bool)
-        first[0] = True
-        first[1:] = n_s[1:] != n_s[:-1]
-        return pa.table(
-            {"node": pa.array(n_s[first]), "cand": pa.array(d_s[first])}
-        )
+        part = int(g.column("_part")[0].as_py())
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        dist = g.column("dist").to_numpy(zero_copy_only=False)
+        o = np.argsort(node, kind="stable")
+        node_s, dist_s = node[o], dist[o]
+        outs = []
+        for ref in edge_refs.get(part, []):
+            et = ray.get(ref)
+            src = et.column("src").to_numpy(zero_copy_only=False)
+            dst = et.column("dst").to_numpy(zero_copy_only=False)
+            w = et.column("w").to_numpy(zero_copy_only=False)
+            if not src.size:
+                continue
+            pos = np.searchsorted(node_s, src)
+            pc_ = np.minimum(pos, node_s.size - 1)
+            valid = node_s[pc_] == src  # src is fresh this round
+            if not valid.any():
+                continue
+            dv = dst[valid]  # dst-sorted slice: order survives the mask
+            cv = dist_s[pc_[valid]] + w[valid]
+            new = np.empty(dv.size, dtype=bool)
+            new[0] = True
+            new[1:] = dv[1:] != dv[:-1]
+            starts = np.flatnonzero(new)
+            outs.append(
+                pa.table(
+                    {
+                        "node": pa.array(dv[starts]),
+                        "cand": pa.array(np.minimum.reduceat(cv, starts)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
 
     def fold(g: pa.Table) -> pa.Table:
         node = g.column("node").to_numpy(zero_copy_only=False)
@@ -1453,23 +1493,11 @@ def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitio
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("node"),
-                    "dst": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-                    "w": t.column("dist"),
-                    "is_state": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                    "_part": t.column("_part"),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        msgs = (
-            fresh_rows.union(edge_rows)
-            .groupby("_part")
-            .map_groups(relax, batch_format="pyarrow")
+        ).materialize()
+        if fresh_rows.count() == 0:
+            break  # fixed point: no distance improved last round
+        msgs = fresh_rows.groupby("_part").map_groups(
+            relax, batch_format="pyarrow"
         )
         msg_rows = msgs.map_batches(
             lambda t: _with_part(
