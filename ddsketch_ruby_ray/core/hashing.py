@@ -29,6 +29,7 @@ __all__ = [
     "splitmix64",
     "hash64_int",
     "hash256_str",
+    "hash64_str_fast",
     "fold_windows",
     "splitmix64_sql",
     "sha_lane_sql",
@@ -62,6 +63,67 @@ def hash64_int(values, seed: int = 0) -> np.ndarray:
         finally:
             np.seterr(**old)
     return splitmix64(v)
+
+
+_POLY_R = np.uint64(0x100000001B3)  # FNV-64 prime as the polynomial base
+
+
+def hash64_str_fast(col) -> np.ndarray:
+    """Vectorized non-cryptographic 64-bit hash of an Arrow string column.
+
+    PARTITIONING ONLY — it has NO SQL mirror and must never reach an
+    oracle-compared output column (use :func:`hash256_str` there).  Polynomial
+    fold over the raw utf-8 buffer, h = sum(byte * R^(len-1-pos)) mod 2^64,
+    finalized with splitmix64(h ^ len); equal strings always collide, the
+    byte stream is touched in ONE numpy pass regardless of row count (no
+    per-row Python), and empty/null strings hash like "".  Segment sums use
+    modular cumsum differences, which are exact under uint64 wrap and safe
+    for empty segments (np.add.reduceat is not).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array(["" if s is None else str(s) for s in col], pa.string())
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if not n:
+        return np.zeros(0, dtype=np.uint64)
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    starts, ends = off[:-1], off[1:]
+    lens = ends - starts
+    total = int(off[-1] - off[0])
+    old = np.seterr(over="ignore")
+    try:
+        if total:
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+                off[0] : off[-1]
+            ].astype(np.uint64)
+            # R^k table up to the longest string (uint64 wrap is the modulus)
+            max_len = int(lens.max())
+            powers = np.ones(max_len, dtype=np.uint64)
+            if max_len > 1:
+                np.multiply.accumulate(
+                    np.full(max_len - 1, _POLY_R, dtype=np.uint64),
+                    out=powers[1:],
+                )
+            j = np.arange(total, dtype=np.int64) + off[0]
+            pos_from_end = np.repeat(ends, lens) - 1 - j
+            terms = data * powers[pos_from_end]
+            csum = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+            h = csum[ends - off[0]] - csum[starts - off[0]]
+        else:
+            h = np.zeros(n, dtype=np.uint64)
+        return splitmix64(h ^ lens.astype(np.uint64))
+    finally:
+        np.seterr(**old)
 
 
 def hash256_str(col, lanes: int = 1) -> list[np.ndarray]:

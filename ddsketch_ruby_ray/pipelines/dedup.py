@@ -712,7 +712,10 @@ def jaccard_pairs_pipeline(
         verify, batch_format="pyarrow"
     )
     # cross-band duplicates carry the identical jac1000; collapse to one row
-    deduped = per_bucket.groupby(["a", "b"]).max("jac1000")
+    # (pair domain is open-ended -> bounded-partition fold)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_agg
+
+    deduped = partitioned_group_agg(per_bucket, ["a", "b"], [("jac1000", "max")])
     return deduped.map_batches(
         lambda t: t.rename_columns(["a", "b", "jac1000"]),
         batch_format="pyarrow",
@@ -1332,7 +1335,12 @@ def containment_pairs_pipeline(
         verify, batch_format="pyarrow"
     )
     # identical values in every shared bucket -> collapse cross-band dups
-    out = per_bucket.groupby(["a", "b"]).max(["cont_ab1000", "cont_ba1000"])
+    # (pair domain is open-ended -> bounded-partition fold)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_agg
+
+    out = partitioned_group_agg(
+        per_bucket, ["a", "b"], [("cont_ab1000", "max"), ("cont_ba1000", "max")]
+    )
     import pyarrow.compute as pc
 
     return out.map_batches(

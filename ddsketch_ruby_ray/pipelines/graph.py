@@ -54,11 +54,63 @@ def _with_part(t: pa.Table, col: str, num_partitions: int) -> pa.Table:
     return t.append_column("_part", pa.array(part))
 
 
-def _distinct_edges(edges, *, src_col: str, dst_col: str, num_partitions: int):
+class PackedIdOverflow(Exception):
+    """An id fell outside [0, 2^31) — the packed edge exchange cannot run."""
+
+
+def _pack_pair(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) int64 pair -> one int64 key, after validating both ids fit
+    [0, 2^31).  Packing HALVES every edge exchange's bytes and turns the
+    reduce's lexsort into one single-key sort; ids wider than 31 bits raise
+    :class:`PackedIdOverflow` loudly (callers fall back to the two-column
+    plan) instead of silently colliding."""
+    if hi.size:
+        m = min(int(hi.min()), int(lo.min()))
+        M = max(int(hi.max()), int(lo.max()))
+        if m < 0 or M >= 1 << 31:
+            raise PackedIdOverflow(
+                f"edge ids outside [0, 2^31): min={m} max={M}"
+            )
+    return (hi << np.int64(32)) | lo
+
+
+def _distinct_edges(edges, *, src_col: str, dst_col: str, num_partitions: int, packed="auto"):
     """-> materialized Dataset[(src, dst, _part)] with exact (src, dst)
     dedup; partitioned by hash(src) so a src's whole adjacency list is one
     partition (dedup is therefore global, and propagation needs no second
-    shuffle of edges — ever)."""
+    shuffle of edges — ever).
+
+    ``packed`` (True / False / "auto"): ship one (src<<32|dst) int64 per
+    edge instead of two int64 columns — half the exchange bytes, one
+    single-key sort in the fold, bit-identical output (packed ascending ==
+    lexsort((dst, src))).  Needs ids in [0, 2^31); "auto" probes the packed
+    plan and falls back to the two-column plan on
+    :class:`PackedIdOverflow` (one aborted exchange — graphs with wide ids
+    should pass ``packed=False``)."""
+
+    def norm_packed(t: pa.Table) -> pa.Table:
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(s) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {"pk": pa.array(_pack_pair(s, d)), "_part": pa.array(part)}
+        )
+
+    def dedup_packed(g: pa.Table) -> pa.Table:
+        pk = np.sort(g.column("pk").to_numpy(zero_copy_only=False))
+        keep = np.empty(pk.size, dtype=bool)
+        if pk.size:
+            keep[0] = True
+            keep[1:] = pk[1:] != pk[:-1]
+        pk = pk[keep]
+        part = g.column("_part")[0].as_py() if g.num_rows else 0
+        return pa.table(
+            {
+                "src": pa.array(pk >> np.int64(32)),
+                "dst": pa.array(pk & np.int64(0x7FFFFFFF)),
+                "_part": pa.array(np.full(pk.size, part, dtype=np.int32)),
+            }
+        )
 
     def norm(t: pa.Table) -> pa.Table:
         return _with_part(
@@ -92,6 +144,19 @@ def _distinct_edges(edges, *, src_col: str, dst_col: str, num_partitions: int):
             }
         )
 
+    if packed is True or packed == "auto":
+        try:
+            return (
+                edges.map_batches(
+                    norm_packed, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("_part")
+                .map_groups(dedup_packed, batch_format="pyarrow")
+                .materialize()
+            )
+        except Exception as e:  # RayTaskError wraps the original
+            if packed is True or "PackedIdOverflow" not in repr(e) + str(e):
+                raise
     return (
         edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
@@ -542,12 +607,64 @@ def _pagerank_broadcast(
             }
         )
 
-    by_dst = (
-        edges.map_batches(norm_dst_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_part")
-        .map_groups(dedup_sort, batch_format="pyarrow")
-        .materialize()  # pinned for every iteration
-    )
+    def norm_dst_packed(t: pa.Table) -> pa.Table:
+        """Packed fast path: one (dst<<32|src) int64 per edge — half the
+        exchange bytes, single-key sort in the fold.  Raises
+        :class:`PackedIdOverflow` for ids outside [0, 2^31)."""
+        s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(d) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+        return pa.table(
+            {"pk": pa.array(_pack_pair(d, s)), "_part": pa.array(part)}
+        )
+
+    def dedup_sort_packed(g: pa.Table) -> pa.Table:
+        pk = np.sort(g.column("pk").to_numpy(zero_copy_only=False))
+        keep = np.empty(pk.size, dtype=bool)
+        if pk.size:
+            keep[0] = True
+            keep[1:] = pk[1:] != pk[:-1]
+        pk = pk[keep]
+        dst = pk >> np.int64(32)
+        src = pk & np.int64(0x7FFFFFFF)
+        deg_node, deg_val = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate([dst, deg_node])),
+                "src": pa.array(np.concatenate([src, deg_val])),
+                "is_deg": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(dst.size, dtype=np.int8),
+                            np.ones(deg_node.size, dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    by_dst = None
+    try:
+        by_dst = (
+            edges.map_batches(
+                norm_dst_packed, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_part")
+            .map_groups(dedup_sort_packed, batch_format="pyarrow")
+            .materialize()  # pinned for every iteration
+        )
+    except Exception as e:  # wide ids: fall back to the two-column exchange
+        if "PackedIdOverflow" not in repr(e) + str(e):
+            raise
+    if by_dst is None:
+        by_dst = (
+            edges.map_batches(
+                norm_dst_part, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_part")
+            .map_groups(dedup_sort, batch_format="pyarrow")
+            .materialize()  # pinned for every iteration
+        )
     _mark("fused edge exchange (dedup+pin) materialized")
 
     # ONE meta pass over the pinned blocks: distinct-dst runs (kind 0) and
@@ -1051,10 +1168,17 @@ def triangle_count_pipeline(
         vals, cnt = np.unique(ab, return_counts=True)
         return pa.table({"node": pa.array(vals), "d": pa.array(cnt.astype(np.int64))})
 
+    # node domain is open-ended -> bounded-partition fold for the exchange;
+    # the take_all stays: this plan's documented contract is that the NODE
+    # table (not the edges) fits the driver
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
     deg_rows = (
-        e.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .sum("d")
+        partitioned_group_sum(
+            e.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True),
+            "node",
+            "d",
+        )
         .take_all()
     )
     if not deg_rows:

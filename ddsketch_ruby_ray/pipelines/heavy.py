@@ -96,7 +96,11 @@ def heavy_hitters_pipeline(ds, *, key_col: str, phi: float, counters: int | None
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = summaries.groupby(key_col).sum(["_c", "_n"])
+    # distinct keys across block summaries grow with block count at scale
+    # -> bounded-partition fold, not the native sort-based groupby
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    agg = partitioned_group_sum(summaries, key_col, ["_c", "_n"])
     # small by construction: <= blocks x counters rows pre-groupby, and the
     # candidate filter below keeps <= ~2/phi keys — a legitimate driver-side
     # take (same broadcast-small-side pattern as pipelines/probe.py).

@@ -120,10 +120,14 @@ def line_dedup_pipeline(
         u, c = np.unique(h, return_counts=True)
         return pa.table({"lh": pa.array(u), "c": pa.array(c.astype(np.int64))})
 
-    counts = (
-        ds.map_batches(count_lines, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lh")
-        .sum("c")
+    # line-hash domain is open-ended (10^8-10^9 distinct lines at 100 TB):
+    # bounded-partition fold, never the native sort-based groupby
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    counts = partitioned_group_sum(
+        ds.map_batches(count_lines, batch_format="pyarrow", zero_copy_batch=True),
+        "lh",
+        "c",
     )
 
     def heavy_only(t: pa.Table) -> pa.Table:

@@ -70,10 +70,15 @@ def bigram_lm_score_pipeline(ds, *, id_col: str, text_col: str, top_k: int = 100
             }
         )
 
-    counted = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram")
-        .sum("n")
+    # bigram domain is open-ended (Zipf tail ~ corpus size): the native
+    # sort-based groupby collapses past ~1M groups, so fold through the
+    # bounded-partition plan (pipelines/fold.py)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        "bigram",
+        "n",
     )
     top = (
         counted.map_batches(

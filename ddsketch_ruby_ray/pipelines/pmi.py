@@ -58,10 +58,14 @@ def pmi_collocations_pipeline(
             }
         )
 
-    bcnt = (
-        ds.map_batches(explode_bigrams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bigram")
-        .sum("c")
+    # bigram/token domains are open-ended: fold through the bounded-partition
+    # plan (pipelines/fold.py) instead of the native sort-based groupby
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    bcnt = partitioned_group_sum(
+        ds.map_batches(explode_bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        "bigram",
+        "c",
     )
     top = (
         bcnt.map_batches(
@@ -76,10 +80,10 @@ def pmi_collocations_pipeline(
         .take_all()  # K rows — the KB driver side
     )
 
-    ucnt = (
-        ds.map_batches(explode_tokens, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tok")
-        .sum("c")
+    ucnt = partitioned_group_sum(
+        ds.map_batches(explode_tokens, batch_format="pyarrow", zero_copy_batch=True),
+        "tok",
+        "c",
     )
     n_tokens = int(ucnt.sum("sum(c)") or 0)
 
@@ -149,10 +153,14 @@ def token_frequency_spectrum_pipeline(ds, *, text_col: str):
             }
         )
 
-    freqs = (
-        ds.map_batches(explode_tokens, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tok")
-        .sum("c")
+    # token domain is open-ended -> bounded-partition fold; the second
+    # groupby below is over frequency VALUES (bounded) and stays native
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    freqs = partitioned_group_sum(
+        ds.map_batches(explode_tokens, batch_format="pyarrow", zero_copy_batch=True),
+        "tok",
+        "c",
     )
 
     def count_partial(t: pa.Table) -> pa.Table:

@@ -319,10 +319,14 @@ def grouped_gini_pipeline(ds, *, group_col: str, value_col: str):
         g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
         return g.rename_columns([group_col, value_col, "c"])
 
-    counted = (
-        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([group_col, value_col])
-        .sum("c")
+    # the (group, value) and group domains scale with the group key (e.g.
+    # users) -> bounded-partition folds (pipelines/fold.py)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, value_col],
+        "c",
     )
 
     def square(t: pa.Table) -> pa.Table:
@@ -337,10 +341,10 @@ def grouped_gini_pipeline(ds, *, group_col: str, value_col: str):
             }
         )
 
-    summed = (
-        counted.map_batches(square, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .sum(["sq", "c"])
+    summed = partitioned_group_sum(
+        counted.map_batches(square, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        ["sq", "c"],
     )
 
     def finalize(t: pa.Table) -> pa.Table:

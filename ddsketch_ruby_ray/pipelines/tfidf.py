@@ -108,10 +108,13 @@ def tfidf_topk_pipeline(
             }
         )
 
-    agg = (
-        ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .sum(["_df", "_n"])
+    # term domain is open-ended -> bounded-partition fold (pipelines/fold.py)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    agg = partitioned_group_sum(
+        ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True),
+        "term",
+        ["_df", "_n"],
     )
     tables = [ray.get(r) for r in agg.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows]

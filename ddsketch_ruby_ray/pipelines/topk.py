@@ -208,10 +208,14 @@ def grouped_mode_pipeline(ds, *, group_col: str, value_col: str):
         g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
         return g.rename_columns([group_col, value_col, "c"])
 
-    counted = (
-        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([group_col, value_col])
-        .sum("c")
+    # (group, value) domain scales with the group domain (e.g. users) ->
+    # bounded-partition fold (pipelines/fold.py)
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, value_col],
+        "c",
     )
     flat = counted.map_batches(
         lambda t: pa.table(

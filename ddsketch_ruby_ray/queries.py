@@ -429,14 +429,22 @@ def rfm_customer_segments(sf_dir: str):
         )
 
     rows = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    cust = rows.groupby("o_custkey").aggregate(Max("r_us"), Count(), Sum("cents"))
+    # customer domain is open-ended at scale -> bounded-partition fold
+    # (r_us is never null, so count(r_us) == Count())
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_agg
+
+    cust = partitioned_group_agg(
+        rows,
+        "o_custkey",
+        [("r_us", "max"), ("r_us", "count"), ("cents", "sum")],
+    )
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_custkey": t.column("o_custkey"),
                 "recency_us": pc.cast(t.column("max(r_us)"), pa.int64()),
-                "frequency": pc.cast(t.column("count()"), pa.int64()),
+                "frequency": pc.cast(t.column("count(r_us)"), pa.int64()),
                 "monetary_c": pc.cast(t.column("sum(cents)"), pa.int64()),
                 "_all": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             }
@@ -2868,10 +2876,14 @@ def top_tokens(sf_dir: str):
              "n": pa.array(counts, pa.int64())}
         )
 
-    counted = (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .sum("n")
+    # token domain is open-ended: bounded-partition fold (pipelines/fold.py),
+    # not the native sort-based groupby that collapses past ~1M groups
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        "n",
     )
 
     def rename(t: pa.Table) -> pa.Table:
@@ -3093,7 +3105,10 @@ def cohort_retention(sf_dir: str):
         )
 
     ev = events.map_batches(to_weeks, batch_format="pyarrow", zero_copy_batch=True)
-    firsts = ev.groupby("user_id").min("week")
+    # user domain is open-ended at corpus scale -> bounded-partition fold
+    from ddsketch_ruby_ray.pipelines.fold import partitioned_group_agg
+
+    firsts = partitioned_group_agg(ev, "user_id", [("week", "min")])
 
     def rename_first(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -380,3 +380,58 @@ class TestTriangleIdBound:
         )
         with pytest.raises((RayTaskError, ValueError), match="2\\^32"):
             triangle_count_pipeline(rd.from_arrow(tbl)).to_pandas()
+
+
+class TestPackedIdFallback:
+    """Wide ids (>= 2^31) must fall back to the two-column exchange and
+    produce results identical to the same graph under small ids."""
+
+    def test_pagerank_wide_ids_match_shifted(self, ray_session):
+        import ray.data as rd
+
+        s, d = _random_graph(43, 1200)
+        OFF = (1 << 31) + 17
+        tbl_small = pa.table(
+            {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}
+        )
+        tbl_wide = pa.table(
+            {
+                "src": pa.array(s + OFF, pa.int64()),
+                "dst": pa.array(d + OFF, pa.int64()),
+            }
+        )
+        a = pagerank_pipeline(
+            rd.from_arrow(tbl_small).repartition(3), num_partitions=8
+        ).to_pandas()
+        b = pagerank_pipeline(
+            rd.from_arrow(tbl_wide).repartition(3), num_partitions=8
+        ).to_pandas()
+        assert dict(zip(a.node + OFF, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
+
+    def test_bfs_wide_ids_match_shifted(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.graph import bfs_hops_pipeline
+
+        s, d = _random_graph(44, 1200)
+        OFF = (1 << 31) + 5
+        seeds_small = pa.table({"n": pa.array(np.unique(s[:5]), pa.int64())})
+        seeds_wide = pa.table({"n": pa.array(np.unique(s[:5]) + OFF, pa.int64())})
+        tbl_small = pa.table(
+            {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}
+        )
+        tbl_wide = pa.table(
+            {
+                "src": pa.array(s + OFF, pa.int64()),
+                "dst": pa.array(d + OFF, pa.int64()),
+            }
+        )
+        a = bfs_hops_pipeline(
+            rd.from_arrow(tbl_small), rd.from_arrow(seeds_small),
+            seed_col="n", max_hops=4, num_partitions=8,
+        ).to_pandas()
+        b = bfs_hops_pipeline(
+            rd.from_arrow(tbl_wide), rd.from_arrow(seeds_wide),
+            seed_col="n", max_hops=4, num_partitions=8,
+        ).to_pandas()
+        assert dict(zip(a.node + OFF, a.hops)) == dict(zip(b.node, b.hops))
