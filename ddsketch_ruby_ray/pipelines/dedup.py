@@ -154,10 +154,26 @@ def lsh_after_exact_dedup(
     """
     import ray
 
-    winners = exact_dedup_pipeline(
-        ds, key_col=key_col, text_col=text_col
-    ).take_all()  # ids only: 8 B per distinct text
-    win = np.sort(np.asarray([r[key_col] for r in winners], dtype=np.int64))
+    # ids only, 8 B per distinct text — collected as ARROW REFS, never as
+    # driver-side Python rows (take_all on millions of winners spent seconds
+    # building dicts and was the measured serial floor of this composition)
+    win_tabs = [
+        ray.get(r)
+        for r in exact_dedup_pipeline(
+            ds, key_col=key_col, text_col=text_col
+        ).to_arrow_refs()
+    ]
+    win_tabs = [t for t in win_tabs if t.num_rows]
+    win = np.sort(
+        np.concatenate(
+            [
+                t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                for t in win_tabs
+            ]
+        )
+        if win_tabs
+        else np.zeros(0, dtype=np.int64)
+    )
     ref = ray.put(win)
 
     def keep(t: pa.Table) -> pa.Table:

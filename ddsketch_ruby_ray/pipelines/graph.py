@@ -1173,15 +1173,16 @@ def triangle_count_pipeline(
     # table (not the edges) fits the driver
     from ddsketch_ruby_ray.pipelines.fold import partitioned_group_sum
 
-    deg_rows = (
-        partitioned_group_sum(
+    deg_tabs = [
+        ray.get(r)
+        for r in partitioned_group_sum(
             e.map_batches(deg_partials, batch_format="pyarrow", zero_copy_batch=True),
             "node",
             "d",
-        )
-        .take_all()
-    )
-    if not deg_rows:
+        ).to_arrow_refs()  # arrow refs, not take_all: O(nodes) rows stay columnar
+    ]
+    deg_tabs = [t for t in deg_tabs if t.num_rows]
+    if not deg_tabs:
         return rd.from_arrow(
             pa.table(
                 {
@@ -1191,14 +1192,20 @@ def triangle_count_pipeline(
                 }
             )
         )
-    nodes = np.array([r["node"] for r in deg_rows], dtype=np.int64)
-    degs = np.array([r["sum(d)"] for r in deg_rows], dtype=np.int64)
+    deg_tbl = pa.concat_tables(deg_tabs)
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = deg_tbl.column("sum(d)").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(nodes)
     nodes, degs = nodes[order], degs[order]
     # orientation rank: position in the (degree, node) total order
     rank = np.empty(nodes.size, dtype=np.int64)
     rank[np.lexsort((nodes, degs))] = np.arange(nodes.size)
-    n_wedges = sum(int(d) * (int(d) - 1) // 2 for d in degs)  # python ints
+    # vectorized exact wedge count with a loud int64 guard (float64 upper
+    # bound first: per-node d^2/2 and the total must stay under 2^63)
+    est = float((degs.astype(np.float64) ** 2).sum()) / 2.0
+    if est >= 2**62:
+        raise OverflowError("triangle_count_pipeline: wedge count exceeds int64")
+    n_wedges = int((degs * (degs - 1) // 2).sum())
     ref = ray.put((nodes, rank))
 
     def orient(t: pa.Table) -> pa.Table:
