@@ -42,6 +42,7 @@ __all__ = [
     "bfs_hops_pipeline",
     "sssp_pipeline",
     "triangle_count_pipeline",
+    "degree_histogram_pipeline",
 ]
 
 PR_SCALE = 10**12
@@ -1667,6 +1668,72 @@ def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitio
 
     return state.map_batches(
         lambda t: pa.table({"node": t.column("node"), "dist": t.column("dist")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def degree_histogram_pipeline(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 64,
+):
+    """Dataset[(src, dst)] -> Dataset[(degree, n_nodes)]: the distinct-
+    neighbor OUT-degree histogram of the directed multigraph — the basic
+    shape diagnostic (power-law check, super-node detection) run before
+    committing to a partitioning for the iterative algorithms.
+
+    Plan: per-block Arrow group_by dedups (src, dst) pairs locally, ONE
+    hash(src) co-partition makes per-src dedup + counting global and
+    local to each group task (lexsort + boundary scan, no per-key
+    Python), and each task emits its own (degree, n_nodes) PARTIAL
+    histogram — O(distinct degrees) rows — folded by a second, KB-sized
+    keyed sum.  Only the (src, dst) id pairs ever shuffle; skewed srcs
+    cost sort time, not memory (a super-node's edges co-locate but the
+    task holds ids, not payloads)."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = pa.table(
+            {
+                "src": t.column(src_col).cast(pa.int64()),
+                "dst": t.column(dst_col).cast(pa.int64()),
+            }
+        ).group_by(["src", "dst"]).aggregate([])
+        return _with_part(d, "src", num_partitions)
+
+    def fold(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        keep = np.empty(src.size, dtype=bool)
+        if src.size:
+            keep[0] = True
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src = src[keep]
+        _, deg = np.unique(src, return_counts=True)
+        dval, dcnt = np.unique(deg, return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(dval.astype(np.int64)),
+                "n_nodes": pa.array(dcnt.astype(np.int64)),
+            }
+        )
+
+    from .fold import partitioned_group_sum
+
+    partials = (
+        edges.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    summed = partitioned_group_sum(partials, "degree", "n_nodes", num_partitions=8)
+    return summed.map_batches(
+        lambda t: pa.table(
+            {"degree": t.column("degree"), "n_nodes": t.column("sum(n_nodes)")}
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

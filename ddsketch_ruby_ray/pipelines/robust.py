@@ -28,7 +28,11 @@ import pyarrow as pa
 
 from .selection import sketch_exact_quantile_pipeline
 
-__all__ = ["mad_outlier_pipeline", "trimmed_mean_pipeline"]
+__all__ = [
+    "mad_outlier_pipeline",
+    "trimmed_mean_pipeline",
+    "winsorized_mean_pipeline",
+]
 
 
 def mad_outlier_pipeline(
@@ -167,6 +171,84 @@ def trimmed_mean_pipeline(
                 "n_kept": pa.array(n),
                 "kept_sum": pa.array(s),
                 "trimmed_mean": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def winsorized_mean_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+    alpha: float = 0.01,
+):
+    """-> Dataset[(group_col, n, win_sum, win_mean)] — the winsorized mean
+    of the INTEGER ``value_col``: values below each group's exact lo_q
+    floor-rank quantile are CLAMPED to it (and above hi_q to it) rather
+    than dropped, so every row still contributes — the robust-location
+    sibling of :func:`trimmed_mean_pipeline` that keeps n constant.
+
+    Same physical plan as the trim: both cutoffs from ONE sketch-guided
+    exact selection (no global sort), then a map-only pass pre-aggregates
+    the exact int64 (count, clamped sum) per group per block; the only
+    shuffle is the tiny partial-counts exchange.  ``win_mean`` is ONE
+    float division of two exact integers — the same op order as the SQL
+    mirror (sum of a CASE clamp over the floor-rank cutoffs)."""
+    import ray
+
+    from .selection import sketch_exact_quantiles_pipeline
+
+    cut_rows = sketch_exact_quantiles_pipeline(
+        ds, group_col=group_col, value_col=value_col, qs=(lo_q, hi_q), alpha=alpha
+    ).take_all()  # one row per group (KB)
+    if cut_rows:
+        names = [c for c in cut_rows[0] if c != group_col]
+        lo_name, hi_name = names[0], names[1]
+        lo = {r[group_col]: int(r[lo_name]) for r in cut_rows}
+        hi = {r[group_col]: int(r[hi_name]) for r in cut_rows}
+    else:
+        lo, hi = {}, {}
+    cuts_ref = ray.put((lo, hi))
+
+    def preagg(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(cuts_ref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_g, out_n, out_s = [], [], []
+        for gv in np.unique(g):  # groups-in-batch, not rows
+            m = g == gv
+            if not m.any() or gv not in lo_m:
+                continue
+            w = np.clip(v[m], lo_m[gv], hi_m[gv])
+            out_g.append(gv)
+            out_n.append(int(m.sum()))
+            out_s.append(int(w.sum()))
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "n": pa.array(out_n, pa.int64()),
+                "win_sum": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+    summed = parts.groupby(group_col).sum(["n", "win_sum"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("sum(win_sum)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n": pa.array(n),
+                "win_sum": pa.array(s),
+                "win_mean": pa.array(
                     s.astype(np.float64) / n.astype(np.float64), pa.float64()
                 ),
             }

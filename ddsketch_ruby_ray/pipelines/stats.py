@@ -31,6 +31,8 @@ __all__ = [
     "grouped_zscore_pipeline",
     "chi2_contingency_pipeline",
     "grouped_gini_pipeline",
+    "grouped_moments_pipeline",
+    "mannwhitney_u_pipeline",
 ]
 
 
@@ -365,3 +367,293 @@ def grouped_gini_pipeline(ds, *, group_col: str, value_col: str):
         )
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Higher moments: skewness / kurtosis from EXACT power sums at any magnitude
+# ---------------------------------------------------------------------------
+
+_L16 = np.uint64(0xFFFF)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _umul128(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized full 64×64→128-bit product of two uint64 arrays as
+    (hi, lo) uint64 pairs — the schoolbook 32-bit-limb decomposition; every
+    intermediate fits uint64 (each partial product < 2^64, the mid carry
+    accumulator < 2^34)."""
+    a0, a1 = a & _M32, a >> np.uint64(32)
+    b0, b1 = b & _M32, b >> np.uint64(32)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> np.uint64(32)) + (p01 & _M32) + (p10 & _M32)
+    lo = (p00 & _M32) | ((mid & _M32) << np.uint64(32))
+    hi = p11 + (p01 >> np.uint64(32)) + (p10 >> np.uint64(32)) + (mid >> np.uint64(32))
+    return hi, lo
+
+
+def _limb_cols(name: str, hi: np.ndarray, lo: np.ndarray, starts: np.ndarray, n_limbs: int) -> dict[str, np.ndarray]:
+    """Per-segment sums of the 16-bit limbs of a (hi, lo) uint128 column.
+
+    This is the exact-at-any-scale big-int sum: each element's 128-bit
+    value splits into 16-bit limbs, each limb lane reduces as ordinary
+    int64 (a lane's segment sum is < rows·2^16, and downstream re-sums of
+    k lane partials stay < total_rows·2^16 — exact int64 for corpora up to
+    2^47 rows per group), and the finalize reassembles Σ limb_k·2^(16k)
+    in Python ints.  No floats anywhere, so no error budget to defend."""
+    out: dict[str, np.ndarray] = {}
+    for k in range(n_limbs):
+        limb = (
+            (lo >> np.uint64(16 * k)) & _L16
+            if k < 4
+            else (hi >> np.uint64(16 * (k - 4))) & _L16
+        )
+        out[f"{name}_{k}"] = (
+            np.add.reduceat(limb.astype(np.int64), starts)
+            if starts.size
+            else np.zeros(0, np.int64)
+        )
+    return out
+
+
+# limb counts: x² < 2^62 (4), |x|³ < 2^93 (6), x⁴ < 2^124 (8) for |x| < 2^31
+_POWER_LIMBS = (("s2", 4), ("s3p", 6), ("s3n", 6), ("s4", 8))
+_MOMENT_COLS = [f"{nm}_{k}" for nm, nl in _POWER_LIMBS for k in range(nl)]
+
+
+def _power_limb_sums(x: np.ndarray, starts: np.ndarray) -> dict[str, np.ndarray]:
+    """Per-segment exact power sums Σx², Σ|x|³ (positive/negative split),
+    Σx⁴ as 16-bit limb lanes (see _limb_cols).  Gates |x| < 2^31 loudly —
+    larger values must be rescaled (ids/metrics past 2e9 overflow the
+    uint64 x² intermediate)."""
+    ax = np.abs(x)
+    if ax.size and int(ax.max()) >= 1 << 31:
+        raise ValueError(
+            "grouped_moments_pipeline: |x| >= 2^31 overflows the x² "
+            f"intermediate (max|x|={int(ax.max())}); rescale the values"
+        )
+    xu = ax.astype(np.uint64)
+    y2 = xu * xu  # < 2^62: exact uint64
+    h3, l3 = _umul128(y2, xu)
+    h4, l4 = _umul128(y2, y2)
+    neg = (x < 0).astype(np.uint64)
+    pos = np.uint64(1) - neg
+    out: dict[str, np.ndarray] = {}
+    out.update(_limb_cols("s2", np.zeros_like(y2), y2, starts, 4))
+    out.update(_limb_cols("s3p", h3 * pos, l3 * pos, starts, 6))
+    out.update(_limb_cols("s3n", h3 * neg, l3 * neg, starts, 6))
+    out.update(_limb_cols("s4", h4, l4, starts, 8))
+    return out
+
+
+def _limbs_to_int(r: dict, name: str, n_limbs: int) -> int:
+    return sum(int(r[f"sum({name}_{k})"]) << (16 * k) for k in range(n_limbs))
+
+
+def grouped_moments_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    derive=None,
+    num_partitions: int = 16,
+):
+    """-> Dataset[(group, n, mean, var_pop, skewness, kurtosis)] — exact
+    population moments of an INTEGER column per group: the power sums
+    S1..S4 are EXACT integers at ANY corpus size (the per-element 128-bit
+    powers are decomposed into 16-bit limb LANES — vectorized umul128 —
+    each lane an ordinary int64 sum that merges by pure addition in any
+    order and stays exact up to 2^47 rows per group), the central-moment
+    numerators are evaluated in Python ints, and each output float is a
+    fixed-op-order expression mirrored verbatim in SQL — bit-exact, no
+    ULP drift, no float intermediaries anywhere before the finalize.
+
+    ``skewness`` is the population g1 = m3 / (m2·sqrt(m2)); ``kurtosis``
+    the population EXCESS g2 = m4 / m2² − 3 (both 0.0 for constant
+    groups).  Gates loudly on |x| ≥ 2^31.  Scale shape: one
+    lexsort+reduceat per block emits one 26-counter row per
+    group-in-block; one tiny keyed shuffle; Python-int finalize per group
+    (groups assumed small — the lang/source axis)."""
+
+    def preagg(t: pa.Table) -> pa.Table:
+        if derive is not None:
+            t = derive(t)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # S1 stays a plain exact int64 partial (same gate as grouped_corr)
+        if x.size:
+            mx = max(int(x.max()), -int(x.min()))
+            if mx * x.size >= 2**63:
+                raise ValueError(
+                    "grouped_moments_pipeline: Σ|x| would overflow the int64 "
+                    f"block partial (max|x|={mx}, block rows={x.size})"
+                )
+        order = np.argsort(g, kind="stable")
+        g_s, x_s = g[order], x[order]
+        new = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, g_s.size))
+        cols = {
+            group_col: pa.array(g_s[starts].tolist()),
+            "n": pa.array(lens.astype(np.int64)),
+            "s1": pa.array(
+                np.add.reduceat(x_s, starts) if starts.size else np.zeros(0, np.int64)
+            ),
+        }
+        for k, v in _power_limb_sums(x_s, starts).items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
+
+    from .fold import partitioned_group_sum
+
+    parts = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+    summed = partitioned_group_sum(
+        parts,
+        group_col,
+        ["n", "s1"] + _MOMENT_COLS,
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # one tiny row per group
+        gs, ns, means, vars_, skews, kurts = [], [], [], [], [], []
+        for r in rows:
+            n = int(r["sum(n)"])
+            s1 = int(r["sum(s1)"])
+            s2 = _limbs_to_int(r, "s2", 4)
+            s3 = _limbs_to_int(r, "s3p", 6) - _limbs_to_int(r, "s3n", 6)
+            s4 = _limbs_to_int(r, "s4", 8)
+            m2n = n * s2 - s1 * s1
+            m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+            m4n = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+            # fixed float op order, mirrored in the SQL oracle verbatim
+            mean = float(s1) / float(n)
+            m2 = float(m2n) / float(n * n)
+            if m2n > 0:
+                m3 = float(m3n) / float(n**3)
+                m4 = float(m4n) / float(n**4)
+                skew = m3 / (m2 * math.sqrt(m2))
+                kurt = m4 / (m2 * m2) - 3.0
+            else:
+                skew = 0.0
+                kurt = 0.0
+            gs.append(r[group_col])
+            ns.append(float(n))
+            means.append(mean)
+            vars_.append(m2)
+            skews.append(skew)
+            kurts.append(kurt)
+        return pa.table(
+            {
+                group_col: pa.array(gs),
+                "n": pa.array(ns, pa.float64()),
+                "mean": pa.array(means, pa.float64()),
+                "var_pop": pa.array(vars_, pa.float64()),
+                "skewness": pa.array(skews, pa.float64()),
+                "kurtosis": pa.array(kurts, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def mannwhitney_u_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int = 16,
+):
+    """-> 1-row Dataset[(n1, n2, u1_x2, z_stat)] — Mann–Whitney U between
+    two groups of an INTEGER column, tie-aware (midranks), normal
+    approximation with tie-corrected variance, no continuity correction.
+
+    Exactness: midrank algebra is done over per-VALUE counts — for value v
+    with c1 rows in A and c total rows, the A-rank contribution is
+    c1·(2·cum_below + c + 1) in doubled units, an exact integer — so
+    ``u1_x2 = 2·U1`` is an exact int64 and ``z_stat`` is a fixed-op-order
+    float expression mirrored in SQL.
+
+    Scale shape: per-block Arrow group_by (value → c1, c) pre-agg, one
+    keyed fold over the distinct-value domain, then ONE final task sorts
+    the distinct values and runs the vectorized prefix scan.  Assumes the
+    distinct-VALUE table fits a single task (doc-length-like metrics:
+    ≤ a few M distinct values — raises loudly past 50M)."""
+    import pyarrow.compute as pc
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        in_a = pc.equal(g, group_a)
+        in_b = pc.equal(g, group_b)
+        keep = pc.or_(in_a, in_b)
+        sub = pa.table(
+            {
+                "_v": t.column(value_col).cast(pa.int64()),
+                "_c1": pc.cast(in_a, pa.int64()),
+            }
+        ).filter(keep)
+        agg = sub.group_by(["_v"]).aggregate([("_c1", "sum"), ([], "count_all")])
+        return agg.rename_columns(["_v", "c1", "c"])
+
+    from .fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        "_v",
+        ["c1", "c"],
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows > 50_000_000:
+            raise ValueError(
+                "mannwhitney_u_pipeline: distinct-value domain exceeds the "
+                "single-task finalize budget"
+            )
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        c1 = t.column("sum(c1)").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v, kind="stable")
+        c1, c = c1[o], c[o]
+        n = int(c.sum())
+        n1 = int(c1.sum())
+        n2 = n - n1
+        if n >= 2_000_000_000:
+            raise OverflowError("mannwhitney_u_pipeline: n >= 2e9 would overflow rank algebra")
+        cb = np.concatenate([[0], np.cumsum(c)[:-1]])  # rows strictly below v
+        r1_x2 = int((c1 * (2 * cb + c + 1)).sum())  # 2·Σ midranks of A
+        t_ties = int((c * c * c - c).sum())
+        u1_x2 = r1_x2 - n1 * (n1 + 1)  # 2·U1 = 2·R1 − n1(n1+1)
+        if n1 == 0 or n2 == 0 or n < 2:
+            z = 0.0
+        else:
+            # mirrored verbatim in SQL: var in doubled-units⁴ not needed —
+            # z = (U1 − n1n2/2) / sqrt(var), computed as
+            # ((2U1 − n1n2)/2) / sqrt(n1n2/12 · ((n+1) − T/(n(n−1))))
+            var = float(n1 * n2) / 12.0 * (
+                float(n + 1) - float(t_ties) / float(n * (n - 1))
+            )
+            z = (
+                float(u1_x2 - n1 * n2) / 2.0 / math.sqrt(var)
+                if var > 0
+                else 0.0
+            )
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "u1_x2": pa.array([u1_x2], pa.int64()),
+                "z_stat": pa.array([z], pa.float64()),
+            }
+        )
+
+    return counted.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

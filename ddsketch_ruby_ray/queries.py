@@ -3612,6 +3612,96 @@ def winnow_fingerprints_docs(sf_dir: str):
     )
 
 
+def moments_chars_by_lang(sf_dir: str):
+    """Per-lang exact population moments (mean, variance, skewness, excess
+    kurtosis) of doc length via 16-bit-limb-decomposed 128-bit power sums
+    (pipelines/stats.py, vectorized umul128): S1..S4 are exact integers at
+    ANY corpus size, merged by pure addition; every float is a
+    fixed-op-order expression mirrored verbatim in the SQL oracle."""
+    from .pipelines.stats import grouped_moments_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_moments_pipeline(ds, group_col="lang", value_col="n_chars")
+
+
+def mannwhitney_chars_en_de(sf_dir: str):
+    """Mann–Whitney U (doc length, 'en' vs 'de'): tie-aware midrank algebra
+    over per-VALUE counts, so 2·U1 is an exact integer and the tie-corrected
+    z is one fixed-op-order float chain (pipelines/stats.py) — the
+    nonparametric 'did the length distribution shift?' test."""
+    from .pipelines.stats import mannwhitney_u_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return mannwhitney_u_pipeline(
+        ds, group_col="lang", value_col="n_chars", group_a="en", group_b="de"
+    )
+
+
+def winsorized_mean_chars_by_lang(sf_dir: str):
+    """Per-lang 10% winsorized mean of doc length: exact floor-rank
+    cutoffs from the sketch-guided selection, values CLAMPED (not dropped)
+    in a map-only pass, one tiny counts shuffle (pipelines/robust.py)."""
+    from .pipelines.robust import winsorized_mean_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return winsorized_mean_pipeline(
+        ds, group_col="lang", value_col="n_chars", lo_q=0.1, hi_q=0.9, alpha=ALPHA
+    )
+
+
+def iqr_chars_by_lang(sf_dir: str):
+    """Per-lang exact interquartile range of doc length: BOTH floor-rank
+    quartiles from ONE sketch build + ONE candidate scan
+    (pipelines/selection.py); iqr is pure integer subtraction."""
+    import pyarrow as pa
+
+    from .pipelines.selection import sketch_exact_quantiles_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    quarts = sketch_exact_quantiles_pipeline(
+        ds, group_col="lang", value_col="n_chars", qs=(0.25, 0.75), alpha=ALPHA
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q1 = t.column("exact_p25").to_numpy(zero_copy_only=False).astype(np.int64)
+        q3 = t.column("exact_p75").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "q1": pa.array(q1),
+                "q3": pa.array(q3),
+                "iqr": pa.array(q3 - q1),
+            }
+        )
+
+    return quarts.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customer_degree_histogram(sf_dir: str):
+    """Distinct-supplier out-degree histogram of the customer->supplier
+    purchase graph (pipelines/graph.py degree_histogram_pipeline): the
+    power-law / super-node diagnostic run before choosing a graph
+    partitioning; only id pairs shuffle, histograms fold as KB partials."""
+    from .pipelines.graph import degree_histogram_pipeline
+
+    return degree_histogram_pipeline(_cust_supp_edges(sf_dir))
+
+
+def cc_components_graph(sf_dir: str):
+    """Connected components of the UNDIRECTED customer–supplier purchase
+    graph (node = 2·custkey / 2·suppkey+1): cluster = component's min node
+    id via the dedup clustering engine (pipelines/cc.py — local contraction
+    + pointer jumping); the oracle is a recursive-CTE min-label reachability
+    (sf0.01-sized: the CTE materializes O(component²) pairs)."""
+    from .pipelines.cc import connected_components_pipeline
+
+    return connected_components_pipeline(
+        _cust_supp_edges(sf_dir), a_col="src", b_col="dst"
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -3750,6 +3840,12 @@ QUERIES = {
     "corr_tokens_chars_by_lang": corr_tokens_chars_by_lang,
     "chi2_lang_source": chi2_lang_source,
     "trimmed_mean_chars_by_lang": trimmed_mean_chars_by_lang,
+    "winsorized_mean_chars_by_lang": winsorized_mean_chars_by_lang,
+    "iqr_chars_by_lang": iqr_chars_by_lang,
+    "moments_chars_by_lang": moments_chars_by_lang,
+    "mannwhitney_chars_en_de": mannwhitney_chars_en_de,
+    "customer_degree_histogram": customer_degree_histogram,
+    "cc_components_graph": cc_components_graph,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -5045,6 +5141,154 @@ def _family_oracles() -> dict:
             JOIN hi USING (lang)
             WHERE d.n_chars BETWEEN lo.lo AND hi.hi
             GROUP BY d.lang
+        """,
+        "winsorized_mean_chars_by_lang": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ), lo AS (
+              SELECT lang, n_chars AS lo
+              FROM r WHERE rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1
+            ), hi AS (
+              SELECT lang, n_chars AS hi
+              FROM r WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN d.n_chars < lo.lo THEN lo.lo
+                                 WHEN d.n_chars > hi.hi THEN hi.hi
+                                 ELSE d.n_chars END) AS BIGINT) AS win_sum,
+                   CAST(CAST(sum(CASE WHEN d.n_chars < lo.lo THEN lo.lo
+                                      WHEN d.n_chars > hi.hi THEN hi.hi
+                                      ELSE d.n_chars END) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS win_mean
+            FROM documents d
+            JOIN lo USING (lang)
+            JOIN hi USING (lang)
+            GROUP BY d.lang
+        """,
+        "iqr_chars_by_lang": """
+            WITH r AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ), q1 AS (
+              SELECT lang, n_chars AS q1
+              FROM r WHERE rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+            ), q3 AS (
+              SELECT lang, n_chars AS q3
+              FROM r WHERE rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+            )
+            SELECT lang, CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3,
+                   CAST(q3 - q1 AS BIGINT) AS iqr
+            FROM q1 JOIN q3 USING (lang)
+        """,
+        "moments_chars_by_lang": """
+            WITH s AS (
+              SELECT lang, count(*)::HUGEINT AS n,
+                     sum(n_chars::HUGEINT) AS s1,
+                     sum(n_chars::HUGEINT * n_chars) AS s2,
+                     sum(n_chars::HUGEINT * n_chars * n_chars) AS s3,
+                     sum(n_chars::HUGEINT * n_chars * n_chars * n_chars) AS s4
+              FROM documents GROUP BY lang
+            ), m AS (
+              SELECT lang, n, s1,
+                     n*s2 - s1*s1 AS m2n,
+                     n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS m3n,
+                     n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS m4n
+              FROM s
+            )
+            SELECT lang,
+                   CAST(n AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CAST(m2n AS DOUBLE) / CAST(n*n AS DOUBLE) AS var_pop,
+                   CASE WHEN m2n > 0 THEN
+                     (CAST(m3n AS DOUBLE) / CAST(n*n*n AS DOUBLE))
+                       / ((CAST(m2n AS DOUBLE) / CAST(n*n AS DOUBLE))
+                          * sqrt(CAST(m2n AS DOUBLE) / CAST(n*n AS DOUBLE)))
+                   ELSE 0.0 END AS skewness,
+                   CASE WHEN m2n > 0 THEN
+                     (CAST(m4n AS DOUBLE) / CAST(n*n*n*n AS DOUBLE))
+                       / ((CAST(m2n AS DOUBLE) / CAST(n*n AS DOUBLE))
+                          * (CAST(m2n AS DOUBLE) / CAST(n*n AS DOUBLE))) - 3.0
+                   ELSE 0.0 END AS kurtosis
+            FROM m
+        """,
+        "mannwhitney_chars_en_de": """
+            WITH f AS (
+              SELECT lang, n_chars AS v FROM documents WHERE lang IN ('en', 'de')
+            ), c AS (
+              SELECT v,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+                     count(*)::HUGEINT AS c
+              FROM f GROUP BY v
+            ), o AS (
+              SELECT v, c1, c, sum(c) OVER (ORDER BY v) - c AS cb FROM c
+            ), a AS (
+              SELECT sum(c1) AS n1, sum(c) - sum(c1) AS n2,
+                     sum(c1 * (2*cb + c + 1)) AS r1x2,
+                     sum(c*c*c - c) AS t
+              FROM o
+            )
+            SELECT CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+                             AND CAST(n1*n2 AS DOUBLE) / 12.0
+                                 * (CAST(n1+n2+1 AS DOUBLE)
+                                    - CAST(t AS DOUBLE)
+                                      / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)) > 0
+                   THEN CAST(r1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) / 2.0
+                        / sqrt(CAST(n1*n2 AS DOUBLE) / 12.0
+                               * (CAST(n1+n2+1 AS DOUBLE)
+                                  - CAST(t AS DOUBLE)
+                                    / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)))
+                   ELSE 0.0 END AS z_stat
+            FROM a
+        """,
+        "customer_degree_histogram": """
+            WITH e AS (
+              SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), d AS (
+              SELECT src, count(*) AS degree FROM e GROUP BY src
+            )
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY degree
+        """,
+        "cc_components_graph": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), se AS (
+              -- supplier–supplier 'share a customer' contraction: recursing
+              -- over the 100-node supplier side keeps the label closure at
+              -- O(|suppliers|²) instead of O(|component|²)
+              SELECT DISTINCT a.s AS s1, b.s AS s2 FROM e a JOIN e b ON a.c = b.c
+            ), r(node, lab) AS (
+              SELECT s1, s1 FROM se
+              UNION
+              SELECT se.s2, r.lab FROM r JOIN se ON se.s1 = r.node
+              WHERE r.lab < se.s2
+            ), scomp AS (
+              SELECT node, min(lab) AS comp FROM r GROUP BY node
+            ), ccomp AS (
+              SELECT e.c AS node, min(scomp.comp) AS comp
+              FROM e JOIN scomp ON e.s = scomp.node GROUP BY e.c
+            ), allnodes AS (
+              SELECT node, comp FROM scomp
+              UNION ALL
+              SELECT node, comp FROM ccomp
+            ), lab AS (
+              SELECT comp, min(node) AS cluster FROM allnodes GROUP BY comp
+            )
+            SELECT CAST(a.node AS BIGINT) AS node,
+                   CAST(l2.cluster AS BIGINT) AS cluster
+            FROM allnodes a JOIN lab l2 USING (comp)
         """,
         "chi2_lang_source": """
             WITH cells AS (
