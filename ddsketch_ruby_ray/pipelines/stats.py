@@ -33,6 +33,8 @@ __all__ = [
     "grouped_gini_pipeline",
     "grouped_moments_pipeline",
     "mannwhitney_u_pipeline",
+    "ks_exact_pipeline",
+    "spearman_rho_pipeline",
 ]
 
 
@@ -656,4 +658,220 @@ def mannwhitney_u_pipeline(
 
     return counted.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def ks_exact_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int = 16,
+):
+    """-> 1-row Dataset[(n1, n2, d_num, d_stat)] — the EXACT two-sample
+    Kolmogorov–Smirnov statistic between two groups of an INTEGER column
+    (the exact companion to the sketch-histogram KS in pipelines/drift.py).
+
+    D = max_v |F1(v) − F2(v)| is evaluated as the integer
+    ``d_num = max |cum1·n2 − cum2·n1|`` over the distinct-value domain, so
+    the statistic is one exact-int max and ONE float division — bit-exact
+    vs SQL.  Same scale shape as :func:`mannwhitney_u_pipeline`: per-block
+    Arrow count pre-agg, one keyed fold over the distinct-value domain,
+    single-task sorted prefix scan (gated loudly).  Gates n1, n2 < 3e9
+    (the cross products must stay in int64)."""
+    import pyarrow.compute as pc
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        in_a = pc.equal(g, group_a)
+        keep = pc.or_(in_a, pc.equal(g, group_b))
+        sub = pa.table(
+            {
+                "_v": t.column(value_col).cast(pa.int64()),
+                "_c1": pc.cast(in_a, pa.int64()),
+            }
+        ).filter(keep)
+        agg = sub.group_by(["_v"]).aggregate([("_c1", "sum"), ([], "count_all")])
+        return agg.rename_columns(["_v", "c1", "c"])
+
+    from .fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        "_v",
+        ["c1", "c"],
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows > 50_000_000:
+            raise ValueError(
+                "ks_exact_pipeline: distinct-value domain exceeds the "
+                "single-task finalize budget"
+            )
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        c1 = t.column("sum(c1)").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v, kind="stable")
+        c1, c = c1[o], c[o]
+        c2 = c - c1
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        if max(n1, n2) >= 3_000_000_000:
+            raise OverflowError("ks_exact_pipeline: n >= 3e9 would overflow cum·n")
+        cum1 = np.cumsum(c1)
+        cum2 = np.cumsum(c2)
+        if n1 == 0 or n2 == 0:
+            d_num, d = 0, 0.0
+        else:
+            d_num = int(np.abs(cum1 * n2 - cum2 * n1).max())
+            d = float(d_num) / float(n1 * n2)
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "d_num": pa.array([d_num], pa.int64()),
+                "d_stat": pa.array([d], pa.float64()),
+            }
+        )
+
+    return counted.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def spearman_rho_pipeline(
+    ds,
+    *,
+    x_col: str,
+    y_col: str,
+    derive=None,
+    num_partitions: int = 16,
+    max_distinct: int = 50_000_000,
+):
+    """-> 1-row Dataset[(n, rho)] — EXACT Spearman rank correlation of two
+    INTEGER columns, tie-aware (midranks), bit-exact vs SQL.
+
+    Working in DOUBLED midranks keeps everything integer: for value v with
+    count c and cum_below rows strictly smaller, 2·midrank = 2·cum_below +
+    c + 1.  rho is scale-invariant, so Pearson over the doubled ranks is
+    Spearman exactly.  The cross sum Σ(2rx)(2ry) exceeds int64 at corpus
+    scale — it accumulates through the same vectorized umul128 → 16-bit
+    limb lanes as :func:`grouped_moments_pipeline` (exact at any size).
+
+    Scale shape: pass 1 folds the two per-VALUE marginal count tables in
+    one exchange (domain-bounded — gated at ``max_distinct``); the driver
+    turns them into two sorted (value → 2·midrank) lookup arrays (KB–MB)
+    broadcast via ``ray.put``; pass 2 is map-only (two searchsorted + one
+    umul128 per block) emitting one 8-limb row per block; the marginal
+    squares Σ(2r)² come straight from the count tables in Python ints.
+    ``derive`` runs in BOTH passes (the two-pass plan avoids
+    materializing the projected rows)."""
+    import ray
+
+    def marginals(t: pa.Table) -> pa.Table:
+        if derive is not None:
+            t = derive(t)
+        out = []
+        for kind, col in ((0, x_col), (1, y_col)):
+            agg = (
+                pa.table({"_v": t.column(col).cast(pa.int64())})
+                .group_by(["_v"])
+                .aggregate([([], "count_all")])
+            )
+            out.append(
+                pa.table(
+                    {
+                        "kind": pa.array(
+                            np.full(agg.num_rows, kind, dtype=np.int8)
+                        ),
+                        "_v": agg.column("_v"),
+                        "c": agg.column("count_all").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    from .fold import partitioned_group_sum
+
+    counts = partitioned_group_sum(
+        ds.map_batches(marginals, batch_format="pyarrow", zero_copy_batch=True),
+        ["kind", "_v"],
+        "c",
+        num_partitions=num_partitions,
+    )
+    tabs = [ray.get(r) for r in counts.to_arrow_refs()]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"n": pa.array([0], pa.int64()), "rho": pa.array([0.0])})
+        )
+    allc = pa.concat_tables(tabs)
+    if allc.num_rows > max_distinct:
+        raise ValueError(
+            "spearman_rho_pipeline: distinct-value domain exceeds "
+            f"max_distinct={max_distinct}"
+        )
+    kind = allc.column("kind").to_numpy(zero_copy_only=False)
+    vv = allc.column("_v").to_numpy(zero_copy_only=False)
+    cc = allc.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    luts = {}
+    sq = {}
+    n_total = 0
+    for k, name in ((0, "x"), (1, "y")):
+        m = kind == k
+        v_k, c_k = vv[m], cc[m]
+        o = np.argsort(v_k, kind="stable")
+        v_k, c_k = v_k[o], c_k[o]
+        cum_below = np.concatenate([[0], np.cumsum(c_k)[:-1]])
+        r2 = 2 * cum_below + c_k + 1  # doubled midranks
+        n_total = int(c_k.sum())
+        if n_total >= 1 << 45:
+            raise OverflowError("spearman_rho_pipeline: n >= 2^45 unsupported")
+        luts[name] = (v_k, r2.astype(np.uint64))
+        # Σ c·(2r)² in python ints — exact at any size
+        sq[name] = sum(int(c) * int(r) * int(r) for c, r in zip(c_k, r2))
+    lut_ref = ray.put(luts)
+
+    def cross(t: pa.Table) -> pa.Table:
+        if derive is not None:
+            t = derive(t)
+        lu = ray.get(lut_ref)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        xv, xr = lu["x"]
+        yv, yr = lu["y"]
+        rx = xr[np.searchsorted(xv, x)]
+        ry = yr[np.searchsorted(yv, y)]
+        starts = np.array([0], dtype=np.int64) if x.size else np.zeros(0, np.int64)
+        hi, lo = _umul128(rx, ry)
+        cols = {"n": pa.array(np.array([x.size], dtype=np.int64) if x.size else np.zeros(0, np.int64))}
+        for kk, v in _limb_cols("sxy", hi, lo, starts, 8).items():
+            cols[kk] = pa.array(v)
+        return pa.table(cols)
+
+    sums = ds.map_batches(cross, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n"] + [f"sxy_{k}" for k in range(8)]
+    )
+
+    n = int(sums["sum(n)"])
+    sxy = sum(int(sums[f"sum(sxy_{k})"]) << (16 * k) for k in range(8))
+    sx = n * (n + 1)  # Σ doubled midranks is the exact constant n(n+1)
+    sy = n * (n + 1)
+    num = n * sxy - sx * sy
+    d1 = n * sq["x"] - sx * sx
+    d2 = n * sq["y"] - sy * sy
+    rho = (
+        float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+        if d1 > 0 and d2 > 0
+        else 0.0
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"n": pa.array([n], pa.int64()), "rho": pa.array([rho], pa.float64())})
     )

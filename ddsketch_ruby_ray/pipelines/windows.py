@@ -34,6 +34,7 @@ __all__ = [
     "funnel_pipeline",
     "multi_funnel_pipeline",
     "ordered_concat_pipeline",
+    "longest_streak_pipeline",
 ]
 
 
@@ -692,3 +693,90 @@ def multi_funnel_pipeline(
         )
 
     return summed.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def longest_streak_pipeline(
+    ds,
+    *,
+    key_col: str,
+    day_col: str,
+    num_partitions: int = 64,
+):
+    """-> Dataset[(key, n_active_days, longest_streak)] — per key, the
+    count of DISTINCT active days and the longest run of CONSECUTIVE days
+    (the gaps-and-islands classic: engagement streaks, uptime runs,
+    consecutive-trading-day windows).
+
+    Plan: per-block Arrow group_by dedups (key, day) locally, ONE
+    hash(key) co-partition, then each group task re-dedups and runs a
+    single lexsort + boundary-vectorized island scan: a new island starts
+    where the key changes or day − prev_day ≠ 1; island lengths come from
+    one diff over island starts, per-key maxima from one
+    ``np.maximum.reduceat`` (islands are contiguous per key after the
+    sort).  Only (key, day) int64 pairs shuffle; no per-key Python at any
+    cardinality — the same skew contract as the ordered analytics."""
+    from ..core.hashing import hash64_int
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "key": t.column(key_col).cast(pa.int64()),
+                    "day": t.column(day_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["key", "day"])
+            .aggregate([])
+        )
+        k = d.column("key").to_numpy(zero_copy_only=False)
+        part = (hash64_int(k.astype(np.int64)) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return d.append_column("_part", pa.array(part))
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, k))
+        k, d = k[o], d[o]
+        keep = np.empty(k.size, dtype=bool)
+        if k.size:
+            keep[0] = True
+            keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        n = k.size
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n_active_days": pa.array([], pa.int64()),
+                    "longest_streak": pa.array([], pa.int64()),
+                }
+            )
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        island = new_key.copy()
+        island[1:] |= d[1:] != d[:-1] + 1
+        i_starts = np.flatnonzero(island)
+        i_lens = np.diff(np.append(i_starts, n)).astype(np.int64)
+        # islands are contiguous per key: per-key slices over the island list
+        key_first_island = np.flatnonzero(new_key[i_starts])
+        k_starts = np.flatnonzero(new_key)
+        return pa.table(
+            {
+                "key": pa.array(k[k_starts]),
+                "n_active_days": pa.array(
+                    np.diff(np.append(k_starts, n)).astype(np.int64)
+                ),
+                "longest_streak": pa.array(
+                    np.maximum.reduceat(i_lens, key_first_island)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )

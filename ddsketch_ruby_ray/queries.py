@@ -3702,6 +3702,75 @@ def cc_components_graph(sf_dir: str):
     )
 
 
+def spearman_chars_tokens(sf_dir: str):
+    """Exact tie-aware Spearman rank correlation between doc length and
+    token count (pipelines/stats.py): doubled midranks keep everything
+    integer; the cross sum rides the umul128 16-bit limb lanes, marginal
+    squares come from the domain-bounded per-value count folds; one
+    KB lookup-array broadcast + a map-only second pass."""
+    import pyarrow as pa
+
+    from .pipelines.stats import spearman_rho_pipeline
+    from .stages.text import _re_count
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_tokens", _re_count(t.column("text"), "[^ ]+"))
+        return t.drop_columns(["text"])
+
+    return spearman_rho_pipeline(ds, x_col="n_chars", y_col="n_tokens", derive=derive)
+
+
+def ks_exact_chars_en_de(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov D between the 'en' and 'de' doc
+    length distributions — integer cross-multiplied CDF gap max over the
+    distinct-value domain (pipelines/stats.py), the exact companion to the
+    sketch-histogram drift tests."""
+    from .pipelines.stats import ks_exact_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ks_exact_pipeline(
+        ds, group_col="lang", value_col="n_chars", group_a="en", group_b="de"
+    )
+
+
+def user_longest_daily_streak(sf_dir: str):
+    """Per-user longest run of CONSECUTIVE active days + distinct active
+    days (the gaps-and-islands engagement classic) via one (user, day)
+    id-pair exchange and a boundary-vectorized island scan
+    (pipelines/windows.py longest_streak_pipeline)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.windows import longest_streak_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array(us // 86_400_000_000),
+            }
+        )
+
+    days = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = longest_streak_pipeline(days, key_col="user_id", day_col="day")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("key"),
+                "n_active_days": t.column("n_active_days"),
+                "longest_streak": t.column("longest_streak"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -3846,6 +3915,9 @@ QUERIES = {
     "mannwhitney_chars_en_de": mannwhitney_chars_en_de,
     "customer_degree_histogram": customer_degree_histogram,
     "cc_components_graph": cc_components_graph,
+    "spearman_chars_tokens": spearman_chars_tokens,
+    "ks_exact_chars_en_de": ks_exact_chars_en_de,
+    "user_longest_daily_streak": user_longest_daily_streak,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6294,4 +6366,76 @@ ORACLE_SQL["frequent_part_pairs"] = """
     CROSS JOIN n
     JOIN item ia ON ia.l_partkey = p.item_a
     JOIN item ib ON ib.l_partkey = p.item_b
+"""
+
+ORACLE_SQL["spearman_chars_tokens"] = """
+    WITH b AS (
+      SELECT n_chars AS x,
+             len(regexp_extract_all(text, '[^ ]+')) AS y
+      FROM documents
+    ), xr AS (
+      SELECT x, count(*)::HUGEINT AS c FROM b GROUP BY x
+    ), xo AS (
+      SELECT x, 2*(sum(c) OVER (ORDER BY x) - c) + c + 1 AS rx2 FROM xr
+    ), yr AS (
+      SELECT y, count(*)::HUGEINT AS c FROM b GROUP BY y
+    ), yo AS (
+      SELECT y, 2*(sum(c) OVER (ORDER BY y) - c) + c + 1 AS ry2 FROM yr
+    ), j AS (
+      SELECT xo.rx2, yo.ry2 FROM b JOIN xo USING (x) JOIN yo USING (y)
+    ), s AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(rx2 * ry2) AS sxy,
+             sum(rx2 * rx2) AS sxx,
+             sum(ry2 * ry2) AS syy,
+             sum(rx2) AS sx,
+             sum(ry2) AS sy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                ELSE 0.0 END AS rho
+    FROM s
+"""
+
+ORACLE_SQL["ks_exact_chars_en_de"] = """
+    WITH f AS (
+      SELECT lang, n_chars AS v FROM documents WHERE lang IN ('en', 'de')
+    ), c AS (
+      SELECT v,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::HUGEINT AS c2
+      FROM f GROUP BY v
+    ), t AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c
+    ), o AS (
+      SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2
+      FROM c
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(max(abs(o.cum1 * t.n2 - o.cum2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(max(abs(o.cum1 * t.n2 - o.cum2 * t.n1)) AS DOUBLE)
+             / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat
+    FROM o, t GROUP BY t.n1, t.n2
+"""
+
+ORACLE_SQL["user_longest_daily_streak"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
 """

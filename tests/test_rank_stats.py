@@ -1,0 +1,150 @@
+"""Spearman rho, exact KS, gaps-and-islands streaks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _midranks(v: np.ndarray) -> np.ndarray:
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(v.size, dtype=np.float64)
+    sv = v[order]
+    i, r = 0, 1
+    while i < sv.size:
+        j = i
+        while j + 1 < sv.size and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (r + r + (j - i)) / 2.0
+        r += j - i + 1
+        i = j + 1
+    return ranks
+
+
+class TestSpearman:
+    def _run(self, x, y, repartition=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import spearman_rho_pipeline
+
+        t = pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+        ds = rd.from_arrow(t)
+        if repartition:
+            ds = ds.repartition(repartition)
+        return spearman_rho_pipeline(ds, x_col="x", y_col="y").to_pandas()
+
+    def test_matches_rank_pearson_with_ties(self, ray_session):
+        rng = np.random.default_rng(17)
+        x = rng.integers(0, 40, 1200).astype(np.int64)  # heavy ties
+        y = (x * 2 + rng.integers(0, 30, 1200)).astype(np.int64)
+        df = self._run(x, y, repartition=7)
+        rx, ry = _midranks(x), _midranks(y)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert df.n.iloc[0] == 1200
+        assert abs(df.rho.iloc[0] - want) < 1e-12
+        df2 = self._run(x, y, repartition=3)
+        assert df.rho.iloc[0] == df2.rho.iloc[0]  # bit-identical across layouts
+
+    def test_perfect_monotone_is_one(self, ray_session):
+        x = np.arange(500, dtype=np.int64)
+        y = (x * x).astype(np.int64)  # nonlinear but monotone
+        df = self._run(x, y)
+        assert abs(df.rho.iloc[0] - 1.0) < 1e-14
+
+    def test_constant_column_zero(self, ray_session):
+        x = np.arange(100, dtype=np.int64)
+        y = np.full(100, 5, dtype=np.int64)
+        assert self._run(x, y).rho.iloc[0] == 0.0
+
+
+class TestKSExact:
+    def _run(self, xa, xb, repartition=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import ks_exact_pipeline
+
+        g = ["A"] * len(xa) + ["B"] * len(xb)
+        t = pa.table(
+            {"g": pa.array(g), "x": pa.array(np.concatenate([xa, xb]), pa.int64())}
+        )
+        ds = rd.from_arrow(t)
+        if repartition:
+            ds = ds.repartition(repartition)
+        return ks_exact_pipeline(
+            ds, group_col="g", value_col="x", group_a="A", group_b="B"
+        ).to_pandas()
+
+    def test_matches_cdf_reference(self, ray_session):
+        rng = np.random.default_rng(23)
+        xa = rng.integers(0, 100, 700).astype(np.int64)
+        xb = (rng.integers(0, 100, 450) + 18).astype(np.int64)
+        df = self._run(xa, xb, repartition=9)
+        vs = np.unique(np.concatenate([xa, xb]))
+        c1 = np.searchsorted(np.sort(xa), vs, side="right")
+        c2 = np.searchsorted(np.sort(xb), vs, side="right")
+        dn = np.abs(c1 * len(xb) - c2 * len(xa)).max()
+        assert df.d_num.iloc[0] == dn
+        assert df.d_stat.iloc[0] == float(dn) / float(len(xa) * len(xb))
+
+    def test_disjoint_supports_give_one(self, ray_session):
+        xa = np.arange(0, 50, dtype=np.int64)
+        xb = np.arange(100, 160, dtype=np.int64)
+        df = self._run(xa, xb)
+        assert df.d_stat.iloc[0] == 1.0
+
+    def test_identical_samples_give_zero(self, ray_session):
+        xa = np.arange(0, 80, dtype=np.int64)
+        df = self._run(xa, xa.copy())
+        assert df.d_stat.iloc[0] == 0.0
+
+
+class TestLongestStreak:
+    def _run(self, keys, days, repartition=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import longest_streak_pipeline
+
+        t = pa.table(
+            {"k": pa.array(keys, pa.int64()), "day": pa.array(days, pa.int64())}
+        )
+        ds = rd.from_arrow(t)
+        if repartition:
+            ds = ds.repartition(repartition)
+        return (
+            longest_streak_pipeline(ds, key_col="k", day_col="day")
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+
+    def test_handcrafted_islands(self, ray_session):
+        # user 1: days 1,2,3,7,8 -> longest 3, active 5 (dup day 2 collapses)
+        # user 2: days 10 -> longest 1, active 1
+        keys = [1, 1, 1, 1, 1, 1, 2]
+        days = [1, 2, 2, 3, 7, 8, 10]
+        df = self._run(keys, days, repartition=4)
+        assert df.key.tolist() == [1, 2]
+        assert df.n_active_days.tolist() == [5, 1]
+        assert df.longest_streak.tolist() == [3, 1]
+
+    def test_random_vs_python_reference(self, ray_session):
+        rng = np.random.default_rng(31)
+        keys = rng.integers(0, 40, 3000).astype(np.int64)
+        days = rng.integers(0, 60, 3000).astype(np.int64)
+        df = self._run(keys, days, repartition=11)
+        ref = {}
+        for k in np.unique(keys):
+            ds_ = np.unique(days[keys == k])
+            runs, cur = [], 1
+            for a, b in zip(ds_[:-1], ds_[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            ref[int(k)] = (len(ds_), max(runs))
+        assert df.key.tolist() == sorted(ref)
+        for _, row in df.iterrows():
+            na, ls = ref[int(row.key)]
+            assert row.n_active_days == na and row.longest_streak == ls
