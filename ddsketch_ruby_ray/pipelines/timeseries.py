@@ -26,6 +26,7 @@ __all__ = [
     "cusum_daily_pipeline",
     "ewma_daily_pipeline",
     "ohlc_pipeline",
+    "locf_daily_pipeline",
 ]
 
 US_PER_DAY = 86_400_000_000
@@ -316,3 +317,111 @@ def ohlc_pipeline(
         )
 
     return parted.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def locf_daily_pipeline(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 64,
+    max_fill_rows: int = 50_000_000,
+):
+    """-> Dataset[(key, day, value)] — per key, one row for EVERY calendar
+    day in the key's [first, last] observed span, carrying the day's
+    CLOSING value (last event by (ts, id)) forward across gap days: the
+    last-observation-carried-forward densification every daily-feature /
+    as-of training table needs.
+
+    The value column is carried by COMPARISON-ONLY selection (no float
+    arithmetic), so doubles mirror SQL bit-for-bit.  Plan: one hash(key)
+    co-partition of the projected (key, day, ts, id, value) columns, then
+    per partition ONE lexsort picks each (key, day) close and a fully
+    vectorized repeat + arange-minus-offset expansion materializes the
+    gap days (no per-key Python).  Guards: a key's calendar span is
+    bounded by MAX_CALENDAR_DAYS and each partition's total output by
+    ``max_fill_rows`` — one corrupt epoch-0 timestamp raises loudly
+    instead of OOMing the task (same contract as the cusum gap-fill)."""
+    from ..core.hashing import hash64_int
+
+    def project(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = (hash64_int(k.astype(np.int64)) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "key": pa.array(k),
+                "day": pa.array(us // US_PER_DAY),
+                "_ts": pa.array(us),
+                "_id": t.column(id_col).cast(pa.int64()),
+                "value": t.column(value_col),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        ts = g.column("_ts").to_numpy(zero_copy_only=False)
+        ev = g.column("_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((ev, ts, d, k))
+        k, d = k[o], d[o]
+        # last row of each (key, day) run is the close
+        last = np.empty(k.size, dtype=bool)
+        if k.size:
+            last[-1] = True
+            last[:-1] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        vals = g.column("value").take(pa.array(o[last]))
+        k, d = k[last], d[last]
+        n = k.size
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        # span guard per key (vectorized: last-minus-first day per key run)
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], n) - 1
+        spans = d[ends] - d[starts] + 1
+        if spans.size and int(spans.max()) > MAX_CALENDAR_DAYS:
+            raise ValueError(
+                f"locf_daily_pipeline: a key spans {int(spans.max())} calendar "
+                f"days (> {MAX_CALENDAR_DAYS}); clean the timestamps or clip"
+            )
+        # fill length of each close = days until the key's next close
+        fill = np.empty(n, dtype=np.int64)
+        fill[:-1] = d[1:] - d[:-1]
+        fill[ends] = 1  # each key's final close emits exactly one row
+        total = int(fill.sum())
+        if total > max_fill_rows:
+            raise ValueError(
+                f"locf_daily_pipeline: partition would emit {total} filled "
+                f"rows (> {max_fill_rows}); raise max_fill_rows or clean spans"
+            )
+        idx = np.repeat(np.arange(n, dtype=np.int64), fill)
+        pos = np.arange(total, dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(fill)[:-1]])
+        day_out = d[idx] + (pos - offs[idx])
+        return pa.table(
+            {
+                "key": pa.array(k[idx]),
+                "day": pa.array(day_out),
+                "value": vals.take(pa.array(idx)),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )

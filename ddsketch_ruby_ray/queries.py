@@ -3771,6 +3771,104 @@ def user_longest_daily_streak(sf_dir: str):
     )
 
 
+def decile_table_chars_by_lang(sf_dir: str):
+    """All nine exact floor-rank deciles of doc length per lang from ONE
+    sketch build + ONE candidate scan (the multi-quantile exact selection
+    unions every target bucket into a single broadcast filter) — the
+    quantile-table primitive feeding length-bucket routing."""
+    from .pipelines.selection import sketch_exact_quantiles_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return sketch_exact_quantiles_pipeline(
+        ds,
+        group_col="lang",
+        value_col="n_chars",
+        qs=tuple(i / 10 for i in range(1, 10)),
+        alpha=ALPHA,
+    )
+
+
+def users_active_even_and_odd_days(sf_dir: str):
+    """Users active on BOTH an even and an odd calendar day (the set-
+    intersection shape: activity-cohort overlap without shipping user
+    lists — one per-(user, parity) count fold, filter both > 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.fold import partitioned_group_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def parity_counts(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        odd = (day & 1).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u_s, odd_s = u[order], odd[order]
+        new = np.empty(u_s.size, dtype=bool)
+        if u_s.size:
+            new[0] = True
+            new[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, u_s.size)).astype(np.int64)
+        n_odd = (
+            np.add.reduceat(odd_s, starts) if starts.size else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "n_even": pa.array(lens - n_odd),
+                "n_odd": pa.array(n_odd),
+            }
+        )
+
+    summed = partitioned_group_sum(
+        ds.map_batches(parity_counts, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["n_even", "n_odd"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ne = t.column("sum(n_even)")
+        no = t.column("sum(n_odd)")
+        keep = pc.and_(pc.greater(ne, 0), pc.greater(no, 0))
+        return pa.table(
+            {"user_id": t.column("user_id"), "n_even": ne, "n_odd": no}
+        ).filter(keep)
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def user_daily_value_locf(sf_dir: str):
+    """Per-user daily closing value, forward-filled across every calendar
+    day of the user's observed span (last-observation-carried-forward —
+    the daily-feature densification; pipelines/timeseries.py
+    locf_daily_pipeline).  Value doubles are carried by comparison-only
+    selection, so they mirror SQL bit-for-bit."""
+    from .pipelines.timeseries import locf_daily_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = locf_daily_pipeline(
+        ds, key_col="user_id", ts_col="ts", value_col="value", id_col="event_id"
+    )
+    import pyarrow as pa
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("key"),
+                "day": t.column("day"),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -3918,6 +4016,9 @@ QUERIES = {
     "spearman_chars_tokens": spearman_chars_tokens,
     "ks_exact_chars_en_de": ks_exact_chars_en_de,
     "user_longest_daily_streak": user_longest_daily_streak,
+    "decile_table_chars_by_lang": decile_table_chars_by_lang,
+    "users_active_even_and_odd_days": users_active_even_and_odd_days,
+    "user_daily_value_locf": user_daily_value_locf,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6438,4 +6539,69 @@ ORACLE_SQL["user_longest_daily_streak"] = """
            CAST(sum(len) AS BIGINT) AS n_active_days,
            CAST(max(len) AS BIGINT) AS longest_streak
     FROM s GROUP BY user_id
+"""
+
+ORACLE_SQL["decile_table_chars_by_lang"] = """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), q AS (
+      SELECT lang, qq, max(CASE WHEN rn = CAST(floor(qq * (n - 1)) AS BIGINT) + 1
+                                THEN n_chars END) AS v
+      FROM r CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) t(qq)
+      GROUP BY lang, qq
+    )
+    SELECT lang,
+           CAST(max(CASE WHEN qq = 0.1 THEN v END) AS BIGINT) AS exact_p10,
+           CAST(max(CASE WHEN qq = 0.2 THEN v END) AS BIGINT) AS exact_p20,
+           CAST(max(CASE WHEN qq = 0.3 THEN v END) AS BIGINT) AS exact_p30,
+           CAST(max(CASE WHEN qq = 0.4 THEN v END) AS BIGINT) AS exact_p40,
+           CAST(max(CASE WHEN qq = 0.5 THEN v END) AS BIGINT) AS exact_p50,
+           CAST(max(CASE WHEN qq = 0.6 THEN v END) AS BIGINT) AS exact_p60,
+           CAST(max(CASE WHEN qq = 0.7 THEN v END) AS BIGINT) AS exact_p70,
+           CAST(max(CASE WHEN qq = 0.8 THEN v END) AS BIGINT) AS exact_p80,
+           CAST(max(CASE WHEN qq = 0.9 THEN v END) AS BIGINT) AS exact_p90
+    FROM q GROUP BY lang
+"""
+
+ORACLE_SQL["users_active_even_and_odd_days"] = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+    FROM events
+    GROUP BY user_id
+    HAVING n_even > 0 AND n_odd > 0
+"""
+
+ORACLE_SQL["user_daily_value_locf"] = """
+    WITH RECURSIVE e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, ts, event_id, value
+      FROM events
+    ), last AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, day, value,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM last GROUP BY user_id
+    ), cal(user_id, day, d1) AS (
+      SELECT user_id, d0, d1 FROM span
+      UNION ALL
+      SELECT user_id, day + 1, d1 FROM cal WHERE day < d1
+    ), j AS (
+      SELECT c.user_id, c.day, l.value
+      FROM cal c LEFT JOIN last l USING (user_id, day)
+    )
+    SELECT user_id, day,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
 """
