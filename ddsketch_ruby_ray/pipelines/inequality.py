@@ -29,7 +29,11 @@ import pyarrow as pa
 
 from ..core.hashing import hash64_int
 
-__all__ = ["largest_remainder_quota_pipeline", "gini_pipeline"]
+__all__ = [
+    "largest_remainder_quota_pipeline",
+    "gini_pipeline",
+    "grouped_value_gini_pipeline",
+]
 
 
 def _group_counts(ds, group_col: str):
@@ -149,4 +153,126 @@ def gini_pipeline(ds, *, value_col: str, num_partitions: int = 32):
                 "gini": pa.array([gini], pa.float64()),
             }
         )
+    )
+
+
+def grouped_value_gini_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+):
+    """-> Dataset[(group, n, total, gini)] — the per-GROUP Gini inequality
+    coefficient of a non-negative INTEGER value column (the grouped
+    sibling of :func:`gini_pipeline`; gini = (2·Σi·x_(i) − (n+1)·Σx) /
+    (n·Σx) over 1-based sorted ranks, run-length form).
+
+    Scale shape: per-block (group, value, count) partials → ONE
+    hash(group) keyed fold co-locates each group's distinct-value table →
+    per-partition vectorized sorted scan; the rank·value products exceed
+    int64 at corpus scale, so they ride the umul128 16-bit limb lanes
+    (pipelines/stats.py) and reassemble in Python ints per group.  The
+    shuffle carries the DISTINCT-value table, not rows.  Splitting a
+    value's count across block partials leaves the rank sum invariant
+    (within-ties rank assignment is arbitrary), so partials need no
+    re-merge.  Gates loudly at group size ≥ 4e9 (uint64 rank weights).
+    Both output ints are exact; ``gini`` is one float division, mirrored
+    in SQL."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size and int(v.min()) < 0:
+            raise ValueError("grouped_value_gini_pipeline: negative values")
+        order = np.lexsort((v, g))
+        g_s, v_s = g[order], v[order]
+        new = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new[0] = True
+            new[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, g_s.size)).astype(np.int64)
+        gg = g_s[starts]
+        if gg.dtype.kind in "OUS":
+            from ..core.hashing import hash256_str
+
+            h = hash256_str(pa.array([str(x) for x in gg.tolist()]), lanes=1)[0]
+        else:
+            h = hash64_int(gg.astype(np.int64))
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "g": pa.array(gg.tolist()),
+                "v": pa.array(v_s[starts]),
+                "c": pa.array(lens),
+                "_part": pa.array(part),
+            }
+        )
+
+    from .stats import _limb_cols, _umul128
+
+    def fold(pt: pa.Table) -> pa.Table:
+        g = pt.column("g").to_numpy(zero_copy_only=False)
+        v = pt.column("v").to_numpy(zero_copy_only=False)
+        c = pt.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v, c = g[order], v[order], c[order]
+        rows = len(g)
+        if rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([]),
+                    "n": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                }
+            )
+        new = np.empty(rows, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, rows))
+        cumc = np.cumsum(c)
+        excl = cumc - c
+        cum_in_g = excl - np.repeat(excl[starts], lens)
+        n_g = np.add.reduceat(c, starts)
+        if int(n_g.max()) >= 4_000_000_000:
+            raise OverflowError(
+                "grouped_value_gini_pipeline: group size >= 4e9 would "
+                "overflow the uint64 rank weights"
+            )
+        cu = c.astype(np.uint64)
+        # weight of a run = Σ of the ranks it occupies = c·cum_before + c(c+1)/2
+        w = cu * cum_in_g.astype(np.uint64) + cu * (cu + np.uint64(1)) // np.uint64(2)
+        vu = v.astype(np.uint64)
+        six = _limb_cols("six", *_umul128(vu, w), starts, 8)
+        tot = _limb_cols("tot", *_umul128(vu, cu), starts, 8)
+        out_g, out_n, out_t, out_gini = [], [], [], []
+        for i in range(starts.size):  # one iteration per GROUP, not per value
+            s_ix = sum(int(six[f"six_{k}"][i]) << (16 * k) for k in range(8))
+            total = sum(int(tot[f"tot_{k}"][i]) << (16 * k) for k in range(8))
+            n = int(n_g[i])
+            gini = (
+                float(2 * s_ix - (n + 1) * total) / float(n * total)
+                if n > 0 and total > 0
+                else 0.0
+            )
+            out_g.append(g[starts[i]])
+            out_n.append(n)
+            out_t.append(total)
+            out_gini.append(gini)
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "n": pa.array(out_n, pa.int64()),
+                "total": pa.array(out_t, pa.int64()),
+                "gini": pa.array(out_gini, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -3869,6 +3869,36 @@ def user_daily_value_locf(sf_dir: str):
     )
 
 
+def gini_price_by_flag(sf_dir: str):
+    """Per-returnflag Gini inequality of line-item prices (exact cents):
+    the grouped Lorenz-concentration operator — distinct-value count fold
+    co-located by group, rank·value sums on the umul128 limb lanes
+    (pipelines/inequality.py grouped_value_gini_pipeline)."""
+    import pyarrow as pa
+
+    from .core.numeric import round_half_away
+    from .pipelines.inequality import grouped_value_gini_pipeline
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "flag": t.column("l_returnflag"),
+                "cents": pa.array(round_half_away(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    return grouped_value_gini_pipeline(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="flag",
+        value_col="cents",
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4019,6 +4049,7 @@ QUERIES = {
     "decile_table_chars_by_lang": decile_table_chars_by_lang,
     "users_active_even_and_odd_days": users_active_even_and_odd_days,
     "user_daily_value_locf": user_daily_value_locf,
+    "gini_price_by_flag": gini_price_by_flag,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6604,4 +6635,28 @@ ORACLE_SQL["user_daily_value_locf"] = """
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS value
     FROM j
+"""
+
+ORACLE_SQL["gini_price_by_flag"] = """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    r AS (SELECT flag, x,
+                 row_number() OVER (PARTITION BY flag ORDER BY x) AS rn
+          FROM v),
+    s AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total,
+             sum(CAST(rn AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+      FROM r GROUP BY flag
+    )
+    SELECT flag, n, total,
+           CASE WHEN n = 0 OR total = 0 THEN 0.0
+                ELSE CAST(2 * six - (n + 1) * total AS DOUBLE)
+                     / CAST(n * total AS DOUBLE)
+           END AS gini
+    FROM s
 """

@@ -148,3 +148,51 @@ class TestLongestStreak:
         for _, row in df.iterrows():
             na, ls = ref[int(row.key)]
             assert row.n_active_days == na and row.longest_streak == ls
+
+
+class TestGroupedGini:
+    def _run(self, g, v, repartition=None):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.inequality import grouped_value_gini_pipeline
+
+        t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.int64())})
+        ds = rd.from_arrow(t)
+        if repartition:
+            ds = ds.repartition(repartition)
+        return (
+            grouped_value_gini_pipeline(ds, group_col="g", value_col="v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    @staticmethod
+    def _ref(v):
+        xs = sorted(int(x) for x in v)
+        n = len(xs)
+        total = sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        return (
+            float(2 * six - (n + 1) * total) / float(n * total)
+            if n and total
+            else 0.0
+        )
+
+    def test_matches_reference_and_layout(self, ray_session):
+        rng = np.random.default_rng(13)
+        g = rng.choice(["a", "b", "c"], 3000).tolist()
+        v = rng.integers(0, 5000, 3000).astype(np.int64)
+        df = self._run(g, v, repartition=9).set_index("g")
+        ga = np.array(g)
+        for grp in ("a", "b", "c"):
+            assert df.loc[grp].gini == self._ref(v[ga == grp])
+        df2 = self._run(g, v, repartition=2).set_index("g")
+        assert (df.values == df2.loc[df.index].values).all()
+
+    def test_equality_and_concentration_extremes(self, ray_session):
+        g = ["eq"] * 50 + ["conc"] * 50
+        v = [7] * 50 + [0] * 49 + [1000]
+        df = self._run(g, v).set_index("g")
+        assert df.loc["eq"].gini == 0.0
+        assert abs(df.loc["conc"].gini - (1.0 - 1.0 / 50)) < 1e-12
