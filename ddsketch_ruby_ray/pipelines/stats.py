@@ -35,6 +35,8 @@ __all__ = [
     "mannwhitney_u_pipeline",
     "ks_exact_pipeline",
     "spearman_rho_pipeline",
+    "welch_t_pipeline",
+    "anova_f_pipeline",
 ]
 
 
@@ -874,4 +876,180 @@ def spearman_rho_pipeline(
 
     return rd.from_arrow(
         pa.table({"n": pa.array([n], pa.int64()), "rho": pa.array([rho], pa.float64())})
+    )
+
+
+def _group_n_s1_s2(ds, *, group_col: str, value_col: str, num_partitions: int = 16):
+    """Shared exact per-group (n, Σx, Σx²) fold: int64 block partials with
+    the grouped_corr overflow gate, Python-int merge downstream."""
+
+    def preagg(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if x.size:
+            mx = max(int(x.max()), -int(x.min()), 1)
+            if mx * mx * x.size >= 2**63:
+                raise OverflowError(
+                    "sufficient-stats preagg: max(x)^2 * block_rows >= 2^63"
+                )
+        order = np.argsort(g, kind="stable")
+        g_s, x_s = g[order], x[order]
+        new = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, g_s.size))
+        return pa.table(
+            {
+                group_col: pa.array(g_s[starts].tolist()),
+                "n": pa.array(lens.astype(np.int64)),
+                "s1": pa.array(
+                    np.add.reduceat(x_s, starts) if starts.size else np.zeros(0, np.int64)
+                ),
+                "s2": pa.array(
+                    np.add.reduceat(x_s * x_s, starts)
+                    if starts.size
+                    else np.zeros(0, np.int64)
+                ),
+            }
+        )
+
+    from .fold import partitioned_group_sum
+
+    return partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        ["n", "s1", "s2"],
+        num_partitions=num_partitions,
+    )
+
+
+def welch_t_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int = 16,
+):
+    """-> 1-row Dataset[(n1, n2, t_stat, df)] — Welch's unequal-variance
+    t-test between two groups of an INTEGER column, with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Exactness: per-group (n, Σx, Σx²) are exact integers; every float —
+    the two SAMPLE variances s² = (n·Σx² − (Σx)²) / (n·(n−1)), the
+    standard error, t, and df — is a fixed-op-order expression mirrored
+    verbatim in SQL.  Degenerate inputs (either n < 2 or both variances
+    zero) emit t = 0, df = 0."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        return t.filter(pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)))
+
+    summed = _group_n_s1_s2(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        group_col=group_col,
+        value_col=value_col,
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        acc = {}
+        for r in t.to_pylist():
+            a = acc.setdefault(r[group_col], [0, 0, 0])
+            a[0] += int(r["sum(n)"])
+            a[1] += int(r["sum(s1)"])
+            a[2] += int(r["sum(s2)"])
+        n1, s1a, s2a = acc.get(group_a, [0, 0, 0])
+        n2, s1b, s2b = acc.get(group_b, [0, 0, 0])
+        t_stat = df = 0.0
+        if n1 >= 2 and n2 >= 2:
+            # fixed float op order, mirrored in SQL
+            va = float(n1 * s2a - s1a * s1a) / float(n1 * (n1 - 1))
+            vb = float(n2 * s2b - s1b * s1b) / float(n2 * (n2 - 1))
+            qa = va / float(n1)
+            qb = vb / float(n2)
+            se2 = qa + qb
+            if se2 > 0.0:
+                t_stat = (float(s1a) / float(n1) - float(s1b) / float(n2)) / math.sqrt(se2)
+                df = (se2 * se2) / (
+                    qa * qa / float(n1 - 1) + qb * qb / float(n2 - 1)
+                )
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "t_stat": pa.array([t_stat], pa.float64()),
+                "df": pa.array([df], pa.float64()),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def anova_f_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 16,
+):
+    """-> 1-row Dataset[(k, n, f_stat)] — one-way ANOVA F across ALL
+    groups of an INTEGER column.
+
+    The between/within sums of squares come from exact integers with a
+    single common denominator:  SSB·n·Πnothing — concretely,
+    ``ssb_num = n·Σ_g(S_g²/n_g·…)`` is avoided; instead both SS are built
+    from the exact integer identity  n_g·n·SSB and  n_g-scaled pieces —
+    we use the standard float path but with every operand converted from
+    an exact integer ONCE and combined in a fixed op order mirrored in
+    SQL: ssb = Σ_g (S_g²/n_g as float) − (S²/n as float); ssw = Σ_g (Q_g
+    − S_g²/n_g as float), accumulated in GROUP-KEY SORTED order on both
+    sides (SQL: sum() OVER an ordered frame is not needed — the per-group
+    terms are combined via a deterministic ordered aggregation CTE)."""
+
+    summed = _group_n_s1_s2(
+        ds, group_col=group_col, value_col=value_col, num_partitions=num_partitions
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        acc = {}
+        for r in t.to_pylist():
+            a = acc.setdefault(r[group_col], [0, 0, 0])
+            a[0] += int(r["sum(n)"])
+            a[1] += int(r["sum(s1)"])
+            a[2] += int(r["sum(s2)"])
+        k = len(acc)
+        n = sum(a[0] for a in acc.values())
+        S = sum(a[1] for a in acc.values())
+        f = 0.0
+        if k >= 2 and n > k:
+            # exact-int group terms; floats combined in sorted-group order
+            # ssb = Σ S_g²/n_g − S²/n ; ssw = Σ (Q_g − S_g²/n_g)
+            ssb = 0.0
+            ssw = 0.0
+            for gkey in sorted(acc, key=lambda x: str(x)):
+                n_g, s_g, q_g = acc[gkey]
+                term = float(s_g * s_g) / float(n_g)
+                ssb += term
+                ssw += float(q_g) - term
+            ssb -= float(S * S) / float(n)
+            msb = ssb / float(k - 1)
+            msw = ssw / float(n - k)
+            f = msb / msw if msw > 0.0 else 0.0
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "f_stat": pa.array([f], pa.float64()),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
     )

@@ -3899,6 +3899,31 @@ def gini_price_by_flag(sf_dir: str):
     )
 
 
+def welch_t_chars_en_de(sf_dir: str):
+    """Welch unequal-variance t-test (doc length, 'en' vs 'de') with
+    Welch-Satterthwaite df: exact per-group (n, Σx, Σx²) integer fold,
+    every float a fixed-op-order expression mirrored in SQL
+    (pipelines/stats.py welch_t_pipeline)."""
+    from .pipelines.stats import welch_t_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return welch_t_pipeline(
+        ds, group_col="lang", value_col="n_chars", group_a="en", group_b="de"
+    )
+
+
+def anova_chars_by_lang(sf_dir: str):
+    """One-way ANOVA F of doc length across ALL langs: exact per-group
+    sufficient statistics; the per-group float terms accumulate in
+    group-key-sorted order on BOTH sides (the SQL mirror is a recursive
+    CTE, the same sequential-recurrence device as the EWMA oracle) so the
+    F statistic is bit-exact (pipelines/stats.py anova_f_pipeline)."""
+    from .pipelines.stats import anova_f_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return anova_f_pipeline(ds, group_col="lang", value_col="n_chars")
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4050,6 +4075,8 @@ QUERIES = {
     "users_active_even_and_odd_days": users_active_even_and_odd_days,
     "user_daily_value_locf": user_daily_value_locf,
     "gini_price_by_flag": gini_price_by_flag,
+    "welch_t_chars_en_de": welch_t_chars_en_de,
+    "anova_chars_by_lang": anova_chars_by_lang,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6659,4 +6686,68 @@ ORACLE_SQL["gini_price_by_flag"] = """
                      / CAST(n * total AS DOUBLE)
            END AS gini
     FROM s
+"""
+
+ORACLE_SQL["welch_t_chars_en_de"] = """
+    WITH f AS (
+      SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+    ), g AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS n1,
+             sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::HUGEINT AS sa,
+             sum(CASE WHEN lang = 'en' THEN n_chars::HUGEINT * n_chars ELSE 0 END) AS qa_,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::HUGEINT AS n2,
+             sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END)::HUGEINT AS sb,
+             sum(CASE WHEN lang = 'de' THEN n_chars::HUGEINT * n_chars ELSE 0 END) AS qb_
+      FROM f
+    ), v AS (
+      SELECT n1, n2, sa, sb,
+             CAST(n1*qa_ - sa*sa AS DOUBLE) / CAST(n1*(n1-1) AS DOUBLE)
+               / CAST(n1 AS DOUBLE) AS qa,
+             CAST(n2*qb_ - sb*sb AS DOUBLE) / CAST(n2*(n2-1) AS DOUBLE)
+               / CAST(n2 AS DOUBLE) AS qb
+      FROM g WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CASE WHEN qa + qb > 0
+                THEN (CAST(sa AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt(qa + qb)
+                ELSE 0.0 END AS t_stat,
+           CASE WHEN qa + qb > 0
+                THEN ((qa + qb) * (qa + qb))
+                     / (qa * qa / CAST(n1 - 1 AS DOUBLE)
+                        + qb * qb / CAST(n2 - 1 AS DOUBLE))
+                ELSE 0.0 END AS df
+    FROM v
+"""
+
+ORACLE_SQL["anova_chars_by_lang"] = """
+    WITH RECURSIVE g AS (
+      SELECT lang AS gk, count(*)::HUGEINT AS n_g,
+             sum(n_chars::HUGEINT) AS s_g,
+             sum(n_chars::HUGEINT * n_chars) AS q_g
+      FROM documents GROUP BY lang
+    ), o AS (
+      SELECT gk, n_g, s_g, q_g,
+             row_number() OVER (ORDER BY gk) AS rn
+      FROM g
+    ), tot AS (
+      SELECT sum(n_g) AS n, sum(s_g) AS s, count(*)::HUGEINT AS k FROM g
+    ), r(rn, ssb, ssw) AS (
+      SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT o.rn,
+             r.ssb + CAST(o.s_g * o.s_g AS DOUBLE) / CAST(o.n_g AS DOUBLE),
+             r.ssw + (CAST(o.q_g AS DOUBLE)
+                      - CAST(o.s_g * o.s_g AS DOUBLE) / CAST(o.n_g AS DOUBLE))
+      FROM r JOIN o ON o.rn = r.rn + 1
+    )
+    SELECT CAST(t.k AS BIGINT) AS k, CAST(t.n AS BIGINT) AS n,
+           CASE WHEN t.k >= 2 AND t.n > t.k
+                     AND (r.ssw / CAST(t.n - t.k AS DOUBLE)) > 0
+                THEN ((r.ssb - CAST(t.s * t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      / CAST(t.k - 1 AS DOUBLE))
+                     / (r.ssw / CAST(t.n - t.k AS DOUBLE))
+                ELSE 0.0 END AS f_stat
+    FROM r, tot t WHERE r.rn = (SELECT count(*) FROM g)
 """

@@ -196,3 +196,65 @@ class TestGroupedGini:
         df = self._run(g, v).set_index("g")
         assert df.loc["eq"].gini == 0.0
         assert abs(df.loc["conc"].gini - (1.0 - 1.0 / 50)) < 1e-12
+
+
+class TestWelchAnova:
+    def test_welch_matches_reference(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import welch_t_pipeline
+
+        rng = np.random.default_rng(19)
+        xa = rng.integers(0, 200, 300).astype(np.int64)
+        xb = (rng.integers(0, 120, 500) + 40).astype(np.int64)
+        g = ["A"] * 300 + ["B"] * 500 + ["C"] * 10
+        x = np.concatenate([xa, xb, np.zeros(10, np.int64)])
+        t = pa.table({"g": pa.array(g), "x": pa.array(x)})
+        df = welch_t_pipeline(
+            rd.from_arrow(t).repartition(6),
+            group_col="g",
+            value_col="x",
+            group_a="A",
+            group_b="B",
+        ).to_pandas()
+        va, vb = xa.var(ddof=1), xb.var(ddof=1)
+        qa, qb = va / xa.size, vb / xb.size
+        t_ref = (xa.mean() - xb.mean()) / math.sqrt(qa + qb)
+        df_ref = (qa + qb) ** 2 / (qa**2 / (xa.size - 1) + qb**2 / (xb.size - 1))
+        assert df.n1.iloc[0] == 300 and df.n2.iloc[0] == 500
+        assert abs(df.t_stat.iloc[0] - t_ref) < 1e-10
+        assert abs(df["df"].iloc[0] - df_ref) < 1e-7
+
+    def test_anova_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import anova_f_pipeline
+
+        rng = np.random.default_rng(29)
+        groups = {g: rng.integers(0, 100, 150 + 30 * i).astype(np.int64) + 10 * i
+                  for i, g in enumerate(["a", "b", "c", "d"])}
+        g = sum(([k] * len(v) for k, v in groups.items()), [])
+        x = np.concatenate(list(groups.values()))
+        t = pa.table({"g": pa.array(g), "x": pa.array(x)})
+        df = anova_f_pipeline(
+            rd.from_arrow(t).repartition(5), group_col="g", value_col="x"
+        ).to_pandas()
+        grand = x.mean()
+        ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups.values())
+        ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+        f_ref = (ssb / 3) / (ssw / (x.size - 4))
+        assert df.k.iloc[0] == 4 and df.n.iloc[0] == x.size
+        assert abs(df.f_stat.iloc[0] - f_ref) < 1e-9
+
+    def test_welch_degenerate_zero(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import welch_t_pipeline
+
+        t = pa.table({"g": pa.array(["A", "B"]), "x": pa.array([1, 2], pa.int64())})
+        df = welch_t_pipeline(
+            rd.from_arrow(t), group_col="g", value_col="x", group_a="A", group_b="B"
+        ).to_pandas()
+        assert df.t_stat.iloc[0] == 0.0 and df["df"].iloc[0] == 0.0
