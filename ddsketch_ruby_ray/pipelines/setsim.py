@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from ..core.hashing import hash256_str
 
-__all__ = ["vocab_jaccard_pipeline"]
+__all__ = ["vocab_jaccard_pipeline", "group_count_cosine_pipeline"]
 
 
 def vocab_jaccard_pipeline(
@@ -158,4 +158,162 @@ def vocab_jaccard_pipeline(
                 "jaccard": pa.array(rows["jaccard"], pa.float64()),
             }
         )
+    )
+
+
+def group_count_cosine_pipeline(
+    ds,
+    *,
+    group_col: str,
+    token_col: str,
+    num_partitions: int = 32,
+):
+    """-> Dataset[(g_a, g_b, dot, cos)] for every UNORDERED group pair
+    (g_a < g_b lexicographically): cosine similarity between the groups'
+    token-COUNT vectors — "how alike are two languages' (or sources')
+    token distributions", the counted sibling of
+    :func:`vocab_jaccard_pipeline`'s membership overlap.
+
+    Exactness: dot products and norms are Σ c_a·c_b over shared tokens —
+    per-element products ride the umul128 16-bit limb lanes
+    (pipelines/stats.py) and reassemble in Python ints, so ``dot`` is
+    exact at any corpus size and ``cos`` is ONE fixed-op-order float
+    chain mirrored in SQL.
+
+    Scale shape: per-block (group, token, count) Arrow pre-agg → one
+    vocab-bounded keyed fold → ONE hash(token) re-exchange co-locates
+    each token's per-group counts → per-partition segment pair explosion
+    (k² pairs for a token present in k groups — k is the GROUP count, a
+    handful) → per-(pair) limb sums → KB pair fold → python-int finalize.
+    Self-pairs carry the norms, so no separate pass."""
+    import math
+
+    from ..core.hashing import hash64_str_fast
+    from .fold import partitioned_group_sum
+    from .stats import _limb_cols, _umul128
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"g": t.column(group_col), "tok": t.column(token_col)})
+            .group_by(["g", "tok"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["g", "tok", "c"])
+
+    counted = partitioned_group_sum(
+        ds.map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "tok"],
+        "c",
+        num_partitions=num_partitions,
+    )
+
+    def by_token(t: pa.Table) -> pa.Table:
+        h = hash64_str_fast(t.column("tok"))
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "tok": t.column("tok"),
+                "g": t.column("g"),
+                "c": t.column("sum(c)"),
+                "_part": pa.array(part),
+            }
+        )
+
+    def pair_partials(pt: pa.Table) -> pa.Table:
+        tok = pt.column("tok").to_numpy(zero_copy_only=False)
+        g = pt.column("g").to_numpy(zero_copy_only=False)
+        c = pt.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        if c.size and int(c.max()) >= 3_000_000_000:
+            raise OverflowError(
+                "group_count_cosine_pipeline: a (group, token) count >= 3e9 "
+                "would overflow the uint64 pair product"
+            )
+        order = np.lexsort((g, tok))
+        tok, g, c = tok[order], g[order], c[order]
+        n = tok.size
+        if n == 0:
+            return pa.table(
+                {
+                    "ga": pa.array([], pa.string()),
+                    "gb": pa.array([], pa.string()),
+                    **{f"d_{k}": pa.array([], pa.int64()) for k in range(8)},
+                }
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        seg_starts = np.flatnonzero(new)
+        seg_lens = np.diff(np.append(seg_starts, n))
+        # unordered pairs WITH self-pairs per token segment: i <= j
+        cnt = np.repeat(seg_lens, seg_lens) - (
+            np.arange(n) - np.repeat(seg_starts, seg_lens)
+        )
+        first = np.repeat(np.arange(n), cnt)
+        excl = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        second = np.arange(int(cnt.sum())) - np.repeat(excl, cnt) + first
+        ca = c[first].astype(np.uint64)
+        cb = c[second].astype(np.uint64)
+        ga, gb = g[first], g[second]
+        # order each pair lexicographically (ga <= gb)
+        swap = ga > gb
+        ga2 = np.where(swap, gb, ga)
+        gb2 = np.where(swap, ga, gb)
+        okey = np.char.add(np.char.add(ga2.astype(str), "\x00"), gb2.astype(str))
+        porder = np.argsort(okey, kind="stable")
+        okey_s = okey[porder]
+        pnew = np.empty(okey_s.size, dtype=bool)
+        pnew[0] = True
+        pnew[1:] = okey_s[1:] != okey_s[:-1]
+        pstarts = np.flatnonzero(pnew)
+        hi, lo = _umul128(ca[porder], cb[porder])
+        cols = {
+            "ga": pa.array(ga2[porder][pstarts].tolist(), pa.string()),
+            "gb": pa.array(gb2[porder][pstarts].tolist(), pa.string()),
+        }
+        for k, v in _limb_cols("d", hi, lo, pstarts, 8).items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
+
+    partials = (
+        counted.map_batches(by_token, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(pair_partials, batch_format="pyarrow")
+    )
+    summed = partitioned_group_sum(
+        partials, ["ga", "gb"], [f"d_{k}" for k in range(8)], num_partitions=8
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # G² rows — KB
+        dots = {}
+        for r in rows:
+            dots[(r["ga"], r["gb"])] = sum(
+                int(r[f"sum(d_{k})"]) << (16 * k) for k in range(8)
+            )
+        out_a, out_b, out_dot, out_cos = [], [], [], []
+        for (a, b), d in sorted(dots.items()):
+            if a == b:
+                continue
+            naa = dots.get((a, a), 0)
+            nbb = dots.get((b, b), 0)
+            cos = (
+                float(d) / (math.sqrt(float(naa)) * math.sqrt(float(nbb)))
+                if naa > 0 and nbb > 0
+                else 0.0
+            )
+            out_a.append(a)
+            out_b.append(b)
+            out_dot.append(d)
+            out_cos.append(cos)
+        return pa.table(
+            {
+                "g_a": pa.array(out_a, pa.string()),
+                "g_b": pa.array(out_b, pa.string()),
+                "dot": pa.array(out_dot, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
     )

@@ -3924,6 +3924,39 @@ def anova_chars_by_lang(sf_dir: str):
     return anova_f_pipeline(ds, group_col="lang", value_col="n_chars")
 
 
+def lang_token_cosine(sf_dir: str):
+    """Pairwise cosine similarity between the langs' token-COUNT vectors
+    (the counted sibling of vocab_jaccard's membership overlap): exact
+    integer dot products on the umul128 limb lanes, one vocab-bounded
+    fold + one hash(token) re-exchange (pipelines/setsim.py
+    group_count_cosine_pipeline).  Tokenizer = split on single space,
+    empties dropped (the top_tokens convention)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.setsim import group_count_cosine_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        lang = t.column("lang").take(
+            pa.array(np.repeat(np.arange(t.num_rows), lens))
+        )
+        keep = pc.not_equal(flat, "")
+        return pa.table({"lang": lang, "tok": flat}).filter(keep)
+
+    return group_count_cosine_pipeline(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="lang",
+        token_col="tok",
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4077,6 +4110,7 @@ QUERIES = {
     "gini_price_by_flag": gini_price_by_flag,
     "welch_t_chars_en_de": welch_t_chars_en_de,
     "anova_chars_by_lang": anova_chars_by_lang,
+    "lang_token_cosine": lang_token_cosine,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6750,4 +6784,27 @@ ORACLE_SQL["anova_chars_by_lang"] = """
                      / (r.ssw / CAST(t.n - t.k AS DOUBLE))
                 ELSE 0.0 END AS f_stat
     FROM r, tot t WHERE r.rn = (SELECT count(*) FROM g)
+"""
+
+ORACLE_SQL["lang_token_cosine"] = """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT lang, tok, count(*)::HUGEINT AS c
+      FROM tok WHERE tok <> '' GROUP BY lang, tok
+    ), d AS (
+      SELECT a.lang AS g_a, b.lang AS g_b, sum(a.c * b.c) AS dot
+      FROM c a JOIN c b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY g_a, g_b
+    ), nrm AS (
+      SELECT lang, sum(c * c) AS nn FROM c GROUP BY lang
+    )
+    SELECT d.g_a, d.g_b, CAST(d.dot AS BIGINT) AS dot,
+           CASE WHEN na.nn > 0 AND nb.nn > 0
+                THEN CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                ELSE 0.0 END AS cos
+    FROM d
+    JOIN nrm na ON na.lang = d.g_a
+    JOIN nrm nb ON nb.lang = d.g_b
 """

@@ -258,3 +258,62 @@ class TestWelchAnova:
             rd.from_arrow(t), group_col="g", value_col="x", group_a="A", group_b="B"
         ).to_pandas()
         assert df.t_stat.iloc[0] == 0.0 and df["df"].iloc[0] == 0.0
+
+
+class TestGroupCountCosine:
+    def test_matches_numpy_reference(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.setsim import group_count_cosine_pipeline
+
+        rng = np.random.default_rng(37)
+        vocab = [f"t{i}" for i in range(60)]
+        rows_g, rows_t = [], []
+        for g, bias in (("a", 0), ("b", 20), ("c", 40)):
+            for _ in range(2000):
+                rows_g.append(g)
+                rows_t.append(vocab[(int(rng.integers(0, 30)) + bias) % 60])
+        t = pa.table({"g": pa.array(rows_g), "tok": pa.array(rows_t)})
+        df = (
+            group_count_cosine_pipeline(
+                rd.from_arrow(t).repartition(7), group_col="g", token_col="tok"
+            )
+            .to_pandas()
+            .sort_values(["g_a", "g_b"])
+            .reset_index(drop=True)
+        )
+        import collections
+
+        vecs = {}
+        for g in ("a", "b", "c"):
+            cnt = collections.Counter(
+                tt for gg, tt in zip(rows_g, rows_t) if gg == g
+            )
+            vecs[g] = np.array([cnt.get(v, 0) for v in vocab], dtype=np.int64)
+        got = {(r.g_a, r.g_b): (r.dot, r.cos) for r in df.itertuples()}
+        for a, b in (("a", "b"), ("a", "c"), ("b", "c")):
+            dot = int(vecs[a] @ vecs[b])
+            cos = float(dot) / (
+                math.sqrt(float(vecs[a] @ vecs[a]))
+                * math.sqrt(float(vecs[b] @ vecs[b]))
+            )
+            assert got[(a, b)][0] == dot
+            assert got[(a, b)][1] == cos
+
+    def test_disjoint_vocabularies_zero(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.setsim import group_count_cosine_pipeline
+
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 5 + ["b"] * 5),
+                "tok": pa.array([f"x{i}" for i in range(5)] + [f"y{i}" for i in range(5)]),
+            }
+        )
+        df = group_count_cosine_pipeline(
+            rd.from_arrow(t), group_col="g", token_col="tok"
+        ).to_pandas()
+        assert df.empty or df["dot"].tolist() == [0] or df["cos"].tolist() == [0.0]
