@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sketch_drift_pipeline", "sketch_ks_pipeline"]
+__all__ = ["sketch_drift_pipeline", "sketch_ks_pipeline", "psi_pipeline"]
 
 
 def _group_hists(ds, spec, group_col, derive=None):
@@ -157,6 +157,114 @@ def sketch_ks_pipeline(
                 "n_b": pa.array(rows["n_b"], pa.float64()),
                 "ks_num": pa.array(rows["ks_num"], pa.float64()),
                 "ks": pa.array(rows["ks"], pa.float64()),
+            }
+        )
+    )
+
+
+def psi_pipeline(
+    ref_ds,
+    cur_ds,
+    *,
+    value_col: str,
+    n_buckets: int = 10,
+    alpha: float = 0.01,
+):
+    """-> 1-row Dataset[(n_ref, n_cur, psi)] — the Population Stability
+    Index between a reference and a current snapshot of an INTEGER
+    column: equal-frequency bucket edges from the REFERENCE side's exact
+    floor-rank quantiles (sketch-guided selection, no sort), exact bucket
+    counts on both sides, then PSI = Σ_i (p_i − q_i)·ln(p_i / q_i).
+
+    Conventions (documented, deterministic): bucket i spans
+    (edge_{i-1}, edge_i] with open ends; any bucket empty on EITHER side
+    contributes 0 (the common epsilon hack is non-deterministic across
+    implementations — skipping is exact and mirrors cleanly).  The float
+    terms accumulate in bucket order on both sides (the SQL mirror is a
+    recursive CTE over the ≤ n_buckets rows, the EWMA device), so the
+    statistic is bit-exact.
+
+    Scale shape: one sketch build + candidate scan on the reference, a
+    KB edge broadcast, one searchsorted count pass per side, a
+    2×n_buckets count fold, a single-row finalize."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .selection import sketch_exact_quantiles_pipeline
+
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_all", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    edge_rows = sketch_exact_quantiles_pipeline(
+        ref_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        group_col="_all",
+        value_col=value_col,
+        qs=qs,
+        alpha=alpha,
+    ).take_all()  # exactly one row
+    if not edge_rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_ref": pa.array([0], pa.int64()),
+                    "n_cur": pa.array([0], pa.int64()),
+                    "psi": pa.array([0.0], pa.float64()),
+                }
+            )
+        )
+    row = edge_rows[0]
+    edges = np.array(
+        [int(row[c]) for c in sorted(row) if c.startswith("exact_")], np.int64
+    )
+    edges = np.sort(edges)
+    edges_ref = ray.put(edges)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(e, x, side="left")  # (e_{i-1}, e_i] buckets
+        cnt = np.bincount(b, minlength=e.size + 1).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(e.size + 1, dtype=np.int64)),
+                "c": pa.array(cnt),
+            }
+        )
+
+    def side_counts(ds):
+        return (
+            ds.map_batches(bucket_counts, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("b")
+            .sum("c")
+            .to_pandas()
+        )
+
+    ref_c = side_counts(ref_ds)
+    cur_c = side_counts(cur_ds)
+    nb = edges.size + 1
+    rc = np.zeros(nb, np.int64)
+    cc = np.zeros(nb, np.int64)
+    rc[ref_c["b"].to_numpy()] = ref_c["sum(c)"].to_numpy()
+    cc[cur_c["b"].to_numpy()] = cur_c["sum(c)"].to_numpy()
+    n_ref, n_cur = int(rc.sum()), int(cc.sum())
+    psi = 0.0
+    if n_ref and n_cur:
+        for i in range(nb):  # bucket order — mirrored by the recursive CTE
+            if rc[i] == 0 or cc[i] == 0:
+                continue
+            p = float(rc[i]) / float(n_ref)
+            q = float(cc[i]) / float(n_cur)
+            psi += (p - q) * math.log(p / q)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_ref": pa.array([n_ref], pa.int64()),
+                "n_cur": pa.array([n_cur], pa.int64()),
+                "psi": pa.array([psi], pa.float64()),
             }
         )
     )

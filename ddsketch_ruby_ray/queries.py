@@ -3957,6 +3957,32 @@ def lang_token_cosine(sf_dir: str):
     )
 
 
+def psi_chars_train_val(sf_dir: str):
+    """Population Stability Index (the industry drift score) between the
+    train and val splits' doc-length distributions: equal-frequency
+    bucket edges from the TRAIN side's exact deciles, exact bucket counts
+    both sides, ordered float accumulation mirrored by a recursive-CTE
+    oracle (pipelines/drift.py psi_pipeline).  Completes the drift family
+    (TVD how-much, KS where, PSI industry-standard how-bad)."""
+    import pyarrow.compute as pc
+
+    from .pipelines.drift import psi_pipeline
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+
+    def keep(name):
+        def f(t):
+            return t.filter(pc.equal(t.column("split"), name))
+
+        return f
+
+    ref = ds.map_batches(keep("train"), batch_format="pyarrow", zero_copy_batch=True)
+    cur = ds.map_batches(keep("val"), batch_format="pyarrow", zero_copy_batch=True)
+    return psi_pipeline(ref, cur, value_col="n_chars", n_buckets=10, alpha=ALPHA)
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4111,6 +4137,7 @@ QUERIES = {
     "welch_t_chars_en_de": welch_t_chars_en_de,
     "anova_chars_by_lang": anova_chars_by_lang,
     "lang_token_cosine": lang_token_cosine,
+    "psi_chars_train_val": psi_chars_train_val,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6808,3 +6835,57 @@ ORACLE_SQL["lang_token_cosine"] = """
     JOIN nrm na ON na.lang = d.g_a
     JOIN nrm nb ON nb.lang = d.g_b
 """
+
+def _psi_oracle_sql() -> str:
+    from .core.hashing import splitmix64_sql
+    from .stages.sampling import split_thresholds
+
+    h0 = splitmix64_sql("doc_id", 0)
+    names = list(SPLITS.keys())
+    ths = split_thresholds(SPLITS.values())
+    split_case = "CASE " + " ".join(
+        f"WHEN {h0} < {t}::HUGEINT THEN '{n}'" for n, t in zip(names[:-1], ths[:-1])
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+    WITH RECURSIVE sp AS (
+      SELECT n_chars AS x, {split_case} AS split FROM documents
+    ), rrank AS (
+      SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+      FROM sp WHERE split = 'train'
+    ), edges AS (
+      SELECT qq, max(CASE WHEN rn = CAST(floor(qq * (n - 1)) AS BIGINT) + 1
+                          THEN x END) AS e
+      FROM rrank CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),
+                                    (0.6),(0.7),(0.8),(0.9)) t(qq)
+      GROUP BY qq
+    ), spb AS (
+      SELECT s.split,
+             (SELECT count(*) FROM edges ed WHERE s.x > ed.e) AS b
+      FROM sp s WHERE s.split IN ('train', 'val')
+    ), counts AS (
+      SELECT b,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::HUGEINT AS cr,
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::HUGEINT AS cc
+      FROM spb GROUP BY b
+    ), tot AS (
+      SELECT sum(cr) AS nr, sum(cc) AS nc FROM counts
+    ), ord AS (
+      SELECT cr, cc, row_number() OVER (ORDER BY b) AS rn
+      FROM counts WHERE cr > 0 AND cc > 0
+    ), r(rn, acc) AS (
+      SELECT 0, CAST(0.0 AS DOUBLE)
+      UNION ALL
+      SELECT o.rn,
+             r.acc + (CAST(o.cr AS DOUBLE) / CAST(t.nr AS DOUBLE)
+                      - CAST(o.cc AS DOUBLE) / CAST(t.nc AS DOUBLE))
+                     * ln((CAST(o.cr AS DOUBLE) / CAST(t.nr AS DOUBLE))
+                          / (CAST(o.cc AS DOUBLE) / CAST(t.nc AS DOUBLE)))
+      FROM r JOIN ord o ON o.rn = r.rn + 1 CROSS JOIN tot t
+    )
+    SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           coalesce((SELECT acc FROM r ORDER BY rn DESC LIMIT 1), 0.0) AS psi
+    FROM tot t
+    """
+
+
+ORACLE_SQL["psi_chars_train_val"] = _psi_oracle_sql()

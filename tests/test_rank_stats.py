@@ -317,3 +317,47 @@ class TestGroupCountCosine:
             rd.from_arrow(t), group_col="g", token_col="tok"
         ).to_pandas()
         assert df.empty or df["dot"].tolist() == [0] or df["cos"].tolist() == [0.0]
+
+
+class TestPSI:
+    def _run(self, ref, cur):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.drift import psi_pipeline
+
+        rt = pa.table({"x": pa.array(ref, pa.int64())})
+        ct = pa.table({"x": pa.array(cur, pa.int64())})
+        return psi_pipeline(
+            rd.from_arrow(rt).repartition(4),
+            rd.from_arrow(ct).repartition(3),
+            value_col="x",
+        ).to_pandas()
+
+    def test_identical_distribution_is_zero(self, ray_session):
+        rng = np.random.default_rng(43)
+        x = rng.integers(0, 1000, 4000).astype(np.int64)
+        df = self._run(x, x.copy())
+        assert df.psi.iloc[0] == 0.0
+
+    def test_shift_positive_and_matches_reference(self, ray_session):
+        import math
+
+        rng = np.random.default_rng(47)
+        ref = rng.integers(0, 1000, 5000).astype(np.int64)
+        cur = (rng.integers(0, 1000, 3000) + 250).astype(np.int64)
+        df = self._run(ref, cur)
+        edges = np.sort(ref)[
+            [int(math.floor(q / 10 * (ref.size - 1))) for q in range(1, 10)]
+        ]
+        rb = np.searchsorted(edges, ref, side="left")
+        cb = np.searchsorted(edges, cur, side="left")
+        psi = 0.0
+        for i in range(10):
+            cr, cc = int((rb == i).sum()), int((cb == i).sum())
+            if cr == 0 or cc == 0:
+                continue
+            p = float(cr) / float(ref.size)
+            q = float(cc) / float(cur.size)
+            psi += (p - q) * math.log(p / q)
+        assert df.psi.iloc[0] == psi
+        assert psi > 0.1
