@@ -21,6 +21,8 @@ Kernels (the measured hot loops of the two BASELINE.md rows below the
 - ``minhash``    — fold_windows + _minhash_matrix + _band_buckets over a
                    synthetic 2k-doc token-hash stream: the LSH signature
                    stage (dedup.py) measured in µs/token.
+- ``shmcopy``    — 256 MB heap->shared-mmap->heap round trip: the object
+                   store's put/get memcpy path (the exchange bytes).
 
 Usage:  python tools/membench.py [K ...]     (default: 1 4 16)
 Prints one JSON line per (kernel, K) and a markdown table at the end.
@@ -180,8 +182,33 @@ def _setup_minhash():
     return n_tokens, run
 
 
+def _setup_shmcopy():
+    """The object-store exchange path in miniature: every Ray Data shuffle
+    byte is memcpy'd INTO shared memory by the producer (put) and OUT by
+    the consumer (get).  Each worker owns a private 256 MB anonymous-mmap
+    segment (like each task's plasma allocation) and round-trips a heap
+    buffer through it; units = elements moved (one put + one get per
+    iteration).  If this kernel's per-task rate collapses at K=16 while
+    the compute kernels hold, the sub-0.8 rows are exchange-bandwidth
+    bound — the resource a real N->4N cluster scales with node count."""
+    import mmap
+
+    n = 32 * 1024 * 1024  # 256 MB of float64
+    src = np.random.default_rng(11).random(n)
+    mm = mmap.mmap(-1, src.nbytes)
+    dst = np.frombuffer(mm, dtype=np.float64)
+    back = np.empty(n)
+
+    def run():
+        dst[:] = src   # put: heap -> shared segment
+        back[:] = dst  # get: shared segment -> heap
+
+    return 2 * n, run
+
+
 KERNELS = {
     "triad": _setup_triad,
+    "shmcopy": _setup_shmcopy,
     "lexsort": _setup_lexsort,
     "gather": _setup_gather,
     "minhash": _setup_minhash,
