@@ -657,6 +657,7 @@ def _pagerank_broadcast(
     except Exception as e:  # wide ids: fall back to the two-column exchange
         if "PackedIdOverflow" not in repr(e) + str(e):
             raise
+    packed_build = by_dst is not None
     if by_dst is None:
         by_dst = (
             edges.map_batches(
@@ -672,6 +673,13 @@ def _pagerank_broadcast(
     # the deg partials (kind 1), both routed by hash(node) through a thin
     # keyed fold that emits exactly one (node, outdeg) row per node — the
     # only table the driver ever pulls (O(nodes), honoring max_nodes).
+    # When the packed build path succeeded (ids < 2^31), the partial rows
+    # pack to ONE int64 each — pk = (node << 31) | deg, safe because a
+    # src's distinct-dst count is bounded by the id domain < 2^31 — which
+    # cuts this exchange's data bytes 40% (it is the worst-retention phase
+    # per the BASELINE.md shmcopy measurement).
+    packed_meta = packed_build
+
     def meta_map(t: pa.Table) -> pa.Table:
         dst = t.column("dst").to_numpy(zero_copy_only=False)
         src = t.column("src").to_numpy(zero_copy_only=False)
@@ -688,6 +696,14 @@ def _pagerank_broadcast(
         m = isd == 1
         node = np.concatenate([uniq, dst[m]])
         deg = np.concatenate([np.zeros(uniq.size, dtype=np.int64), src[m]])
+        if packed_meta:
+            part = (hash64_int(node) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+            return pa.table(
+                {
+                    "pk": pa.array((node << np.int64(31)) | deg),
+                    "_part": pa.array(part),
+                }
+            )
         return _with_part(
             pa.table({"node": pa.array(node), "deg": pa.array(deg)}),
             "node",
@@ -695,10 +711,15 @@ def _pagerank_broadcast(
         )
 
     def meta_fold(g: pa.Table) -> pa.Table:
-        node = g.column("node").to_numpy(zero_copy_only=False)
-        deg = g.column("deg").to_numpy(zero_copy_only=False)
-        o = np.argsort(node, kind="stable")
-        node, deg = node[o], deg[o]
+        if packed_meta:
+            pk = np.sort(g.column("pk").to_numpy(zero_copy_only=False))
+            node = pk >> np.int64(31)
+            deg = pk & np.int64((1 << 31) - 1)
+        else:
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            deg = g.column("deg").to_numpy(zero_copy_only=False)
+            o = np.argsort(node, kind="stable")
+            node, deg = node[o], deg[o]
         new = np.empty(node.size, dtype=bool)
         if node.size:
             new[0] = True
