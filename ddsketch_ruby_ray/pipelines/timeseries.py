@@ -27,6 +27,7 @@ __all__ = [
     "ewma_daily_pipeline",
     "ohlc_pipeline",
     "locf_daily_pipeline",
+    "rolling_median_daily_pipeline",
 ]
 
 US_PER_DAY = 86_400_000_000
@@ -424,4 +425,68 @@ def locf_daily_pipeline(
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def rolling_median_daily_pipeline(ds, *, ts_col: str, window: int = 7):
+    """Trailing-``window``-day rolling MEDIAN of the DENSE daily count
+    series: -> Dataset[(day, cnt, med)] — the robust smoother that, unlike
+    the EWMA, ignores single-day spikes entirely.  Gap days count as zero
+    (same densified-calendar semantic as the CUSUM); the leading days use
+    the truncated window.  The median of an even-sized window is
+    float(a + b) / 2.0 of the two middle EXACT ints — the same value
+    DuckDB's windowed ``median()`` produces — so the float column is
+    bit-exact.  The inherently-ordered scan runs over the KB daily series
+    in the single finalize partition (the distributed work is the count
+    reduction)."""
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(vals), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    series = (
+        ds.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("c")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cnt = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "med": pa.array([], pa.float64()),
+            }
+        )
+        if not day.size:
+            return empty
+        order = np.argsort(day)
+        day, cnt = day[order], cnt[order]
+        dense_days = _dense_days(day)
+        dense = np.zeros(dense_days.size, dtype=np.int64)
+        dense[np.searchsorted(dense_days, day)] = cnt
+        med = np.empty(dense.size, dtype=np.float64)
+        for i in range(dense.size):  # KB series; window sort is O(w log w)
+            w = np.sort(dense[max(0, i - window + 1) : i + 1])
+            k = w.size
+            if k % 2:
+                med[i] = float(int(w[k // 2]))
+            else:
+                med[i] = float(int(w[k // 2 - 1]) + int(w[k // 2])) / 2.0
+        return pa.table(
+            {
+                "day": pa.array(dense_days),
+                "cnt": pa.array(dense),
+                "med": pa.array(med, pa.float64()),
+            }
+        )
+
+    return series.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -3983,6 +3983,148 @@ def psi_chars_train_val(sf_dir: str):
     return psi_pipeline(ref, cur, value_col="n_chars", n_buckets=10, alpha=ALPHA)
 
 
+def rolling_median_daily_events(sf_dir: str):
+    """Trailing-7-day rolling median of the dense daily event-count
+    series (gap days zero; truncated leading windows) — the spike-immune
+    smoother beside the EWMA (pipelines/timeseries.py)."""
+    from .pipelines.timeseries import rolling_median_daily_pipeline
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return rolling_median_daily_pipeline(ds, ts_col="ts", window=7)
+
+
+def _user_day_distinct(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from .core.hashing import hash64_int
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "day": pa.array(us // 86_400_000_000),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        u = d.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (hash64_int(u) % np.uint64(64)).astype(np.int32)
+        return d.append_column("_part", pa.array(part))
+
+    return ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def new_vs_returning_daily(sf_dir: str):
+    """Per-day NEW vs RETURNING active users (new = the user's first
+    active day): one hash(user) exchange of distinct (user, day) id
+    pairs — the per-user first-day and the day counts both resolve
+    inside the partition — then a KB per-day fold.  The growth-accounting
+    companion to cohort_retention."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.fold import partitioned_group_sum
+
+    def fold(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        keep = np.empty(u.size, dtype=bool)
+        if u.size:
+            keep[0] = True
+            keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        first = np.empty(u.size, dtype=bool)
+        if u.size:
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        nd, nc = np.unique(d[first], return_counts=True)
+        rd_, rc_ = np.unique(d[~first], return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([nd, rd_])),
+                "n_new": pa.array(
+                    np.concatenate([nc, np.zeros(rd_.size, np.int64)]).astype(np.int64)
+                ),
+                "n_returning": pa.array(
+                    np.concatenate([np.zeros(nd.size, np.int64), rc_]).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = (
+        _user_day_distinct(sf_dir)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    summed = partitioned_group_sum(parts, "day", ["n_new", "n_returning"], num_partitions=8)
+    return summed.map_batches(
+        lambda t: pa.table(
+            {
+                "day": t.column("day"),
+                "n_new": t.column("sum(n_new)"),
+                "n_returning": t.column("sum(n_returning)"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def cumulative_unique_users_daily(sf_dir: str):
+    """Cumulative distinct-user growth curve: per first-seen day, the
+    number of NEW users and the running total — per-user min-day fold,
+    KB per-day counts, ordered cumsum in one finalize partition."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .pipelines.fold import partitioned_group_agg, partitioned_group_sum
+
+    mins = partitioned_group_agg(
+        _user_day_distinct(sf_dir).drop_columns(["_part"]),
+        "user_id",
+        [("day", "min")],
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        d = t.column("min(day)").to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"day": pa.array(vals), "n_new": pa.array(cnt.astype(np.int64))}
+        )
+
+    summed = partitioned_group_sum(
+        mins.map_batches(day_counts, batch_format="pyarrow", zero_copy_batch=True),
+        "day",
+        "n_new",
+        num_partitions=8,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n_new)").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(d)
+        d, n = d[o], n[o]
+        return pa.table(
+            {
+                "day": pa.array(d),
+                "n_new": pa.array(n),
+                "cum_users": pa.array(np.cumsum(n).astype(np.int64)),
+            }
+        )
+
+    return summed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4138,6 +4280,9 @@ QUERIES = {
     "anova_chars_by_lang": anova_chars_by_lang,
     "lang_token_cosine": lang_token_cosine,
     "psi_chars_train_val": psi_chars_train_val,
+    "rolling_median_daily_events": rolling_median_daily_events,
+    "new_vs_returning_daily": new_vs_returning_daily,
+    "cumulative_unique_users_daily": cumulative_unique_users_daily,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -6889,3 +7034,50 @@ def _psi_oracle_sql() -> str:
 
 
 ORACLE_SQL["psi_chars_train_val"] = _psi_oracle_sql()
+
+ORACLE_SQL["rolling_median_daily_events"] = """
+    WITH RECURSIVE c AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM c
+    ), days AS (
+      SELECT b.d0 + x.x AS day
+      FROM b, LATERAL (
+        SELECT unnest(range(CAST(b.d1 - b.d0 + 1 AS BIGINT))) AS x
+      ) x
+    ), dense AS (
+      SELECT days.day, COALESCE(c.cnt, 0) AS cnt
+      FROM days LEFT JOIN c USING (day)
+    )
+    SELECT day, cnt,
+           median(cnt) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+    FROM dense
+"""
+
+ORACLE_SQL["new_vs_returning_daily"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), m AS (
+      SELECT user_id, min(day) AS fday FROM d GROUP BY user_id
+    )
+    SELECT d.day,
+           CAST(sum(CASE WHEN d.day = m.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN d.day > m.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+    FROM d JOIN m USING (user_id) GROUP BY d.day
+"""
+
+ORACLE_SQL["cumulative_unique_users_daily"] = """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), m AS (
+      SELECT user_id, min(day) AS fday FROM d GROUP BY user_id
+    ), c AS (
+      SELECT fday AS day, count(*) AS n_new FROM m GROUP BY fday
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM c
+"""

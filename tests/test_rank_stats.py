@@ -361,3 +361,54 @@ class TestPSI:
             psi += (p - q) * math.log(p / q)
         assert df.psi.iloc[0] == psi
         assert psi > 0.1
+
+
+class TestActivitySeries:
+    def test_rolling_median_vs_pandas(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.timeseries import (
+            US_PER_DAY,
+            rolling_median_daily_pipeline,
+        )
+
+        rng = np.random.default_rng(53)
+        days = rng.choice(np.arange(100, 140), 2000, replace=True)
+        ts = days.astype(np.int64) * US_PER_DAY + rng.integers(
+            0, US_PER_DAY, 2000
+        )
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+        df = (
+            rolling_median_daily_pipeline(
+                rd.from_arrow(t).repartition(6), ts_col="ts"
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        cnt = pd.Series(0, index=np.arange(100, 140))
+        vc = pd.Series(days).value_counts()
+        cnt.loc[vc.index] = vc.values
+        ref = cnt.rolling(7, min_periods=1).median()
+        assert df.day.tolist() == list(range(100, 140))
+        assert df.med.tolist() == ref.tolist()
+
+    def test_new_vs_returning_and_cumulative_shapes(self, ray_session):
+        # relies on the gate for value-exactness; pin the invariants here:
+        # sum(n_new) over days == total distinct users == last cum_users
+        import duckdb
+
+        import ddsketch_ruby_ray.queries as q
+
+        sf = "/root/testdata/sf0.001"
+        nvr = q.QUERIES["new_vs_returning_daily"](sf).to_pandas()
+        cum = q.QUERIES["cumulative_unique_users_daily"](sf).to_pandas()
+        con = duckdb.connect()
+        users = con.execute(
+            f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+        ).fetchone()[0]
+        assert nvr.n_new.sum() == users
+        assert cum.cum_users.iloc[-1] == users
+        assert (cum.n_new.cumsum() == cum.cum_users).all()
