@@ -282,6 +282,8 @@ def _dedup_job_rows(job: str) -> int:
         default = 1_000_000  # one postings row per TOKEN: the heaviest map
     elif job == "pairs":
         default = 16_000_000  # lang x repo: ~1.8M groups at this size
+    elif job == "ordered":
+        default = 16_000_000  # per-key window analytics over 1M keys
     elif job == "graph":
         default = 16_000_000  # x2 edges per row: 32M-edge PageRank
     else:
@@ -377,6 +379,35 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
             to_edges, batch_format="pyarrow", zero_copy_batch=True
         )
         n = pagerank_pipeline(edges, iters=3, num_partitions=64).count()
+        sec = time.perf_counter() - t0
+        ray.shutdown()
+        print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
+        return
+
+    if job == "ordered":
+        # per-key ordered window analytics (rank / running sum / lag) over
+        # 16M synthetic events on 1M keys: ONE hash co-partition + one
+        # lexsort + boundary scan per partition - the windows-family row
+        from ddsketch_ruby_ray.pipelines.windows import ordered_analytics_pipeline
+
+        def to_ev(t: pa.Table) -> pa.Table:
+            h = _path_hash(t)
+            return pa.table(
+                {
+                    "user": pa.array((h % np.uint64(1_000_000)).astype(np.int64)),
+                    "ts": pa.array(((h >> np.uint64(16)) % np.uint64(10**15)).astype(np.int64)),
+                    "eid": pa.array((h >> np.uint64(1)).astype(np.int64)),
+                    "v": pa.array(((h >> np.uint64(8)) % np.uint64(1000)).astype(np.float64)),
+                }
+            )
+
+        t0 = time.perf_counter()
+        ev = read_corpus(path, ["path"]).map_batches(
+            to_ev, batch_format="pyarrow", zero_copy_batch=True
+        )
+        n = ordered_analytics_pipeline(
+            ev, key_col="user", ts_col="ts", tiebreak_col="eid", value_col="v"
+        ).count()
         sec = time.perf_counter() - t0
         ray.shutdown()
         print(json.dumps({"sec": sec, "rows": rows, "out_rows": n}))
