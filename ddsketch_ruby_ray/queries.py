@@ -4125,6 +4125,36 @@ def cumulative_unique_users_daily(sf_dir: str):
     )
 
 
+def props_k_quantiles_by_type(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` field out
+    of the props JSON string with ONE vectorized RE2 kernel
+    (pc.extract_regex — no per-row Python, no JSON parser), then DDSketch
+    quantiles + exact integer sum/avg per event_type.  The oracle runs
+    the same regex via DuckDB's regexp_extract, so extraction semantics
+    match byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        kv = pc.struct_field(ex, "k")
+        out = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k": pc.cast(kv, pa.int64()),
+            }
+        )
+        return out.filter(pc.is_valid(kv))
+
+    out = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = out.groupby("event_type").aggregate(
+        DDSketchAgg(on="k", relative_accuracy=ALPHA, quantiles=QUANTILES, name="s")
+    )
+    return unnest(agg, columns=["s"])
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4283,6 +4313,7 @@ QUERIES = {
     "rolling_median_daily_events": rolling_median_daily_events,
     "new_vs_returning_daily": new_vs_returning_daily,
     "cumulative_unique_users_daily": cumulative_unique_users_daily,
+    "props_k_quantiles_by_type": props_k_quantiles_by_type,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7081,3 +7112,21 @@ ORACLE_SQL["cumulative_unique_users_daily"] = """
            CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
     FROM c
 """
+
+def _props_k_oracle() -> str:
+    from .functions.oracle import ddsketch_quantile_sql
+
+    return ddsketch_quantile_sql(
+        table=(
+            "(SELECT event_type, "
+            "CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+            "FROM events WHERE regexp_matches(props, '\"k\": \\d+')) g"
+        ),
+        group_col="event_type",
+        value_expr="k",
+        alpha=ALPHA,
+        quantiles=QUANTILES,
+    )
+
+
+ORACLE_SQL["props_k_quantiles_by_type"] = _props_k_oracle()
