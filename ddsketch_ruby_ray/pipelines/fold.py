@@ -50,7 +50,22 @@ def _part_of(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndar
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             hk = hash64_str_fast(col)
         else:
-            hk = hash64_int(col.to_numpy(zero_copy_only=False).astype(np.int64))
+            # Null-safe integer path: a block containing ANY null would make
+            # to_numpy fall back to float64, rounding keys >= 2^53 so the
+            # same key routes to DIFFERENT partitions in null-free vs
+            # null-bearing blocks (splitting its "global" aggregate).  Fill
+            # nulls with a fixed sentinel BEFORE the numpy conversion —
+            # routing only needs cross-block determinism, and Arrow's
+            # group_by keeps null keys as their own group either way.
+            import pyarrow.compute as pc
+
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.null_count:
+                col = pc.fill_null(col, 0)
+            hk = hash64_int(
+                pc.cast(col, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+            )
         h = splitmix64(h ^ hk)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

@@ -222,7 +222,9 @@ def _node_states(dedup_edges, *, num_partitions: int):
     return states, states.count()
 
 
-def _pin_edge_slices(part_ds, columns: tuple, sort_col: str = "dst") -> dict:
+def _pin_edge_slices(
+    part_ds, columns: tuple, sort_col: str = "dst", num_partitions: int | None = None
+) -> dict:
     """Split a materialized ``_part``-partitioned edge Dataset into
     per-partition object-store tables sorted by ``sort_col`` —
     ``{part: [ObjectRef, ...]}``.
@@ -235,26 +237,53 @@ def _pin_edge_slices(part_ds, columns: tuple, sort_col: str = "dst") -> dict:
     first gather pulls a slice to the consuming node and the object store
     retains the secondary copy, so later rounds read locally.  Driver
     memory is O(partitions) refs, never edge rows.
+    Ownership: the slices come back as task RETURN VALUES (one return
+    slot per partition), so every ref is owned by the CALLER.  The
+    previous shape did ``ray.put`` INSIDE the task, which pinned each
+    slice to the transient worker that created it — an idle-reaped or
+    OOM-killed worker would take its slices down with it mid-iteration
+    (OwnerDiedError) on a long-running cluster.
     """
     import ray
 
+    if num_partitions is None:
+        # fallback: derive the dense [0, P) id space from the data
+        num_partitions = 1 + int(
+            part_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "m": pa.array(
+                            [int(t.column("_part").to_numpy(zero_copy_only=False).max())]
+                            if t.num_rows
+                            else [],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).max("m")
+        )
+
     @ray.remote
-    def split(tbl: pa.Table) -> dict:
+    def split(tbl: pa.Table, P: int):
         prt = tbl.column("_part").to_numpy(zero_copy_only=False)
         cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in columns}
-        out = {}
+        empty = pa.table({c: pa.array(v[:0]) for c, v in cols.items()})
+        out = [empty] * P
         for p in np.unique(prt):
             m = prt == p
             sl = {c: v[m] for c, v in cols.items()}
             o = np.argsort(sl[sort_col], kind="stable")
-            out[int(p)] = ray.put(
-                pa.table({c: pa.array(v[o]) for c, v in sl.items()})
-            )
-        return out
+            out[int(p)] = pa.table({c: pa.array(v[o]) for c, v in sl.items()})
+        return out[0] if P == 1 else tuple(out)
 
     refs: dict[int, list] = {}
-    for d in ray.get([split.remote(r) for r in part_ds.to_arrow_refs()]):
-        for p, ref in d.items():
+    for r in part_ds.to_arrow_refs():
+        slot_refs = split.options(num_returns=num_partitions).remote(r, num_partitions)
+        if num_partitions == 1:
+            slot_refs = [slot_refs]
+        for p, ref in enumerate(slot_refs):
             refs.setdefault(p, []).append(ref)
     return refs
 
@@ -339,7 +368,7 @@ def pagerank_pipeline(
     # _pin_edge_slices).
     import ray
 
-    edge_refs = _pin_edge_slices(dedup, ("src", "dst"))
+    edge_refs = _pin_edge_slices(dedup, ("src", "dst"), num_partitions=num_partitions)
 
     def propagate(g: pa.Table) -> pa.Table:
         """One src-partition's STATE rows -> per-dst partial contributions
@@ -981,7 +1010,7 @@ def bfs_hops_pipeline(
     # per-partition dst-sorted edge slices, gathered by ref inside the
     # frontier group tasks — per hop, only the O(frontier) state rows and
     # the per-dst candidate partials ride a shuffle, never the edges
-    edge_refs = _pin_edge_slices(dedup, ("src", "dst"))
+    edge_refs = _pin_edge_slices(dedup, ("src", "dst"), num_partitions=num_partitions)
 
     def seed_states(t: pa.Table) -> pa.Table:
         n = t.column(seed_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1551,6 +1580,8 @@ def _sssp_shuffle(pinned, seeds, *, seed_col: str, max_rounds: int, num_partitio
             with_src_part, batch_format="pyarrow", zero_copy_batch=True
         ).materialize(),
         ("src", "dst", "w"),
+        sort_col="dst",
+        num_partitions=num_partitions,
     )
 
     def seed_states(t: pa.Table) -> pa.Table:

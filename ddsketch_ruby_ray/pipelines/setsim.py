@@ -253,22 +253,27 @@ def group_count_cosine_pipeline(
         second = np.arange(int(cnt.sum())) - np.repeat(excl, cnt) + first
         ca = c[first].astype(np.uint64)
         cb = c[second].astype(np.uint64)
-        ga, gb = g[first], g[second]
-        # order each pair lexicographically (ga <= gb)
-        swap = ga > gb
-        ga2 = np.where(swap, gb, ga)
-        gb2 = np.where(swap, ga, gb)
-        okey = np.char.add(np.char.add(ga2.astype(str), "\x00"), gb2.astype(str))
-        porder = np.argsort(okey, kind="stable")
-        okey_s = okey[porder]
-        pnew = np.empty(okey_s.size, dtype=bool)
+        # integer group codes (np.unique is sorted, so code order IS the
+        # lexicographic group order); a string-concat key would be wrong —
+        # numpy fixed-width unicode strips trailing NULs, so ('a','bb') and
+        # ('ab','b') would collide under any separator-join scheme
+        uniq_g, gcode = np.unique(g, return_inverse=True)
+        a_code = gcode[first]
+        b_code = gcode[second]
+        swap = a_code > b_code
+        a2 = np.where(swap, b_code, a_code).astype(np.int64)
+        b2 = np.where(swap, a_code, b_code).astype(np.int64)
+        pkey = a2 * np.int64(uniq_g.size) + b2
+        porder = np.argsort(pkey, kind="stable")
+        pkey_s = pkey[porder]
+        pnew = np.empty(pkey_s.size, dtype=bool)
         pnew[0] = True
-        pnew[1:] = okey_s[1:] != okey_s[:-1]
+        pnew[1:] = pkey_s[1:] != pkey_s[:-1]
         pstarts = np.flatnonzero(pnew)
         hi, lo = _umul128(ca[porder], cb[porder])
         cols = {
-            "ga": pa.array(ga2[porder][pstarts].tolist(), pa.string()),
-            "gb": pa.array(gb2[porder][pstarts].tolist(), pa.string()),
+            "ga": pa.array(uniq_g[a2[porder][pstarts]].tolist(), pa.string()),
+            "gb": pa.array(uniq_g[b2[porder][pstarts]].tolist(), pa.string()),
         }
         for k, v in _limb_cols("d", hi, lo, pstarts, 8).items():
             cols[k] = pa.array(v)
@@ -294,6 +299,13 @@ def group_count_cosine_pipeline(
         for (a, b), d in sorted(dots.items()):
             if a == b:
                 continue
+            if d >= 2**63:
+                raise OverflowError(
+                    f"group_count_cosine_pipeline: dot({a!r}, {b!r}) = {d} "
+                    "exceeds the int64 output column; drop the dot column "
+                    "or rescale counts (cos itself is exact from the limb "
+                    "lanes regardless)"
+                )
             naa = dots.get((a, a), 0)
             nbb = dots.get((b, b), 0)
             cos = (

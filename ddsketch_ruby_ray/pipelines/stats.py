@@ -422,8 +422,15 @@ def _limb_cols(name: str, hi: np.ndarray, lo: np.ndarray, starts: np.ndarray, n_
     return out
 
 
-# limb counts: x² < 2^62 (4), |x|³ < 2^93 (6), x⁴ < 2^124 (8) for |x| < 2^31
-_POWER_LIMBS = (("s2", 4), ("s3p", 6), ("s3n", 6), ("s4", 8))
+# limb counts: |x| < 2^31 (2), x² < 2^62 (4), |x|³ < 2^93 (6), x⁴ < 2^124 (8)
+_POWER_LIMBS = (
+    ("s1p", 2),
+    ("s1n", 2),
+    ("s2", 4),
+    ("s3p", 6),
+    ("s3n", 6),
+    ("s4", 8),
+)
 _MOMENT_COLS = [f"{nm}_{k}" for nm, nl in _POWER_LIMBS for k in range(nl)]
 
 
@@ -445,7 +452,10 @@ def _power_limb_sums(x: np.ndarray, starts: np.ndarray) -> dict[str, np.ndarray]
     neg = (x < 0).astype(np.uint64)
     pos = np.uint64(1) - neg
     out: dict[str, np.ndarray] = {}
-    out.update(_limb_cols("s2", np.zeros_like(y2), y2, starts, 4))
+    zeros = np.zeros_like(y2)
+    out.update(_limb_cols("s1p", zeros, xu * pos, starts, 2))
+    out.update(_limb_cols("s1n", zeros, xu * neg, starts, 2))
+    out.update(_limb_cols("s2", zeros, y2, starts, 4))
     out.update(_limb_cols("s3p", h3 * pos, l3 * pos, starts, 6))
     out.update(_limb_cols("s3n", h3 * neg, l3 * neg, starts, 6))
     out.update(_limb_cols("s4", h4, l4, starts, 8))
@@ -477,7 +487,7 @@ def grouped_moments_pipeline(
     ``skewness`` is the population g1 = m3 / (m2·sqrt(m2)); ``kurtosis``
     the population EXCESS g2 = m4 / m2² − 3 (both 0.0 for constant
     groups).  Gates loudly on |x| ≥ 2^31.  Scale shape: one
-    lexsort+reduceat per block emits one 26-counter row per
+    lexsort+reduceat per block emits one 30-counter row per
     group-in-block; one tiny keyed shuffle; Python-int finalize per group
     (groups assumed small — the lang/source axis)."""
 
@@ -486,14 +496,6 @@ def grouped_moments_pipeline(
             t = derive(t)
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        # S1 stays a plain exact int64 partial (same gate as grouped_corr)
-        if x.size:
-            mx = max(int(x.max()), -int(x.min()))
-            if mx * x.size >= 2**63:
-                raise ValueError(
-                    "grouped_moments_pipeline: Σ|x| would overflow the int64 "
-                    f"block partial (max|x|={mx}, block rows={x.size})"
-                )
         order = np.argsort(g, kind="stable")
         g_s, x_s = g[order], x[order]
         new = np.empty(g_s.size, dtype=bool)
@@ -505,9 +507,6 @@ def grouped_moments_pipeline(
         cols = {
             group_col: pa.array(g_s[starts].tolist()),
             "n": pa.array(lens.astype(np.int64)),
-            "s1": pa.array(
-                np.add.reduceat(x_s, starts) if starts.size else np.zeros(0, np.int64)
-            ),
         }
         for k, v in _power_limb_sums(x_s, starts).items():
             cols[k] = pa.array(v)
@@ -519,7 +518,7 @@ def grouped_moments_pipeline(
     summed = partitioned_group_sum(
         parts,
         group_col,
-        ["n", "s1"] + _MOMENT_COLS,
+        ["n"] + _MOMENT_COLS,
         num_partitions=num_partitions,
     )
 
@@ -528,7 +527,7 @@ def grouped_moments_pipeline(
         gs, ns, means, vars_, skews, kurts = [], [], [], [], [], []
         for r in rows:
             n = int(r["sum(n)"])
-            s1 = int(r["sum(s1)"])
+            s1 = _limbs_to_int(r, "s1p", 2) - _limbs_to_int(r, "s1n", 2)
             s2 = _limbs_to_int(r, "s2", 4)
             s3 = _limbs_to_int(r, "s3p", 6) - _limbs_to_int(r, "s3n", 6)
             s4 = _limbs_to_int(r, "s4", 8)
@@ -633,7 +632,16 @@ def mannwhitney_u_pipeline(
             raise OverflowError("mannwhitney_u_pipeline: n >= 2e9 would overflow rank algebra")
         cb = np.concatenate([[0], np.cumsum(c)[:-1]])  # rows strictly below v
         r1_x2 = int((c1 * (2 * cb + c + 1)).sum())  # 2·Σ midranks of A
-        t_ties = int((c * c * c - c).sum())
+        # tie cubes: c³ (and the Σ over values) wraps int64 once ties get
+        # heavy — the n < 2e9 gate does NOT bound per-value ties.  The
+        # whole sum is provably int64-safe iff max(c)²·n < 2^63 (since
+        # Σc³ ≤ max(c)²·Σc); otherwise fall back to exact python ints.
+        if c.size == 0:
+            t_ties = 0
+        elif int(c.max()) ** 2 * n < 2**63:
+            t_ties = int((c**3 - c).sum())
+        else:
+            t_ties = sum(int(x) ** 3 - int(x) for x in c.tolist())
         u1_x2 = r1_x2 - n1 * (n1 + 1)  # 2·U1 = 2·R1 − n1(n1+1)
         if n1 == 0 or n2 == 0 or n < 2:
             z = 0.0
@@ -879,48 +887,56 @@ def spearman_rho_pipeline(
     )
 
 
+_NS_COLS = [f"s1p_{k}" for k in range(2)] + [f"s1n_{k}" for k in range(2)] + [
+    f"s2_{k}" for k in range(4)
+]
+
+
 def _group_n_s1_s2(ds, *, group_col: str, value_col: str, num_partitions: int = 16):
-    """Shared exact per-group (n, Σx, Σx²) fold: int64 block partials with
-    the grouped_corr overflow gate, Python-int merge downstream."""
+    """Shared exact per-group (n, Σx, Σx²) fold on 16-bit limb LANES (the
+    grouped_moments device): exact at any corpus size up to 2^47 rows per
+    group with no cross-block int64 wrap anywhere; gates |x| < 2^31."""
 
     def preagg(t: pa.Table) -> pa.Table:
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if x.size:
-            mx = max(int(x.max()), -int(x.min()), 1)
-            if mx * mx * x.size >= 2**63:
-                raise OverflowError(
-                    "sufficient-stats preagg: max(x)^2 * block_rows >= 2^63"
-                )
+        ax = np.abs(x)
+        if ax.size and int(ax.max()) >= 1 << 31:
+            raise ValueError(
+                "sufficient-stats preagg: |x| >= 2^31 overflows the x² "
+                "intermediate; rescale the values"
+            )
         order = np.argsort(g, kind="stable")
-        g_s, x_s = g[order], x[order]
+        g_s = g[order]
+        x_s = x[order]
         new = np.empty(g_s.size, dtype=bool)
         if g_s.size:
             new[0] = True
             new[1:] = g_s[1:] != g_s[:-1]
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, g_s.size))
-        return pa.table(
-            {
-                group_col: pa.array(g_s[starts].tolist()),
-                "n": pa.array(lens.astype(np.int64)),
-                "s1": pa.array(
-                    np.add.reduceat(x_s, starts) if starts.size else np.zeros(0, np.int64)
-                ),
-                "s2": pa.array(
-                    np.add.reduceat(x_s * x_s, starts)
-                    if starts.size
-                    else np.zeros(0, np.int64)
-                ),
-            }
-        )
+        xu = np.abs(x_s).astype(np.uint64)
+        neg = (x_s < 0).astype(np.uint64)
+        pos = np.uint64(1) - neg
+        zeros = np.zeros_like(xu)
+        cols = {
+            group_col: pa.array(g_s[starts].tolist()),
+            "n": pa.array(lens.astype(np.int64)),
+        }
+        for k, v in _limb_cols("s1p", zeros, xu * pos, starts, 2).items():
+            cols[k] = pa.array(v)
+        for k, v in _limb_cols("s1n", zeros, xu * neg, starts, 2).items():
+            cols[k] = pa.array(v)
+        for k, v in _limb_cols("s2", zeros, xu * xu, starts, 4).items():
+            cols[k] = pa.array(v)
+        return pa.table(cols)
 
     from .fold import partitioned_group_sum
 
     return partitioned_group_sum(
         ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
         group_col,
-        ["n", "s1", "s2"],
+        ["n"] + _NS_COLS,
         num_partitions=num_partitions,
     )
 
@@ -961,8 +977,8 @@ def welch_t_pipeline(
         for r in t.to_pylist():
             a = acc.setdefault(r[group_col], [0, 0, 0])
             a[0] += int(r["sum(n)"])
-            a[1] += int(r["sum(s1)"])
-            a[2] += int(r["sum(s2)"])
+            a[1] += _limbs_to_int(r, "s1p", 2) - _limbs_to_int(r, "s1n", 2)
+            a[2] += _limbs_to_int(r, "s2", 4)
         n1, s1a, s2a = acc.get(group_a, [0, 0, 0])
         n2, s1b, s2b = acc.get(group_b, [0, 0, 0])
         t_stat = df = 0.0
@@ -1022,8 +1038,8 @@ def anova_f_pipeline(
         for r in t.to_pylist():
             a = acc.setdefault(r[group_col], [0, 0, 0])
             a[0] += int(r["sum(n)"])
-            a[1] += int(r["sum(s1)"])
-            a[2] += int(r["sum(s2)"])
+            a[1] += _limbs_to_int(r, "s1p", 2) - _limbs_to_int(r, "s1n", 2)
+            a[2] += _limbs_to_int(r, "s2", 4)
         k = len(acc)
         n = sum(a[0] for a in acc.values())
         S = sum(a[1] for a in acc.values())

@@ -5701,9 +5701,9 @@ def _family_oracles() -> dict:
                      sum(c*c*c - c) AS t
               FROM o
             )
-            SELECT CAST(n1 AS BIGINT) AS n1,
-                   CAST(n2 AS BIGINT) AS n2,
-                   CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1_x2,
+            SELECT CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+                   CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+                   CAST(coalesce(r1x2 - n1*(n1+1), 0) AS BIGINT) AS u1_x2,
                    CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
                              AND CAST(n1*n2 AS DOUBLE) / 12.0
                                  * (CAST(n1+n2+1 AS DOUBLE)
@@ -6812,12 +6812,16 @@ ORACLE_SQL["ks_exact_chars_en_de"] = """
              sum(c2) OVER (ORDER BY v) AS cum2
       FROM c
     )
-    SELECT CAST(t.n1 AS BIGINT) AS n1,
-           CAST(t.n2 AS BIGINT) AS n2,
-           CAST(max(abs(o.cum1 * t.n2 - o.cum2 * t.n1)) AS BIGINT) AS d_num,
-           CAST(max(abs(o.cum1 * t.n2 - o.cum2 * t.n1)) AS DOUBLE)
-             / CAST(t.n1 * t.n2 AS DOUBLE) AS d_stat
-    FROM o, t GROUP BY t.n1, t.n2
+    SELECT CAST(coalesce(t.n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(t.n2, 0) AS BIGINT) AS n2,
+           CAST(coalesce((SELECT max(abs(o.cum1 * t.n2 - o.cum2 * t.n1))
+                          FROM o), 0) AS BIGINT) AS d_num,
+           CASE WHEN coalesce(t.n1, 0) > 0 AND coalesce(t.n2, 0) > 0
+                THEN CAST((SELECT max(abs(o.cum1 * t.n2 - o.cum2 * t.n1))
+                           FROM o) AS DOUBLE)
+                     / CAST(t.n1 * t.n2 AS DOUBLE)
+                ELSE 0.0 END AS d_stat
+    FROM t
 """
 
 ORACLE_SQL["user_longest_daily_streak"] = """
@@ -6937,14 +6941,19 @@ ORACLE_SQL["welch_t_chars_en_de"] = """
              sum(CASE WHEN lang = 'de' THEN n_chars::HUGEINT * n_chars ELSE 0 END) AS qb_
       FROM f
     ), v AS (
+      -- degenerate groups keep the row (qa/qb NULL) so the oracle always
+      -- emits exactly ONE row, matching the pipeline's zero-stat row
       SELECT n1, n2, sa, sb,
-             CAST(n1*qa_ - sa*sa AS DOUBLE) / CAST(n1*(n1-1) AS DOUBLE)
-               / CAST(n1 AS DOUBLE) AS qa,
-             CAST(n2*qb_ - sb*sb AS DOUBLE) / CAST(n2*(n2-1) AS DOUBLE)
-               / CAST(n2 AS DOUBLE) AS qb
-      FROM g WHERE n1 >= 2 AND n2 >= 2
+             CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               CAST(n1*qa_ - sa*sa AS DOUBLE) / CAST(n1*(n1-1) AS DOUBLE)
+                 / CAST(n1 AS DOUBLE) END AS qa,
+             CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               CAST(n2*qb_ - sb*sb AS DOUBLE) / CAST(n2*(n2-1) AS DOUBLE)
+                 / CAST(n2 AS DOUBLE) END AS qb
+      FROM g
     )
-    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+    SELECT CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n2,
            CASE WHEN qa + qb > 0
                 THEN (CAST(sa AS DOUBLE) / CAST(n1 AS DOUBLE)
                       - CAST(sb AS DOUBLE) / CAST(n2 AS DOUBLE))
