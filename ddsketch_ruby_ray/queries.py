@@ -4155,6 +4155,58 @@ def props_k_quantiles_by_type(sf_dir: str):
     return unnest(agg, columns=["s"])
 
 
+def tukey_outlier_events(sf_dir: str):
+    """Tukey IQR-fence outliers per event type: rows whose value (exact
+    cents) falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR], both quartiles
+    exact floor-rank values from ONE sketch-guided selection; the fence
+    compare runs in doubled integer units (2v < 2q1 − 3·iqr), so it
+    mirrors SQL bit-for-bit — the box-plot sibling of the MAD rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .core.numeric import round_half_away
+    from .pipelines.selection import sketch_exact_quantiles_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(round_half_away(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ds2 = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    cut_rows = sketch_exact_quantiles_pipeline(
+        ds2, group_col="event_type", value_col="cents", qs=(0.25, 0.75), alpha=ALPHA
+    ).take_all()  # one KB row per type
+    q1 = {r["event_type"]: int(r["exact_p25"]) for r in cut_rows}
+    q3 = {r["event_type"]: int(r["exact_p75"]) for r in cut_rows}
+    cuts_ref = ray.put((q1, q3))
+
+    def flag(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(cuts_ref)
+        col = t.column("event_type")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()  # one dict probe per DISTINCT type
+        lut_lo = np.array([lo_m.get(x, 0) for x in de.dictionary.to_pylist()], np.int64)
+        lut_hi = np.array([hi_m.get(x, 0) for x in de.dictionary.to_pylist()], np.int64)
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("cents").to_numpy(zero_copy_only=False)
+        gq1 = lut_lo[idx]
+        gq3 = lut_hi[idx]
+        iqr = gq3 - gq1
+        keep = (2 * v < 2 * gq1 - 3 * iqr) | (2 * v > 2 * gq3 + 3 * iqr)
+        return t.filter(pa.array(keep))
+
+    return ds2.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4314,6 +4366,7 @@ QUERIES = {
     "new_vs_returning_daily": new_vs_returning_daily,
     "cumulative_unique_users_daily": cumulative_unique_users_daily,
     "props_k_quantiles_by_type": props_k_quantiles_by_type,
+    "tukey_outlier_events": tukey_outlier_events,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7139,3 +7192,26 @@ def _props_k_oracle() -> str:
 
 
 ORACLE_SQL["props_k_quantiles_by_type"] = _props_k_oracle()
+
+ORACLE_SQL["tukey_outlier_events"] = """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), q1 AS (
+      SELECT event_type, cents AS q1
+      FROM r WHERE rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+    ), q3 AS (
+      SELECT event_type, cents AS q3
+      FROM r WHERE rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+    )
+    SELECT v.event_id, v.event_type, v.cents
+    FROM v JOIN q1 USING (event_type) JOIN q3 USING (event_type)
+    WHERE 2 * v.cents < 2 * q1.q1 - 3 * (q3.q3 - q1.q1)
+       OR 2 * v.cents > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
+"""
