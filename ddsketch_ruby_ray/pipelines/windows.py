@@ -35,6 +35,7 @@ __all__ = [
     "multi_funnel_pipeline",
     "ordered_concat_pipeline",
     "longest_streak_pipeline",
+    "session_table_pipeline",
 ]
 
 
@@ -772,6 +773,86 @@ def longest_streak_pipeline(
                 "longest_streak": pa.array(
                     np.maximum.reduceat(i_lens, key_first_island)
                 ),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def session_table_pipeline(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    gap_us: int = 1_800_000_000,
+    num_partitions: int = 64,
+):
+    """-> Dataset[(key, session_idx, n_events, duration_us)] — one row PER
+    SESSION (the session TABLE, vs :func:`sessionize_pipeline`'s per-key
+    rollup): a new session starts when the gap to the previous event
+    exceeds ``gap_us`` microseconds; ``session_idx`` is 1-based in time
+    order and ``duration_us`` = last − first event, all exact int64.
+
+    Same physical plan as every ordered analytic here: ONE hash(key)
+    co-partition of (key, ts) int64 pairs, then a single lexsort +
+    boundary-vectorized scan per partition emitting session rows via
+    reduceat — no per-key Python at any cardinality.  Equal-timestamp
+    ties can't change session membership (their gap is 0), so the output
+    is layout-invariant without a tiebreak column."""
+    from ..core.hashing import hash64_int
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = (hash64_int(k) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "key": pa.array(k),
+                "us": t.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        n = k.size
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((us, k))
+        k, us = k[o], us[o]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > gap_us
+        s_starts = np.flatnonzero(new_sess)
+        s_ends = np.append(s_starts[1:], n) - 1
+        # 1-based session index within each key
+        sess_of_key = np.cumsum(new_key[s_starts])  # key ordinal per session
+        idx_in_key = (
+            np.arange(s_starts.size)
+            - np.searchsorted(sess_of_key, sess_of_key, side="left")
+            + 1
+        )
+        return pa.table(
+            {
+                "key": pa.array(k[s_starts]),
+                "session_idx": pa.array(idx_in_key.astype(np.int64)),
+                "n_events": pa.array(
+                    (np.append(s_starts[1:], n) - s_starts).astype(np.int64)
+                ),
+                "duration_us": pa.array(us[s_ends] - us[s_starts]),
             }
         )
 

@@ -4207,6 +4207,32 @@ def tukey_outlier_events(sf_dir: str):
     return ds2.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def user_session_table(sf_dir: str):
+    """The SESSION TABLE (one row per gap-based session, 30-min gap):
+    per-user 1-based session index, event count, exact µs duration —
+    gaps-and-islands at the session grain, the input every funnel /
+    bounce-rate / dwell-time analysis starts from
+    (pipelines/windows.py session_table_pipeline)."""
+    from .pipelines.windows import session_table_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session_table_pipeline(ds, key_col="user_id", ts_col="ts")
+    import pyarrow as pa
+
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("key"),
+                "session_idx": t.column("session_idx"),
+                "n_events": t.column("n_events"),
+                "duration_us": t.column("duration_us"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4367,6 +4393,7 @@ QUERIES = {
     "cumulative_unique_users_daily": cumulative_unique_users_daily,
     "props_k_quantiles_by_type": props_k_quantiles_by_type,
     "tukey_outlier_events": tukey_outlier_events,
+    "user_session_table": user_session_table,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7214,4 +7241,27 @@ ORACLE_SQL["tukey_outlier_events"] = """
     FROM v JOIN q1 USING (event_type) JOIN q3 USING (event_type)
     WHERE 2 * v.cents < 2 * q1.q1 - 3 * (q3.q3 - q1.q1)
        OR 2 * v.cents > 2 * q3.q3 + 3 * (q3.q3 - q1.q1)
+"""
+
+ORACLE_SQL["user_session_table"] = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), f AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM g GROUP BY user_id, sid
 """

@@ -412,3 +412,70 @@ class TestActivitySeries:
         assert nvr.n_new.sum() == users
         assert cum.cum_users.iloc[-1] == users
         assert (cum.n_new.cumsum() == cum.cum_users).all()
+
+
+class TestSessionTable:
+    def test_handcrafted_and_layout(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import session_table_pipeline
+
+        US = 1_000_000
+        rows = [
+            (1, 0), (1, 100 * US), (1, 4000 * US), (1, 4100 * US),
+            (2, 50 * US), (2, 50 * US),  # equal-ts tie: one 2-event session
+        ]
+        k, us = zip(*rows)
+        t = pa.table({"k": pa.array(k, pa.int64()), "ts": pa.array(us, pa.int64())})
+
+        def run(rep):
+            return (
+                session_table_pipeline(
+                    rd.from_arrow(t).repartition(rep), key_col="k", ts_col="ts"
+                )
+                .to_pandas()
+                .sort_values(["key", "session_idx"])
+                .reset_index(drop=True)
+            )
+
+        df = run(3)
+        assert list(map(tuple, df.values)) == [
+            (1, 1, 2, 100 * US),
+            (1, 2, 2, 100 * US),
+            (2, 1, 2, 0),
+        ]
+        df2 = run(1)
+        assert (df.values == df2.values).all()
+
+    def test_random_vs_pandas_reference(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.windows import session_table_pipeline
+
+        rng = np.random.default_rng(61)
+        k = rng.integers(0, 20, 1500).astype(np.int64)
+        us = rng.integers(0, 10**10, 1500).astype(np.int64)
+        t = pa.table({"k": pa.array(k), "ts": pa.array(us)})
+        df = (
+            session_table_pipeline(
+                rd.from_arrow(t).repartition(7), key_col="k", ts_col="ts",
+                gap_us=10**8,
+            )
+            .to_pandas()
+            .sort_values(["key", "session_idx"])
+            .reset_index(drop=True)
+        )
+        ref = []
+        for kk in np.unique(k):
+            ts = np.sort(us[k == kk])
+            sid, start, prev, cnt = 1, ts[0], ts[0], 1
+            for x in ts[1:]:
+                if x - prev > 10**8:
+                    ref.append((kk, sid, cnt, prev - start))
+                    sid += 1
+                    start, cnt = x, 1
+                else:
+                    cnt += 1
+                prev = x
+            ref.append((kk, sid, cnt, prev - start))
+        assert list(map(tuple, df.values)) == ref
