@@ -4233,6 +4233,47 @@ def user_session_table(sf_dir: str):
     )
 
 
+def metric_corr_matrix_by_lang(sf_dir: str):
+    """Per-lang correlation MATRIX over the three doc metrics (chars,
+    tokens, lines): all three pairwise Pearson r's + OLS fits from the
+    exact sufficient-statistics aggregate, one tagged union — the
+    feature-redundancy screen run before model training."""
+    import pyarrow as pa
+
+    from .pipelines.stats import grouped_corr_pipeline
+    from .stages.text import _re_count
+
+    def base(sf):
+        ds = _read(sf, "documents", ["lang", "text", "n_chars"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            t = t.append_column("n_tokens", _re_count(t.column("text"), "[^ ]+"))
+            import pyarrow.compute as pc
+
+            nl = _re_count(t.column("text"), "\n")
+            t = t.append_column("n_lines", pc.add(nl, 1))
+            return t.drop_columns(["text"])
+
+        return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = None
+    for pair, (xc, yc) in (
+        ("chars_tokens", ("n_chars", "n_tokens")),
+        ("chars_lines", ("n_chars", "n_lines")),
+        ("tokens_lines", ("n_tokens", "n_lines")),
+    ):
+        r = grouped_corr_pipeline(base(sf_dir), group_col="lang", x_col=xc, y_col=yc)
+        r = r.map_batches(
+            lambda t, p=pair: t.append_column(
+                "pair", pa.array([p] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = r if out is None else out.union(r)
+    return out
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4394,6 +4435,7 @@ QUERIES = {
     "props_k_quantiles_by_type": props_k_quantiles_by_type,
     "tukey_outlier_events": tukey_outlier_events,
     "user_session_table": user_session_table,
+    "metric_corr_matrix_by_lang": metric_corr_matrix_by_lang,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7265,3 +7307,44 @@ ORACLE_SQL["user_session_table"] = """
            CAST(max(us) - min(us) AS BIGINT) AS duration_us
     FROM g GROUP BY user_id, sid
 """
+
+def _corr_pair_sql(xe: str, ye: str, pair: str) -> str:
+    return f"""
+    SELECT lang, n::DOUBLE AS n,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN (n*sxy - sx*sy)::DOUBLE /
+                     (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+                ELSE 0.0 END AS r,
+           CASE WHEN (n*sxx - sx*sx) > 0
+                THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                ELSE 0.0 END AS slope,
+           CASE WHEN n > 0
+                THEN (sy::DOUBLE - (CASE WHEN (n*sxx - sx*sx) > 0
+                                         THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                                         ELSE 0.0 END) * sx::DOUBLE) / n::DOUBLE
+                ELSE 0.0 END AS intercept,
+           '{pair}' AS pair
+    FROM (
+      SELECT lang, count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x*y)::HUGEINT AS sxy, sum(x*x)::HUGEINT AS sxx,
+             sum(y*y)::HUGEINT AS syy
+      FROM (
+        SELECT lang, {xe} AS x, {ye} AS y FROM (
+          SELECT lang, n_chars,
+                 len(regexp_extract_all(text, '[^ ]+')) AS n_tokens,
+                 len(regexp_extract_all(text, chr(10))) + 1 AS n_lines
+          FROM documents
+        )
+      ) GROUP BY lang
+    )
+    """
+
+
+ORACLE_SQL["metric_corr_matrix_by_lang"] = (
+    _corr_pair_sql("n_chars", "n_tokens", "chars_tokens")
+    + " UNION ALL "
+    + _corr_pair_sql("n_chars", "n_lines", "chars_lines")
+    + " UNION ALL "
+    + _corr_pair_sql("n_tokens", "n_lines", "tokens_lines")
+)
