@@ -38,6 +38,7 @@ __all__ = [
     "sketch_exact_quantile_pipeline",
     "sketch_exact_quantiles_pipeline",
     "sketch_exact_weighted_quantile_pipeline",
+    "sketch_exact_interp_quantile_pipeline",
 ]
 
 
@@ -319,6 +320,157 @@ def sketch_exact_weighted_quantile_pipeline(
                     {
                         group_col: pa.array(zero_groups),
                         qcol: pa.array([0.0] * len(zero_groups), pa.float64()),
+                    }
+                )
+            )
+        )
+    return picked
+
+
+def sketch_exact_interp_quantile_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    q: float,
+    alpha: float = 0.01,
+    max_candidates_per_group: int = 5_000_000,
+):
+    """-> Dataset[(group_col, lo, hi, interp)] — the TYPE-7 (numpy/pandas
+    default, SQL percentile_cont) linearly INTERPOLATED quantile per
+    group, built from the two EXACT order statistics it blends:
+    h = q·(n−1), lo = x_(⌊h⌋), hi = x_(⌊h⌋+1) (clamped to the max), and
+    interp = lo + (h − ⌊h⌋)·(hi − lo) in ONE fixed float-op chain
+    mirrored verbatim in SQL.
+
+    Same plan as :func:`sketch_exact_quantiles_pipeline` (one sketch
+    build locates both ranks' buckets, one candidate rescan picks the two
+    values — no global sort); positive integer values only."""
+    import ray
+
+    from ..functions.aggregates import SketchStateMergeAgg
+    from ..functions.specs import DDSketchSpec
+    from .corpus import sketch_states
+
+    spec = DDSketchSpec(on=value_col, name="s", relative_accuracy=alpha, quantiles=())
+    states = sketch_states(ds, [spec], (group_col,))
+    merged = states.groupby(group_col).aggregate(SketchStateMergeAgg(spec, emit_state=True))
+
+    # group -> (n, [(which, plan), ...]) with which in {"lo", "hi"}
+    targets: dict = {}
+    mapping = None
+    for r in merged.take_all():  # one KB state row per group
+        sk = spec.from_state(r["s"])
+        mapping = sk.mapping
+        if sk.negative_store.count:
+            raise ValueError(
+                "sketch_exact_interp_quantile_pipeline: positive values only"
+            )
+        n = int(sk.count)
+        if n == 0:
+            continue
+        zc = int(sk.zero_count)
+        st = sk.store
+        bins = np.asarray(st.bins)
+        cum = np.cumsum(bins)
+        k_lo = int(math.floor(q * (n - 1)))
+        k_hi = min(k_lo + 1, n - 1)
+        plan = {}
+        for which, k in (("lo", k_lo), ("hi", k_hi)):
+            if k < zc:
+                plan[which] = ("zero",)
+                continue
+            b_idx = int(np.searchsorted(cum, k - zc, side="right"))
+            if bins[b_idx] > max_candidates_per_group:
+                raise ValueError(
+                    f"bucket for group {r[group_col]!r} holds {int(bins[b_idx])} "
+                    f"rows (> {max_candidates_per_group})"
+                )
+            local = (k - zc) - (int(cum[b_idx - 1]) if b_idx else 0)
+            plan[which] = ("bucket", int(st.min_key) + b_idx, local)
+        targets[r[group_col]] = (n, plan)
+    ref = ray.put((targets, mapping))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        tg, mp = ray.get(ref)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = t.column(group_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(vals), dtype=bool)
+        pos = vals > mp.min_possible
+        if pos.any():
+            keys = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
+            keys[pos] = np.asarray(mp.key(vals[pos]), dtype=np.int64)
+            for g in np.unique(groups):
+                ent = tg.get(g)
+                if not ent:
+                    continue
+                bks = {p[1] for p in ent[1].values() if p[0] == "bucket"}
+                if bks:
+                    gm = groups == g
+                    keep |= gm & np.isin(keys, np.fromiter(bks, dtype=np.int64))
+        return t.select([group_col, value_col]).filter(pa.array(keep))
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True)
+
+    def select(pt: pa.Table) -> pa.Table:
+        tg, mp = ray.get(ref)
+        g = pt.column(group_col).to_numpy(zero_copy_only=False)
+        rows = {}
+        if g.size:
+            v = pt.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.lexsort((v, g))
+            g_s, v_s = g[order], v[order]
+            keys_s = np.asarray(mp.key(v_s), dtype=np.int64)
+            new = np.empty(g_s.size, dtype=bool)
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], g_s.size)
+            for srt, end in zip(starts, ends):  # one iteration per GROUP
+                grp = g_s[srt]
+                n, plan = tg[grp]
+                out = {}
+                for which, pl in plan.items():
+                    if pl[0] == "zero":
+                        out[which] = 0.0
+                    else:
+                        _, bk, local = pl
+                        in_b = v_s[srt:end][keys_s[srt:end] == bk]
+                        out[which] = float(in_b[local])
+                # fixed float op chain, mirrored verbatim in SQL:
+                # interp = lo + (q*(n-1) - floor(q*(n-1))) * (hi - lo)
+                h = q * float(n - 1)
+                out["interp"] = out["lo"] + (h - math.floor(h)) * (
+                    out["hi"] - out["lo"]
+                )
+                rows[grp] = out
+        return pa.table(
+            {
+                group_col: pa.array(list(rows.keys())),
+                "lo": pa.array([r["lo"] for r in rows.values()], pa.float64()),
+                "hi": pa.array([r["hi"] for r in rows.values()], pa.float64()),
+                "interp": pa.array([r["interp"] for r in rows.values()], pa.float64()),
+            }
+        )
+
+    picked = cand.repartition(1).map_batches(
+        select, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    all_zero = [
+        g for g, (n, plan) in targets.items()
+        if all(p[0] == "zero" for p in plan.values())
+    ]
+    if all_zero:
+        import ray.data as rd
+
+        picked = picked.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        group_col: pa.array(all_zero),
+                        "lo": pa.array([0.0] * len(all_zero)),
+                        "hi": pa.array([0.0] * len(all_zero)),
+                        "interp": pa.array([0.0] * len(all_zero)),
                     }
                 )
             )

@@ -4274,6 +4274,20 @@ def metric_corr_matrix_by_lang(sf_dir: str):
     return out
 
 
+def interp_p90_chars_by_lang(sf_dir: str):
+    """TYPE-7 linearly interpolated p90 of doc length per lang (the
+    numpy/pandas default and SQL percentile_cont convention): both
+    bracketing EXACT order statistics from one sketch build + candidate
+    scan, blended in a fixed float-op chain mirrored verbatim in SQL
+    (pipelines/selection.py sketch_exact_interp_quantile_pipeline)."""
+    from .pipelines.selection import sketch_exact_interp_quantile_pipeline
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return sketch_exact_interp_quantile_pipeline(
+        ds, group_col="lang", value_col="n_chars", q=0.9, alpha=ALPHA
+    )
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4436,6 +4450,7 @@ QUERIES = {
     "tukey_outlier_events": tukey_outlier_events,
     "user_session_table": user_session_table,
     "metric_corr_matrix_by_lang": metric_corr_matrix_by_lang,
+    "interp_p90_chars_by_lang": interp_p90_chars_by_lang,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7348,3 +7363,26 @@ ORACLE_SQL["metric_corr_matrix_by_lang"] = (
     + " UNION ALL "
     + _corr_pair_sql("n_tokens", "n_lines", "tokens_lines")
 )
+
+ORACLE_SQL["interp_p90_chars_by_lang"] = """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), lo AS (
+      SELECT lang, n_chars AS lo, n
+      FROM r WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+    ), hi AS (
+      SELECT lang, n_chars AS hi
+      FROM r WHERE rn = LEAST(CAST(floor(0.9 * (n - 1)) AS BIGINT) + 2, n)
+    )
+    SELECT lang,
+           CAST(lo AS DOUBLE) AS lo,
+           CAST(hi AS DOUBLE) AS hi,
+           CAST(lo AS DOUBLE)
+             + (0.9 * CAST(n - 1 AS DOUBLE)
+                - floor(0.9 * CAST(n - 1 AS DOUBLE)))
+               * (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) AS interp
+    FROM lo JOIN hi USING (lang)
+"""

@@ -479,3 +479,46 @@ class TestSessionTable:
                 prev = x
             ref.append((kk, sid, cnt, prev - start))
         assert list(map(tuple, df.values)) == ref
+
+
+class TestInterpQuantile:
+    def test_matches_numpy_type7(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.selection import (
+            sketch_exact_interp_quantile_pipeline,
+        )
+
+        rng = np.random.default_rng(67)
+        g = rng.choice(["a", "b"], 3000)
+        x = rng.integers(1, 100_000, 3000).astype(np.int64)
+        t = pa.table({"g": pa.array(g.tolist()), "x": pa.array(x)})
+        df = (
+            sketch_exact_interp_quantile_pipeline(
+                rd.from_arrow(t).repartition(6), group_col="g", value_col="x", q=0.9
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        for grp in ("a", "b"):
+            want = np.percentile(x[g == grp], 90)  # numpy default = type 7
+            assert abs(df.loc[grp].interp - want) < 1e-9
+            v = np.sort(x[g == grp])
+            h = 0.9 * (v.size - 1)
+            assert df.loc[grp].lo == float(v[int(np.floor(h))])
+            assert df.loc[grp].hi == float(v[min(int(np.floor(h)) + 1, v.size - 1)])
+
+    def test_exact_rank_boundary(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.selection import (
+            sketch_exact_interp_quantile_pipeline,
+        )
+
+        # n=11, q=0.5 -> h=5.0 exactly: interp == the median value itself
+        x = np.arange(1, 12, dtype=np.int64) * 10
+        t = pa.table({"g": pa.array(["m"] * 11), "x": pa.array(x)})
+        df = sketch_exact_interp_quantile_pipeline(
+            rd.from_arrow(t), group_col="g", value_col="x", q=0.5
+        ).to_pandas()
+        assert df.interp.iloc[0] == 60.0
