@@ -4288,6 +4288,104 @@ def interp_p90_chars_by_lang(sf_dir: str):
     )
 
 
+def session_event_pairs(sf_dir: str):
+    """Event-type co-occurrence WITHIN 30-min sessions: the A-priori
+    2-itemset engine (pipelines/basket.py) run over session baskets from
+    the gap-island scan — 'which event types happen together in one
+    sitting' (support >= 3, lift vs independence).  Session ids pack as
+    user·2^20 + idx (guarded); type codes are the sorted-distinct index,
+    so code order == lexicographic type order and the oracle's string
+    join mirrors exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .core.hashing import hash64_int
+    from .pipelines.basket import frequent_pairs_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    types = sorted(
+        r["event_type"]
+        for r in ds.groupby("event_type").count().take_all()
+    )
+    code = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(code)
+
+    def pre(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = (hash64_int(u) % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "u": pa.array(u),
+                "us": t.column("ts").cast(pa.int64()),
+                "ty": t.column("event_type"),
+            }
+        )
+
+    def assign(g: pa.Table) -> pa.Table:
+        cmap = ray.get(code_ref)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        col = g.column("ty")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        de = col.dictionary_encode()
+        lut = np.array([cmap[x] for x in de.dictionary.to_pylist()], np.int64)
+        ty = lut[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        o = np.lexsort((us, u))
+        u, us, ty = u[o], us[o], ty[o]
+        n = u.size
+        if n == 0:
+            return pa.table(
+                {"basket": pa.array([], pa.int64()), "item": pa.array([], pa.int64())}
+            )
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = u[1:] != u[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > 1_800_000_000
+        sess_global = np.cumsum(new_sess)
+        key_base = np.maximum.accumulate(np.where(new_key, sess_global - 1, 0))
+        sid = sess_global - key_base  # 1-based per user
+        if int(sid.max()) >= 1 << 20 or int(u.max()) >= 1 << 42:
+            raise OverflowError(
+                "session_event_pairs: packed basket id needs sid < 2^20 "
+                "and user < 2^42"
+            )
+        return pa.table(
+            {
+                "basket": pa.array(u * np.int64(1 << 20) + sid),
+                "item": pa.array(ty),
+            }
+        )
+
+    baskets = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(assign, batch_format="pyarrow")
+    )
+    pairs = frequent_pairs_pipeline(
+        baskets, basket_col="basket", item_col="item", min_support=3
+    )
+    inv_ref = ray.put(types)
+
+    def decode(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "item_a": pa.array([inv[int(x)] for x in a], pa.string()),
+                "item_b": pa.array([inv[int(x)] for x in b], pa.string()),
+                "support": t.column("support"),
+                "lift": t.column("lift"),
+            }
+        )
+
+    return pairs.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4451,6 +4549,7 @@ QUERIES = {
     "user_session_table": user_session_table,
     "metric_corr_matrix_by_lang": metric_corr_matrix_by_lang,
     "interp_p90_chars_by_lang": interp_p90_chars_by_lang,
+    "session_event_pairs": session_event_pairs,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7385,4 +7484,44 @@ ORACLE_SQL["interp_p90_chars_by_lang"] = """
                 - floor(0.9 * CAST(n - 1 AS DOUBLE)))
                * (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) AS interp
     FROM lo JOIN hi USING (lang)
+"""
+
+ORACLE_SQL["session_event_pairs"] = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+    ), f AS (
+      SELECT user_id, us, event_type,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    ), basket AS (
+      SELECT DISTINCT user_id, sid, event_type FROM g
+    ), n AS (
+      SELECT count(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, sid FROM g)
+    ), item AS (
+      SELECT event_type, count(*) AS c FROM basket GROUP BY event_type
+    ), pair AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM basket a JOIN basket b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+           AND a.event_type < b.event_type
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           CAST(n.n_baskets * p.support AS DOUBLE)
+             / CAST(ia.c * ib.c AS DOUBLE) AS lift
+    FROM pair p
+    CROSS JOIN n
+    JOIN item ia ON ia.event_type = p.item_a
+    JOIN item ib ON ib.event_type = p.item_b
 """
