@@ -4386,6 +4386,102 @@ def session_event_pairs(sf_dir: str):
     return pairs.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_users_per_window(sf_dir: str):
+    """EXACT distinct users per tumbling hour x event_type — the ground
+    truth twin of hll_users_per_window: per-block distinct pre-agg, one
+    bounded-partition fold of (window, type, user) incidences, per-group
+    count.  Shuffle carries id triples, never events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.fold import partitioned_group_agg, partitioned_group_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 3600), 3600)
+        d = (
+            pa.table(
+                {
+                    "hour": hour,
+                    "event_type": t.column("event_type"),
+                    "user_id": t.column("user_id"),
+                }
+            )
+            .group_by(["hour", "event_type", "user_id"])
+            .aggregate([])
+        )
+        return d
+
+    dist = partitioned_group_agg(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "event_type", "user_id"],
+        [("user_id", "count")],
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": t.column("hour"),
+                "event_type": t.column("event_type"),
+                "u": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    summed = partitioned_group_sum(
+        dist.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "event_type"],
+        "u",
+        num_partitions=16,
+    )
+    return summed.map_batches(
+        lambda t: pa.table(
+            {
+                "hour": t.column("hour"),
+                "event_type": t.column("event_type"),
+                "n_users": t.column("sum(u)"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def dd_session_duration_quantiles(sf_dir: str):
+    """DDSketch quantiles of SESSION duration (seconds, zero-duration
+    singleton sessions included): the session table feeding the sketch
+    family — dwell-time percentiles without a global sort; the oracle
+    chains the gap-island CTE into the canonical bucket mirror."""
+    import pyarrow as pa
+
+    from .pipelines.windows import session_table_pipeline
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = session_table_pipeline(ds, key_col="user_id", ts_col="ts")
+
+    def secs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"dur_s": pc.divide(t.column("duration_us"), 1_000_000)}
+        )
+
+    d = sess.map_batches(secs, batch_format="pyarrow", zero_copy_batch=True)
+    # global (un-keyed) sketch: a constant group key reuses the grouped path
+    d2 = d.map_batches(
+        lambda t: t.append_column("g", pa.array(["all"] * t.num_rows, pa.string())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = d2.groupby("g").aggregate(
+        DDSketchAgg(on="dur_s", relative_accuracy=ALPHA, quantiles=QUANTILES, name="s")
+    )
+    out = unnest(out, columns=["s"])
+    return out
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4550,6 +4646,8 @@ QUERIES = {
     "metric_corr_matrix_by_lang": metric_corr_matrix_by_lang,
     "interp_p90_chars_by_lang": interp_p90_chars_by_lang,
     "session_event_pairs": session_event_pairs,
+    "exact_users_per_window": exact_users_per_window,
+    "dd_session_duration_quantiles": dd_session_duration_quantiles,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7525,3 +7623,36 @@ ORACLE_SQL["session_event_pairs"] = """
     JOIN item ia ON ia.event_type = p.item_a
     JOIN item ib ON ib.event_type = p.item_b
 """
+
+ORACLE_SQL["exact_users_per_window"] = """
+    SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS hour,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _session_duration_oracle() -> str:
+    from .functions.oracle import ddsketch_quantile_sql
+
+    sess_table = (
+        "(WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "f AS (SELECT user_id, us, CASE WHEN lag(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) IS NULL OR us - lag(us) OVER "
+        "(PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END "
+        "AS new_s FROM e), "
+        "g AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+        "SELECT 'all' AS g, (max(us) - min(us)) // 1000000 AS dur_s "
+        "FROM g GROUP BY user_id, sid) q"
+    )
+    return ddsketch_quantile_sql(
+        table=sess_table,
+        group_col="g",
+        value_expr="dur_s",
+        alpha=ALPHA,
+        quantiles=QUANTILES,
+    )
+
+
+ORACLE_SQL["dd_session_duration_quantiles"] = _session_duration_oracle()
