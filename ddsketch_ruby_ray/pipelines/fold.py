@@ -37,9 +37,27 @@ import pyarrow as pa
 
 from ddsketch_ruby_ray.core.hashing import hash64_int, hash64_str_fast, splitmix64
 
-__all__ = ["partitioned_group_agg", "partitioned_group_sum"]
+__all__ = ["partitioned_group_agg", "partitioned_group_sum", "null_safe_int64"]
 
 _AGG_FUNCS = ("sum", "min", "max", "count")
+
+
+def null_safe_int64(col) -> np.ndarray:
+    """Arrow column -> int64 numpy WITHOUT the float64 null fallback.
+
+    ``col.to_numpy(zero_copy_only=False)`` silently converts a
+    null-bearing integer column to float64 (nulls -> NaN), which rounds
+    values >= 2^53 — a partition-routing hazard (the same key hashes
+    differently in null-free vs null-bearing blocks) and a cross-block
+    schema conflict for emitted columns.  Fill nulls with 0 BEFORE the
+    conversion; hashing/routing only needs cross-block determinism."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, 0)
+    return pc.cast(col, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
 
 
 def _part_of(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
@@ -50,22 +68,7 @@ def _part_of(tbl: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndar
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             hk = hash64_str_fast(col)
         else:
-            # Null-safe integer path: a block containing ANY null would make
-            # to_numpy fall back to float64, rounding keys >= 2^53 so the
-            # same key routes to DIFFERENT partitions in null-free vs
-            # null-bearing blocks (splitting its "global" aggregate).  Fill
-            # nulls with a fixed sentinel BEFORE the numpy conversion —
-            # routing only needs cross-block determinism, and Arrow's
-            # group_by keeps null keys as their own group either way.
-            import pyarrow.compute as pc
-
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            if col.null_count:
-                col = pc.fill_null(col, 0)
-            hk = hash64_int(
-                pc.cast(col, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
-            )
+            hk = hash64_int(null_safe_int64(col))
         h = splitmix64(h ^ hk)
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

@@ -36,6 +36,7 @@ __all__ = [
     "ordered_concat_pipeline",
     "longest_streak_pipeline",
     "session_table_pipeline",
+    "session_ids",
 ]
 
 
@@ -696,6 +697,28 @@ def multi_funnel_pipeline(
     return summed.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _gap_islands(k_sorted: np.ndarray, us_sorted: np.ndarray, gap: int):
+    """(new_key, new_sess) boundary masks over key-major sorted rows: a new
+    island starts at a key change or when the in-key gap exceeds ``gap``.
+    Shared by the session TABLE, the per-key rollup and the session-basket
+    assigner so the 30-min-gap semantics live in exactly one place."""
+    n = k_sorted.size
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_key[1:] = k_sorted[1:] != k_sorted[:-1]
+    new_sess = new_key.copy()
+    new_sess[1:] |= (us_sorted[1:] - us_sorted[:-1]) > gap
+    return new_key, new_sess
+
+
+def session_ids(k_sorted: np.ndarray, us_sorted: np.ndarray, gap: int) -> np.ndarray:
+    """Per-row 1-based session index within each key (key-major sorted)."""
+    new_key, new_sess = _gap_islands(k_sorted, us_sorted, gap)
+    sess_global = np.cumsum(new_sess)
+    key_base = np.maximum.accumulate(np.where(new_key, sess_global - 1, 0))
+    return sess_global - key_base
+
+
 def longest_streak_pipeline(
     ds,
     *,
@@ -719,11 +742,13 @@ def longest_streak_pipeline(
     from ..core.hashing import hash64_int
 
     def pre(t: pa.Table) -> pa.Table:
+        from .fold import null_safe_int64
+
         d = (
             pa.table(
                 {
-                    "key": t.column(key_col).cast(pa.int64()),
-                    "day": t.column(day_col).cast(pa.int64()),
+                    "key": pa.array(null_safe_int64(t.column(key_col))),
+                    "day": pa.array(null_safe_int64(t.column(day_col))),
                 }
             )
             .group_by(["key", "day"])
@@ -806,24 +831,26 @@ def session_table_pipeline(
     from ..core.hashing import hash64_int
 
     def pre(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        from .fold import null_safe_int64
+
+        k = null_safe_int64(t.column(key_col))
         part = (hash64_int(k) % np.uint64(num_partitions)).astype(np.int32)
         return pa.table(
             {
                 "_part": pa.array(part),
-                "key": pa.array(k),
+                key_col: pa.array(k),
                 "us": t.column(ts_col).cast(pa.int64()),
             }
         )
 
     def fold(g: pa.Table) -> pa.Table:
-        k = g.column("key").to_numpy(zero_copy_only=False)
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
         us = g.column("us").to_numpy(zero_copy_only=False)
         n = k.size
         if n == 0:
             return pa.table(
                 {
-                    "key": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
                     "session_idx": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "duration_us": pa.array([], pa.int64()),
@@ -831,11 +858,7 @@ def session_table_pipeline(
             )
         o = np.lexsort((us, k))
         k, us = k[o], us[o]
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = k[1:] != k[:-1]
-        new_sess = new_key.copy()
-        new_sess[1:] |= (us[1:] - us[:-1]) > gap_us
+        new_key, new_sess = _gap_islands(k, us, gap_us)
         s_starts = np.flatnonzero(new_sess)
         s_ends = np.append(s_starts[1:], n) - 1
         # 1-based session index within each key
@@ -847,7 +870,7 @@ def session_table_pipeline(
         )
         return pa.table(
             {
-                "key": pa.array(k[s_starts]),
+                key_col: pa.array(k[s_starts]),
                 "session_idx": pa.array(idx_in_key.astype(np.int64)),
                 "n_events": pa.array(
                     (np.append(s_starts[1:], n) - s_starts).astype(np.int64)

@@ -4002,11 +4002,13 @@ def _user_day_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def pre(t: pa.Table) -> pa.Table:
+        from .pipelines.fold import null_safe_int64
+
         us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         d = (
             pa.table(
                 {
-                    "user_id": t.column("user_id"),
+                    "user_id": pa.array(null_safe_int64(t.column("user_id"))),
                     "day": pa.array(us // 86_400_000_000),
                 }
             )
@@ -4216,62 +4218,120 @@ def user_session_table(sf_dir: str):
     from .pipelines.windows import session_table_pipeline
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    out = session_table_pipeline(ds, key_col="user_id", ts_col="ts")
-    import pyarrow as pa
-
-    return out.map_batches(
-        lambda t: pa.table(
-            {
-                "user_id": t.column("key"),
-                "session_idx": t.column("session_idx"),
-                "n_events": t.column("n_events"),
-                "duration_us": t.column("duration_us"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return session_table_pipeline(ds, key_col="user_id", ts_col="ts")
 
 
 def metric_corr_matrix_by_lang(sf_dir: str):
     """Per-lang correlation MATRIX over the three doc metrics (chars,
-    tokens, lines): all three pairwise Pearson r's + OLS fits from the
-    exact sufficient-statistics aggregate, one tagged union — the
-    feature-redundancy screen run before model training."""
+    tokens, lines): ONE pass over the text derives all metrics and emits
+    the ten exact sufficient sums (n, Σa, Σb, Σc, all squares and cross
+    products) per (block, lang); a tiny keyed fold + python-int finalize
+    yields all three pairwise Pearson r's + OLS fits with grouped_corr's
+    exact op order — the feature-redundancy screen, at one text scan
+    instead of three."""
+    import math as _math
+
+    import numpy as np
     import pyarrow as pa
 
-    from .pipelines.stats import grouped_corr_pipeline
+    from .pipelines.fold import partitioned_group_sum
     from .stages.text import _re_count
 
-    def base(sf):
-        ds = _read(sf, "documents", ["lang", "text", "n_chars"])
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+    _PAIRS = (
+        ("chars_tokens", 0, 1),
+        ("chars_lines", 0, 2),
+        ("tokens_lines", 1, 2),
+    )
 
-        def derive(t: pa.Table) -> pa.Table:
-            t = t.append_column("n_tokens", _re_count(t.column("text"), "[^ ]+"))
-            import pyarrow.compute as pc
+    def preagg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-            nl = _re_count(t.column("text"), "\n")
-            t = t.append_column("n_lines", pc.add(nl, 1))
-            return t.drop_columns(["text"])
+        m = [
+            t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+            _re_count(t.column("text"), "[^ ]+").to_numpy(zero_copy_only=False).astype(np.int64),
+            pc.add(_re_count(t.column("text"), "\n"), 1).to_numpy(zero_copy_only=False).astype(np.int64),
+        ]
+        mx = max((max(int(x.max()), 1) if x.size else 1) for x in m)
+        if m[0].size and mx * mx * m[0].size >= 2**63:
+            raise ValueError("metric_corr_matrix: block pre-agg would overflow int64")
+        g = t.column("lang").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        ms = [x[order] for x in m]
+        new = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, g_s.size))
 
-        return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        def seg(x):
+            return np.add.reduceat(x, starts) if starts.size else np.zeros(0, np.int64)
 
-    out = None
-    for pair, (xc, yc) in (
-        ("chars_tokens", ("n_chars", "n_tokens")),
-        ("chars_lines", ("n_chars", "n_lines")),
-        ("tokens_lines", ("n_tokens", "n_lines")),
-    ):
-        r = grouped_corr_pipeline(base(sf_dir), group_col="lang", x_col=xc, y_col=yc)
-        r = r.map_batches(
-            lambda t, p=pair: t.append_column(
-                "pair", pa.array([p] * t.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        cols = {
+            "lang": pa.array(g_s[starts].tolist()),
+            "n": pa.array(lens.astype(np.int64)),
+        }
+        for i, nm in enumerate("abc"):
+            cols[f"s_{nm}"] = pa.array(seg(ms[i]))
+            cols[f"s_{nm}{nm}"] = pa.array(seg(ms[i] * ms[i]))
+        for (i, j), nm in (((0, 1), "ab"), ((0, 2), "ac"), ((1, 2), "bc")):
+            cols[f"s_{nm}"] = pa.array(seg(ms[i] * ms[j]))
+        return pa.table(cols)
+
+    sums_cols = ["n", "s_a", "s_b", "s_c", "s_aa", "s_bb", "s_cc", "s_ab", "s_ac", "s_bc"]
+    summed = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        "lang",
+        sums_cols[1:] + ["n"],
+        num_partitions=8,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {k: [] for k in ("lang", "n", "r", "slope", "intercept", "pair")}
+        for r in rows:
+            n = int(r["sum(n)"])
+            s = {c: int(r[f"sum({c})"]) for c in sums_cols[1:]}
+            vals = [
+                (s["s_a"], s["s_aa"]),
+                (s["s_b"], s["s_bb"]),
+                (s["s_c"], s["s_cc"]),
+            ]
+            cross = {(0, 1): s["s_ab"], (0, 2): s["s_ac"], (1, 2): s["s_bc"]}
+            for pname, i, j in _PAIRS:
+                sx, sxx = vals[i]
+                sy, syy = vals[j]
+                sxy = cross[(i, j)]
+                num = n * sxy - sx * sy
+                d1 = n * sxx - sx * sx
+                d2 = n * syy - sy * sy
+                rr = (
+                    float(num) / (_math.sqrt(float(d1)) * _math.sqrt(float(d2)))
+                    if d1 > 0 and d2 > 0
+                    else 0.0
+                )
+                slope = float(num) / float(d1) if d1 > 0 else 0.0
+                icpt = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
+                out["lang"].append(r["lang"])
+                out["n"].append(float(n))
+                out["r"].append(rr)
+                out["slope"].append(slope)
+                out["intercept"].append(icpt)
+                out["pair"].append(pname)
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"]),
+                "n": pa.array(out["n"], pa.float64()),
+                "r": pa.array(out["r"], pa.float64()),
+                "slope": pa.array(out["slope"], pa.float64()),
+                "intercept": pa.array(out["intercept"], pa.float64()),
+                "pair": pa.array(out["pair"], pa.string()),
+            }
         )
-        out = r if out is None else out.union(r)
-    return out
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
 
 
 def interp_p90_chars_by_lang(sf_dir: str):
@@ -4304,15 +4364,19 @@ def session_event_pairs(sf_dir: str):
     from .pipelines.basket import frequent_pairs_pipeline
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-    types = sorted(
-        r["event_type"]
-        for r in ds.groupby("event_type").count().take_all()
-    )
+    type_rows = ds.map_batches(
+        lambda t: pa.table({"t": t.column("event_type").unique()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # tiny: per-block distinct rows, merged on the driver
+    types = sorted({r["t"] for r in type_rows})
     code = {t: i for i, t in enumerate(types)}
     code_ref = ray.put(code)
 
     def pre(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        from .pipelines.fold import null_safe_int64
+
+        u = null_safe_int64(t.column("user_id"))
         part = (hash64_int(u) % np.uint64(64)).astype(np.int32)
         return pa.table(
             {
@@ -4340,14 +4404,9 @@ def session_event_pairs(sf_dir: str):
             return pa.table(
                 {"basket": pa.array([], pa.int64()), "item": pa.array([], pa.int64())}
             )
-        new_key = np.empty(n, dtype=bool)
-        new_key[0] = True
-        new_key[1:] = u[1:] != u[:-1]
-        new_sess = new_key.copy()
-        new_sess[1:] |= (us[1:] - us[:-1]) > 1_800_000_000
-        sess_global = np.cumsum(new_sess)
-        key_base = np.maximum.accumulate(np.where(new_key, sess_global - 1, 0))
-        sid = sess_global - key_base  # 1-based per user
+        from .pipelines.windows import session_ids
+
+        sid = session_ids(u, us, 1_800_000_000)  # 1-based per user
         if int(sid.max()) >= 1 << 20 or int(u.max()) >= 1 << 42:
             raise OverflowError(
                 "session_event_pairs: packed basket id needs sid < 2^20 "
@@ -4402,23 +4461,19 @@ def exact_users_per_window(sf_dir: str):
     def derive(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column("ts"), pa.int64())
         hour = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 3600), 3600)
-        d = (
-            pa.table(
-                {
-                    "hour": hour,
-                    "event_type": t.column("event_type"),
-                    "user_id": t.column("user_id"),
-                }
-            )
-            .group_by(["hour", "event_type", "user_id"])
-            .aggregate([])
+        # the fold's own pre() block-dedups; just project
+        return pa.table(
+            {
+                "hour": hour,
+                "event_type": t.column("event_type"),
+                "user_id": t.column("user_id"),
+            }
         )
-        return d
 
     dist = partitioned_group_agg(
         ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
         ["hour", "event_type", "user_id"],
-        [("user_id", "count")],
+        [],  # empty aggs = exact global distinct
     )
 
     def ones(t: pa.Table) -> pa.Table:

@@ -434,7 +434,7 @@ class TestSessionTable:
                     rd.from_arrow(t).repartition(rep), key_col="k", ts_col="ts"
                 )
                 .to_pandas()
-                .sort_values(["key", "session_idx"])
+                .sort_values(["k", "session_idx"])
                 .reset_index(drop=True)
             )
 
@@ -462,7 +462,7 @@ class TestSessionTable:
                 gap_us=10**8,
             )
             .to_pandas()
-            .sort_values(["key", "session_idx"])
+            .sort_values(["k", "session_idx"])
             .reset_index(drop=True)
         )
         ref = []
