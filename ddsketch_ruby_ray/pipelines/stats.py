@@ -37,6 +37,7 @@ __all__ = [
     "spearman_rho_pipeline",
     "welch_t_pipeline",
     "anova_f_pipeline",
+    "grouped_ks_exact_pipeline",
 ]
 
 
@@ -1067,5 +1068,97 @@ def anova_f_pipeline(
         )
 
     return summed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def grouped_ks_exact_pipeline(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    split_col: str,
+    split_a,
+    split_b,
+    num_partitions: int = 16,
+):
+    """-> Dataset[(group, n1, n2, d_num, d_stat)] — the exact two-sample
+    KS statistic PER GROUP between two splits of an INTEGER column (the
+    grouped sibling of :func:`ks_exact_pipeline`; e.g. per-lang train/val
+    length drift).  Counts fold on (group, value); the per-group sorted
+    prefix scans run vectorized in one finalize partition (the distinct
+    (group, value) domain is the bounded quantity — gated loudly)."""
+    import pyarrow.compute as pc
+
+    def preagg(t: pa.Table) -> pa.Table:
+        sp = t.column(split_col)
+        in_a = pc.equal(sp, split_a)
+        keep = pc.or_(in_a, pc.equal(sp, split_b))
+        sub = pa.table(
+            {
+                "g": t.column(group_col),
+                "_v": t.column(value_col).cast(pa.int64()),
+                "_c1": pc.cast(in_a, pa.int64()),
+            }
+        ).filter(keep)
+        agg = sub.group_by(["g", "_v"]).aggregate([("_c1", "sum"), ([], "count_all")])
+        return agg.rename_columns(["g", "_v", "c1", "c"])
+
+    from .fold import partitioned_group_sum
+
+    counted = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "_v"],
+        ["c1", "c"],
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows > 50_000_000:
+            raise ValueError(
+                "grouped_ks_exact_pipeline: distinct (group, value) domain "
+                "exceeds the single-task finalize budget"
+            )
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        c1 = t.column("sum(c1)").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, g))
+        g, c1, c = g[o], c1[o], c[o]
+        c2 = c - c1
+        n = g.size
+        out = {"gs": [], "n1": [], "n2": [], "dn": [], "d": []}
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = g[1:] != g[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], n)
+            for srt, end in zip(starts, ends):  # one iteration per GROUP
+                a, b = c1[srt:end], c2[srt:end]
+                n1, n2 = int(a.sum()), int(b.sum())
+                if max(n1, n2) >= 3_000_000_000:
+                    raise OverflowError("grouped_ks: n >= 3e9 would overflow cum·n")
+                if n1 == 0 or n2 == 0:
+                    dn, d = 0, 0.0
+                else:
+                    dn = int(np.abs(np.cumsum(a) * n2 - np.cumsum(b) * n1).max())
+                    d = float(dn) / float(n1 * n2)
+                out["gs"].append(g[srt])
+                out["n1"].append(n1)
+                out["n2"].append(n2)
+                out["dn"].append(dn)
+                out["d"].append(d)
+        return pa.table(
+            {
+                group_col: pa.array(out["gs"]),
+                "n1": pa.array(out["n1"], pa.int64()),
+                "n2": pa.array(out["n2"], pa.int64()),
+                "d_num": pa.array(out["dn"], pa.int64()),
+                "d_stat": pa.array(out["d"], pa.float64()),
+            }
+        )
+
+    return counted.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )

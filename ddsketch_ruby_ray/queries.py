@@ -4537,6 +4537,97 @@ def dd_session_duration_quantiles(sf_dir: str):
     return out
 
 
+def ks_exact_by_lang_train_val(sf_dir: str):
+    """Per-lang EXACT two-sample KS between the train and val splits' doc
+    lengths — the grouped exact companion to the sketch-histogram per-lang
+    KS (dd_ks_train_val): where did each language's distribution shift,
+    measured without approximation (pipelines/stats.py
+    grouped_ks_exact_pipeline)."""
+    from .pipelines.stats import grouped_ks_exact_pipeline
+    from .stages.sampling import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ds = assign_split(ds, id_col="doc_id", splits=SPLITS, seed=0)
+    return grouped_ks_exact_pipeline(
+        ds,
+        group_col="lang",
+        value_col="n_chars",
+        split_col="split",
+        split_a="train",
+        split_b="val",
+    )
+
+
+def weighted_avg_price_by_flag(sf_dir: str):
+    """Quantity-weighted mean price per returnflag in exact cents: two
+    exact integer sums (Σ cents·qty, Σ qty) through one tiny fold, ONE
+    float division — the weighted-mean staple beside the weighted
+    median."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .core.numeric import round_half_away
+    from .pipelines.fold import partitioned_group_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        p = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        q = round_half_away(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_s, p_s, q_s = g[order], p[order], q[order]
+        new = np.empty(g_s.size, dtype=bool)
+        if g_s.size:
+            new[0] = True
+            new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "flag": pa.array(g_s[starts].tolist()),
+                "wsum": pa.array(
+                    np.add.reduceat(p_s * q_s, starts)
+                    if starts.size
+                    else np.zeros(0, np.int64)
+                ),
+                "w": pa.array(
+                    np.add.reduceat(q_s, starts)
+                    if starts.size
+                    else np.zeros(0, np.int64)
+                ),
+            }
+        )
+
+    summed = partitioned_group_sum(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "flag",
+        ["wsum", "w"],
+        num_partitions=8,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ws = t.column("sum(wsum)").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("sum(w)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "flag": t.column("flag"),
+                "wsum": pa.array(ws),
+                "w": pa.array(w),
+                "wavg_cents": pa.array(
+                    ws.astype(np.float64) / w.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
 QUERIES = {
     "dd_stats_by_lang": dd_stats_by_lang,
     "dd_quantiles_by_lang": dd_quantiles_by_lang,
@@ -4703,6 +4794,8 @@ QUERIES = {
     "session_event_pairs": session_event_pairs,
     "exact_users_per_window": exact_users_per_window,
     "dd_session_duration_quantiles": dd_session_duration_quantiles,
+    "ks_exact_by_lang_train_val": ks_exact_by_lang_train_val,
+    "weighted_avg_price_by_flag": weighted_avg_price_by_flag,
     "pmi_collocations_docs": pmi_collocations_docs,
     "mode_event_type_by_user": mode_event_type_by_user,
     "token_frequency_spectrum": token_frequency_spectrum,
@@ -7711,3 +7804,60 @@ def _session_duration_oracle() -> str:
 
 
 ORACLE_SQL["dd_session_duration_quantiles"] = _session_duration_oracle()
+
+def _grouped_ks_oracle() -> str:
+    from .core.hashing import splitmix64_sql
+    from .stages.sampling import split_thresholds
+
+    h0 = splitmix64_sql("doc_id", 0)
+    names = list(SPLITS.keys())
+    ths = split_thresholds(SPLITS.values())
+    split_case = "CASE " + " ".join(
+        f"WHEN {h0} < {t}::HUGEINT THEN '{n}'" for n, t in zip(names[:-1], ths[:-1])
+    ) + f" ELSE '{names[-1]}' END"
+    return f"""
+    WITH sp AS (
+      SELECT lang, n_chars AS v, {split_case} AS split FROM documents
+    ), c AS (
+      SELECT lang, v,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::HUGEINT AS c2
+      FROM sp WHERE split IN ('train', 'val') GROUP BY lang, v
+    ), t AS (
+      SELECT lang, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY lang
+    ), o AS (
+      SELECT lang,
+             sum(c1) OVER (PARTITION BY lang ORDER BY v) AS cum1,
+             sum(c2) OVER (PARTITION BY lang ORDER BY v) AS cum2
+      FROM c
+    ), d AS (
+      SELECT o.lang, max(abs(o.cum1 * t.n2 - o.cum2 * t.n1)) AS dn
+      FROM o JOIN t USING (lang) GROUP BY o.lang
+    )
+    SELECT t.lang,
+           CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN d.dn ELSE 0 END AS BIGINT) AS d_num,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0
+                THEN CAST(d.dn AS DOUBLE) / CAST(t.n1 * t.n2 AS DOUBLE)
+                ELSE 0.0 END AS d_stat
+    FROM t JOIN d USING (lang)
+    """
+
+
+ORACLE_SQL["ks_exact_by_lang_train_val"] = _grouped_ks_oracle()
+
+ORACLE_SQL["weighted_avg_price_by_flag"] = """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(sum(cents * qty) AS BIGINT) AS wsum,
+           CAST(sum(qty) AS BIGINT) AS w,
+           CAST(CAST(sum(cents * qty) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) AS wavg_cents
+    FROM v GROUP BY flag
+"""

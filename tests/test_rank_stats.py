@@ -522,3 +522,43 @@ class TestInterpQuantile:
             rd.from_arrow(t), group_col="g", value_col="x", q=0.5
         ).to_pandas()
         assert df.interp.iloc[0] == 60.0
+
+
+class TestGroupedKS:
+    def test_matches_per_group_reference(self, ray_session):
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.stats import grouped_ks_exact_pipeline
+
+        rng = np.random.default_rng(71)
+        n = 3000
+        g = rng.choice(["x", "y", "z"], n)
+        sp = rng.choice(["a", "b", "c"], n)  # third split must be ignored
+        v = rng.integers(0, 200, n).astype(np.int64)
+        v[sp == "b"] += rng.integers(0, 40, (sp == "b").sum())
+        t = pa.table(
+            {"g": pa.array(g.tolist()), "sp": pa.array(sp.tolist()), "v": pa.array(v)}
+        )
+        df = (
+            grouped_ks_exact_pipeline(
+                rd.from_arrow(t).repartition(8),
+                group_col="g",
+                value_col="v",
+                split_col="sp",
+                split_a="a",
+                split_b="b",
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        for grp in ("x", "y", "z"):
+            xa = np.sort(v[(g == grp) & (sp == "a")])
+            xb = np.sort(v[(g == grp) & (sp == "b")])
+            vs = np.unique(np.concatenate([xa, xb]))
+            ca = np.searchsorted(xa, vs, side="right")
+            cb = np.searchsorted(xb, vs, side="right")
+            dn = int(np.abs(ca * xb.size - cb * xa.size).max())
+            row = df.loc[grp]
+            assert row.n1 == xa.size and row.n2 == xb.size
+            assert row.d_num == dn
+            assert row.d_stat == float(dn) / float(xa.size * xb.size)
