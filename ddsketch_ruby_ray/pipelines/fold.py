@@ -37,7 +37,12 @@ import pyarrow as pa
 
 from ddsketch_ruby_ray.core.hashing import hash64_int, hash64_str_fast, splitmix64
 
-__all__ = ["partitioned_group_agg", "partitioned_group_sum", "null_safe_int64"]
+__all__ = [
+    "partitioned_group_agg",
+    "partitioned_group_sum",
+    "null_safe_int64",
+    "strict_key_int64",
+]
 
 _AGG_FUNCS = ("sum", "min", "max", "count")
 
@@ -57,6 +62,29 @@ def null_safe_int64(col) -> np.ndarray:
         col = col.combine_chunks()
     if col.null_count:
         col = pc.fill_null(col, 0)
+    return pc.cast(col, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+
+
+def strict_key_int64(col, *, name: str = "key") -> np.ndarray:
+    """Arrow column -> int64 numpy for EMITTED key columns.
+
+    :func:`null_safe_int64`'s fill-with-0 shortcut is a pure hash-ROUTING
+    device (cross-block determinism is all routing needs).  A column that
+    becomes an OUTPUT key must not silently merge NULL keys into key 0 —
+    that diverges from SQL's NULL-partition semantics.  Raise loudly
+    instead; callers that want NULL keys dropped or propagated do so
+    explicitly before projection."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"strict_key_int64: emitted key column {name!r} contains "
+            f"{col.null_count} NULL(s); drop or fill them explicitly — "
+            "silently merging NULL keys into key 0 diverges from SQL "
+            "NULL-partition semantics"
+        )
     return pc.cast(col, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
 
 

@@ -348,10 +348,10 @@ def locf_daily_pipeline(
     from ..core.hashing import hash64_int
 
     def project(t: pa.Table) -> pa.Table:
-        from .fold import null_safe_int64
+        from .fold import strict_key_int64
 
         us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        k = null_safe_int64(t.column(key_col))
+        k = strict_key_int64(t.column(key_col), name=key_col)
         part = (hash64_int(k.astype(np.int64)) % np.uint64(num_partitions)).astype(
             np.int32
         )

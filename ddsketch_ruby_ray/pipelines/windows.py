@@ -742,13 +742,13 @@ def longest_streak_pipeline(
     from ..core.hashing import hash64_int
 
     def pre(t: pa.Table) -> pa.Table:
-        from .fold import null_safe_int64
+        from .fold import strict_key_int64
 
         d = (
             pa.table(
                 {
-                    "key": pa.array(null_safe_int64(t.column(key_col))),
-                    "day": pa.array(null_safe_int64(t.column(day_col))),
+                    "key": pa.array(strict_key_int64(t.column(key_col), name=key_col)),
+                    "day": pa.array(strict_key_int64(t.column(day_col), name=day_col)),
                 }
             )
             .group_by(["key", "day"])
@@ -831,9 +831,9 @@ def session_table_pipeline(
     from ..core.hashing import hash64_int
 
     def pre(t: pa.Table) -> pa.Table:
-        from .fold import null_safe_int64
+        from .fold import strict_key_int64
 
-        k = null_safe_int64(t.column(key_col))
+        k = strict_key_int64(t.column(key_col), name=key_col)
         part = (hash64_int(k) % np.uint64(num_partitions)).astype(np.int32)
         return pa.table(
             {

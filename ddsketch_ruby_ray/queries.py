@@ -4225,16 +4225,17 @@ def metric_corr_matrix_by_lang(sf_dir: str):
     """Per-lang correlation MATRIX over the three doc metrics (chars,
     tokens, lines): ONE pass over the text derives all metrics and emits
     the ten exact sufficient sums (n, Σa, Σb, Σc, all squares and cross
-    products) per (block, lang); a tiny keyed fold + python-int finalize
-    yields all three pairwise Pearson r's + OLS fits with grouped_corr's
-    exact op order — the feature-redundancy screen, at one text scan
-    instead of three."""
+    products) per (block, lang); the cross-block fold accumulates the
+    per-block partial rows in PYTHON INTS inside the partition fold
+    (grouped_corr_pipeline's shape — an Arrow int64 re-sum would wrap
+    silently even when every block passes its own gate), then finalizes
+    all three pairwise Pearson r's + OLS fits with grouped_corr's exact
+    op order — the feature-redundancy screen, at one text scan instead
+    of three."""
     import math as _math
 
     import numpy as np
     import pyarrow as pa
-
-    from .pipelines.fold import partitioned_group_sum
     from .stages.text import _re_count
 
     ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
@@ -4281,19 +4282,30 @@ def metric_corr_matrix_by_lang(sf_dir: str):
         return pa.table(cols)
 
     sums_cols = ["n", "s_a", "s_b", "s_c", "s_aa", "s_bb", "s_cc", "s_ab", "s_ac", "s_bc"]
-    summed = partitioned_group_sum(
-        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
-        "lang",
-        sums_cols[1:] + ["n"],
-        num_partitions=8,
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from .core.hashing import hash256_str
+
+        h = hash256_str(t.column("lang").cast(pa.string()), lanes=1)[0]
+        return t.append_column("_part", pa.array((h % np.uint64(8)).astype(np.int32)))
+
+    partials = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        rows = t.to_pylist()
+        # Cross-block fold in PYTHON INTS (exact at any scale): one tiny
+        # partial row per (block, lang) — an Arrow int64 sum here would
+        # wrap silently past 2^63 (ADVICE r4).
+        groups: dict = {}
+        for row in t.to_pylist():
+            acc = groups.setdefault(row["lang"], dict.fromkeys(sums_cols, 0))
+            for c in sums_cols:
+                acc[c] += int(row[c])
         out = {k: [] for k in ("lang", "n", "r", "slope", "intercept", "pair")}
-        for r in rows:
-            n = int(r["sum(n)"])
-            s = {c: int(r[f"sum({c})"]) for c in sums_cols[1:]}
+        for lang in sorted(groups):
+            s = groups[lang]
+            n = s["n"]
             vals = [
                 (s["s_a"], s["s_aa"]),
                 (s["s_b"], s["s_bb"]),
@@ -4314,7 +4326,7 @@ def metric_corr_matrix_by_lang(sf_dir: str):
                 )
                 slope = float(num) / float(d1) if d1 > 0 else 0.0
                 icpt = (float(sy) - slope * float(sx)) / float(n) if n else 0.0
-                out["lang"].append(r["lang"])
+                out["lang"].append(lang)
                 out["n"].append(float(n))
                 out["r"].append(rr)
                 out["slope"].append(slope)
@@ -4331,7 +4343,7 @@ def metric_corr_matrix_by_lang(sf_dir: str):
             }
         )
 
-    return summed.map_batches(finalize, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(finalize, batch_format="pyarrow")
 
 
 def interp_p90_chars_by_lang(sf_dir: str):
@@ -4560,14 +4572,15 @@ def ks_exact_by_lang_train_val(sf_dir: str):
 
 def weighted_avg_price_by_flag(sf_dir: str):
     """Quantity-weighted mean price per returnflag in exact cents: two
-    exact integer sums (Σ cents·qty, Σ qty) through one tiny fold, ONE
+    exact integer sums (Σ cents·qty, Σ qty) — block partials gated
+    against int64 wrap (max|p|·max|q|·rows < 2^63, the grouped_corr
+    contract) and folded cross-block in PYTHON INTS in the finalize, ONE
     float division — the weighted-mean staple beside the weighted
     median."""
     import numpy as np
     import pyarrow as pa
 
     from .core.numeric import round_half_away
-    from .pipelines.fold import partitioned_group_sum
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
 
@@ -4578,6 +4591,15 @@ def weighted_avg_price_by_flag(sf_dir: str):
         q = round_half_away(
             t.column("l_quantity").to_numpy(zero_copy_only=False)
         ).astype(np.int64)
+        if p.size:
+            mp = max(int(p.max()), -int(p.min()))
+            mq = max(int(q.max()), -int(q.min()))
+            if mp * mq * p.size >= 2**63:
+                raise ValueError(
+                    "weighted_avg_price_by_flag: block pre-agg would overflow "
+                    f"int64 (max|cents|={mp}, max|qty|={mq}, rows={p.size}); "
+                    "shrink the batch size"
+                )
         g = t.column("l_returnflag").to_numpy(zero_copy_only=False)
         order = np.argsort(g, kind="stable")
         g_s, p_s, q_s = g[order], p[order], q[order]
@@ -4602,30 +4624,38 @@ def weighted_avg_price_by_flag(sf_dir: str):
             }
         )
 
-    summed = partitioned_group_sum(
-        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
-        "flag",
-        ["wsum", "w"],
-        num_partitions=8,
+    def add_part(t: pa.Table) -> pa.Table:
+        from .core.hashing import hash256_str
+
+        h = hash256_str(t.column("flag").cast(pa.string()), lanes=1)[0]
+        return t.append_column("_part", pa.array((h % np.uint64(8)).astype(np.int32)))
+
+    partials = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ws = t.column("sum(wsum)").to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t.column("sum(w)").to_numpy(zero_copy_only=False).astype(np.int64)
+        # Python-int cross-block fold: exact at any corpus scale (an
+        # Arrow int64 re-sum of the partials would wrap silently).
+        groups: dict = {}
+        for row in t.to_pylist():  # tiny: one row per (block, flag)
+            acc = groups.setdefault(row["flag"], [0, 0])
+            acc[0] += int(row["wsum"])
+            acc[1] += int(row["w"])
+        flags = sorted(groups)
         return pa.table(
             {
-                "flag": t.column("flag"),
-                "wsum": pa.array(ws),
-                "w": pa.array(w),
+                "flag": pa.array(flags, pa.string()),
+                "wsum": pa.array([groups[f][0] for f in flags], pa.int64()),
+                "w": pa.array([groups[f][1] for f in flags], pa.int64()),
                 "wavg_cents": pa.array(
-                    ws.astype(np.float64) / w.astype(np.float64), pa.float64()
+                    [float(groups[f][0]) / float(groups[f][1]) for f in flags],
+                    pa.float64(),
                 ),
             }
         )
 
-    return summed.map_batches(finalize, batch_format="pyarrow")
+    return partials.groupby("_part").map_groups(finalize, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -7405,8 +7435,8 @@ ORACLE_SQL["gini_price_by_flag"] = """
     )
     SELECT flag, n, total,
            CASE WHEN n = 0 OR total = 0 THEN 0.0
-                ELSE CAST(2 * six - (n + 1) * total AS DOUBLE)
-                     / CAST(n * total AS DOUBLE)
+                ELSE CAST(2 * six - (CAST(n AS HUGEINT) + 1) * CAST(total AS HUGEINT) AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * CAST(total AS HUGEINT) AS DOUBLE)
            END AS gini
     FROM s
 """
