@@ -96,10 +96,21 @@ def _encode_store(bins: np.ndarray, offset: int) -> bytes:
     return out
 
 
-def serialize_sketch(sk: DDSketch) -> bytes:
-    """Sketch -> proto bytes (contiguous store encoding)."""
+def serialize_sketch(sk: DDSketch, *, compat: str | None = None) -> bytes:
+    """Sketch -> proto bytes (contiguous store encoding).
+
+    ``compat="ddsketch-ruby"`` mirrors the reference gem's serializer quirk
+    (`/root/reference/lib/ddsketch/proto.rb:34-44`, ``gamma:
+    mapping.relative_accuracy``): the proto ``gamma`` field carries ALPHA so
+    the payload is readable by consumers of reference-gem bytes (the
+    central-merge topology in the reference README).  Without the flag the
+    field is true gamma — correct per the proto spec, and what our own
+    ``deserialize_sketch`` default expects."""
+    if compat not in (None, "ddsketch-ruby"):
+        raise ValueError(f"unknown compat mode {compat!r}")
     mp = sk.mapping
-    mapping_msg = _f64(1, mp.gamma)
+    wire_gamma = mp.relative_accuracy if compat == "ddsketch-ruby" else mp.gamma
+    mapping_msg = _f64(1, wire_gamma)
     if mp.offset != 0.0:
         mapping_msg += _f64(2, mp.offset)
     enum = _INTERP_TO_ENUM[mp.interpolation]

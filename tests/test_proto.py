@@ -342,3 +342,40 @@ class TestRubyCompatRead:
     def test_unknown_compat_rejected(self):
         with pytest.raises(ValueError, match="unknown compat"):
             deserialize_sketch(b"", compat="sketches-py")
+
+
+class TestRubyCompatWrite:
+    """`serialize_sketch(compat="ddsketch-ruby")`: the write-side mirror of
+    the read compat — exported bytes must be what a consumer of
+    reference-gem payloads expects (proto ``gamma`` field := alpha,
+    `/root/reference/lib/ddsketch/proto.rb:34-44`)."""
+
+    def test_bytes_match_gem_emission(self):
+        # golden oracle: google-protobuf emission with the gem's quirk
+        sk = _filled(0.01, values=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, -3.1415, 0.0])
+        want = TestRubyCompatRead()._ruby_bytes(sk)
+        assert serialize_sketch(sk, compat="ddsketch-ruby") == want
+
+    @pytest.mark.parametrize("interp", [None, "linear", "cubic"])
+    def test_quirk_round_trip_both_directions(self, interp):
+        from ddsketch_ruby_ray.core.mapping import mapping_from_tag
+
+        sk = DDSketch(mapping=mapping_from_tag(interp, 0.02))
+        sk.add_batch(np.concatenate([np.geomspace(0.5, 1e4, 64), [-2.5, 0.0]]))
+        # write-quirk -> read-quirk: identity
+        back = deserialize_sketch(
+            serialize_sketch(sk, compat="ddsketch-ruby"), compat="ddsketch-ruby"
+        )
+        assert back.mapping == sk.mapping
+        for q in (0.0, 0.25, 0.5, 0.75, 0.99, 1.0):
+            assert back.get_quantile_value(q) == sk.get_quantile_value(q)
+        # write-quirk read WITHOUT the flag must NOT reproduce the mapping
+        try:
+            raw = deserialize_sketch(serialize_sketch(sk, compat="ddsketch-ruby"))
+        except ValueError:
+            return  # alpha<1 read as gamma may be rejected outright: also fine
+        assert raw.mapping.gamma != sk.mapping.gamma
+
+    def test_unknown_compat_rejected(self):
+        with pytest.raises(ValueError, match="unknown compat"):
+            serialize_sketch(_filled(), compat="sketches-py")
