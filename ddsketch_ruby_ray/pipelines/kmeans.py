@@ -5,10 +5,11 @@ organization, diversity sampling, semantic dedup pre-bucketing).  Neither
 the reference (a sketch library) nor Ray Data has it; this is the classic
 iterative-algorithm shape the north_rule's custom-operator policy covers:
 each Lloyd iteration is ONE streaming pass over the dataset
-(``map_batches`` assignment + per-batch partial centroid sums) and a
-KB-sized driver-side reduce — the corpus is never materialized, shuffled,
-or re-partitioned, and per-iteration network cost is
-O(num_blocks × k × dim) integers.
+(``map_batches`` assignment + per-batch partial centroid sums) folded
+through a bounded keyed tree reduce — the driver pulls exactly k centroid
+rows per iteration (never O(num_blocks × k); at 10⁶ blocks the old
+driver fold was millions of tiny rows through single-threaded Python) and
+the corpus is never materialized, shuffled, or re-partitioned.
 
 Exactness contract (what makes the SQL oracle bit-exact):
 
@@ -46,14 +47,31 @@ from .similarity import _embedding_matrix
 __all__ = ["kmeans_pipeline"]
 
 
+_FOLD_PARTS = 8  # tree-reduce fan-in for the KB-sized driver tables
+
+
 def _bottomk_ids(ds, id_col: str, k: int) -> np.ndarray:
-    """The k smallest ids — per-block bottom-k, then a KB driver merge."""
+    """The k smallest ids — per-block bottom-k, a keyed tree fold (bottom-k
+    of bottom-ks is exact under ANY partitioning), then a driver merge of
+    at most ``_FOLD_PARTS × k`` rows (never O(blocks) rows)."""
+    from ..core.hashing import hash64_int
 
     def bk(t: pa.Table) -> pa.Table:
         ids = np.sort(t.column(id_col).to_numpy(zero_copy_only=False))[:k]
+        ids = ids.astype(np.int64)
+        part = (hash64_int(ids) % np.uint64(_FOLD_PARTS)).astype(np.int32)
+        return pa.table({id_col: pa.array(ids), "_part": pa.array(part)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy(zero_copy_only=False))[:k]
         return pa.table({id_col: pa.array(ids.astype(np.int64))})
 
-    parts = ds.map_batches(bk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = (
+        ds.map_batches(bk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
     allids = np.sort(np.array([r[id_col] for r in parts], dtype=np.int64))
     return allids[:k]
 
@@ -119,19 +137,51 @@ def kmeans_pipeline(ds, *, id_col: str, vec_col: str, k: int = 8, iters: int = 3
             sums = np.zeros((k, q.shape[1]), dtype=np.int64)
             np.add.at(sums, cid, q)
             cnt = np.bincount(cid, minlength=k).astype(np.int64)
+            cids = np.arange(k, dtype=np.int64)
             return pa.table(
                 {
-                    "cid": pa.array(np.arange(k, dtype=np.int64)),
+                    "cid": pa.array(cids),
                     "cnt": pa.array(cnt),
                     "sums": pa.array(list(sums), pa.list_(pa.int64())),
+                    "_part": pa.array((cids % _FOLD_PARTS).astype(np.int32)),
                 }
             )
 
-        # KB-sized partials (num_blocks × k rows of k·dim ints) — broadcast
-        # reduce on the driver, NOT a data materialization
-        parts = ds.map_batches(
-            partials, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
+        def cfold(g: pa.Table) -> pa.Table:
+            """Per-partition exact fold of the (cid, cnt, sums) partials —
+            the driver pulls k rows total, never num_blocks × k (sums stay
+            < 2^47: n <= 2^40 rows × |code| <= 127)."""
+            cids = g.column("cid").to_numpy(zero_copy_only=False)
+            cnts = g.column("cnt").to_numpy(zero_copy_only=False)
+            la = g.column("sums")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            dim = centroids.shape[1]
+            mat = la.flatten().to_numpy(zero_copy_only=False).reshape(len(cids), dim)
+            order = np.argsort(cids, kind="stable")
+            cids_s = cids[order]
+            new = np.empty(cids_s.size, dtype=bool)
+            new[0] = True
+            new[1:] = cids_s[1:] != cids_s[:-1]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {
+                    "cid": pa.array(cids_s[starts]),
+                    "cnt": pa.array(np.add.reduceat(cnts[order], starts)),
+                    "sums": pa.array(
+                        list(np.add.reduceat(mat[order], starts, axis=0)),
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+        # tree-reduced partials: the driver folds k rows, not blocks × k
+        parts = (
+            ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(cfold, batch_format="pyarrow")
+            .take_all()
+        )
         sums = np.zeros((k, centroids.shape[1]), dtype=np.int64)
         cnt = np.zeros(k, dtype=np.int64)
         for r in parts:

@@ -51,14 +51,16 @@ def _normalized_e6(m: np.ndarray) -> np.ndarray:
 def embedding_amax6(ds, *, vec_col: str) -> int:
     """Global max |v6| over the corpus (>= 1): the symmetric scale.
 
-    Distributed integer reduce - one scalar per block crosses the wire."""
+    Distributed integer reduce — one scalar per block, folded by Ray's
+    native tree-reduce ``max`` (the driver sees ONE scalar, never an
+    O(blocks) partial list)."""
 
     def mx(t: pa.Table) -> pa.Table:
         v6 = _normalized_e6(_embedding_matrix(t, vec_col))
         return pa.table({"a6": pa.array([int(np.abs(v6).max()) if v6.size else 0])})
 
-    parts = ds.map_batches(mx, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    return max(1, max(p["a6"] for p in parts))
+    top = ds.map_batches(mx, batch_format="pyarrow", zero_copy_batch=True).max("a6")
+    return max(1, int(top if top is not None else 0))
 
 
 def _encode(m: np.ndarray, a6: int) -> np.ndarray:

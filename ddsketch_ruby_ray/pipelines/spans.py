@@ -14,13 +14,17 @@ span).  Output one row per span: (key, span_start, span_end), 1-based token
 positions inclusive, matching the SQL mirror's generate_subscripts
 convention.  Docs shorter than n tokens contribute no windows.
 
-Scale shape: one row per token position leaves the map stage (the
-algorithm's true cost - the suffix-array formulation has the same input
-volume), as 20-byte (window-hash, doc, pos) postings.  Shuffle 1 co-locates
-each window hash: the duplicate test is a local run-length >= 2, and only
-duplicated instances survive.  Shuffle 2 co-locates each doc's surviving
-positions: span merging is one sorted boundary scan.  No per-window or
-per-doc Python in either reduce.
+Scale shape (round-5 plan, duplicate_spans_pipeline): the only full-corpus
+exchange carries per-block DISTINCT window hashes with clipped counts
+(12 B/row) into a bounded keyed fold that yields the EXACT
+globally-duplicated hash set; that set broadcasts once and a second
+tokenize pass filters positions block-locally, so only duplicated
+instances enter the final doc-keyed exchange feeding the span merge —
+singleton windows never leave their block.  Classic co-partition fallback
+(duplicate_spans_stages, one 28-byte posting per token through two keyed
+shuffles) runs when the dup set exceeds the broadcast bound and remains
+the checkpointable shape for resumable_duplicate_spans_job.  No
+per-window or per-doc Python in any reduce.
 """
 
 from __future__ import annotations
@@ -58,13 +62,178 @@ def duplicate_spans_pipeline(
     text_col: str,
     n: int = 8,
     num_partitions: int = 64,
+    max_broadcast_hashes: int = 8_000_000,
 ):
     """-> Dataset[(key_col, span_start, span_end)] - maximal duplicated token
-    spans, 1-based inclusive positions."""
-    postings, reduce = duplicate_spans_stages(
-        key_col=key_col, text_col=text_col, n=n, num_partitions=num_partitions
+    spans, 1-based inclusive positions.
+
+    Plan (round-5 exchange diet; BASELINE.md spans row was 0.67 with one
+    28-byte posting per TOKEN through TWO keyed shuffles):
+
+    1. **dup-hash directory** — each block ships only its DISTINCT window
+       hashes with a count CLIPPED at 2 (12 B/row, typically far fewer rows
+       than positions); one bounded keyed fold yields the EXACT set of
+       globally-duplicated window hashes (clipped sums are exact for the
+       ``>= 2`` test).
+    2. **broadcast + rescan** — the dup set (real duplicates only, usually
+       tiny) broadcasts once via ``ray.put``; a second tokenize pass filters
+       window positions against it block-locally (sorted searchsorted), so
+       ONLY duplicated instances enter the single remaining doc-keyed
+       exchange feeding the span merge.  Singleton windows — the vast
+       majority of any mostly-unique corpus — never leave their block, and
+       the full posting-by-hash shuffle disappears (membership in the exact
+       dup set already implies global count >= 2).  The extra tokenize scan
+       is deliberate: map compute scales ~1.0 on this box while the
+       object-store exchange path retains 0.62 (tools/membench.py).
+
+    Past ``max_broadcast_hashes`` actual duplicated hashes the broadcast is
+    no longer small-side and the classic two-shuffle co-partition plan
+    (:func:`duplicate_spans_stages`) runs instead — same output, the
+    linededup.py broadcast/join dual-path contract."""
+    import ray
+
+    dups_m = _dup_hash_directory(
+        ds, text_col=text_col, n=n, num_partitions=num_partitions
+    ).materialize()
+    if dups_m.count() > max_broadcast_hashes:
+        postings, reduce = duplicate_spans_stages(
+            key_col=key_col, text_col=text_col, n=n, num_partitions=num_partitions
+        )
+        return reduce(
+            ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    tables = ray.get(dups_m.to_arrow_refs())
+    dup_hashes = np.sort(
+        np.concatenate(
+            [
+                t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+                for t in tables
+                if t.num_rows
+            ]
+            or [np.zeros(0, np.uint64)]
+        )
     )
-    return reduce(ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True))
+    dup_ref = ray.put(dup_hashes)
+
+    empty_inst = pa.table(
+        {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+    )
+
+    def dup_postings(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)  # zero-copy numpy view of the plasma buffer
+        flat, bounds = _doc_window_hashes(batch, text_col, n)
+        if not d.size or not flat.size:
+            return empty_inst
+        counts = np.diff(bounds)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(bounds[:-1], counts) + 1
+        idx = np.searchsorted(d, flat)
+        isdup = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == flat)
+        return pa.table(
+            {
+                "key": pa.array(np.repeat(keys, counts)[isdup]),
+                "p": pa.array(pos[isdup]),
+            }
+        )
+
+    return _doc_span_reduce(
+        ds.map_batches(dup_postings, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=key_col,
+        n=n,
+        num_partitions=num_partitions,
+    )
+
+
+def _dup_hash_directory(ds, *, text_col: str, n: int, num_partitions: int):
+    """-> Dataset[(h,)] — the EXACT set of window hashes with global
+    occurrence count >= 2, via per-block distinct clipped counts through one
+    bounded keyed fold (see duplicate_spans_pipeline step 1)."""
+    empty_pre = pa.table(
+        {
+            "_part": pa.array([], pa.int32()),
+            "h": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int8()),
+        }
+    )
+    empty_dirs = pa.table({"h": pa.array([], pa.int64())})
+
+    def distinct_pre(batch: pa.Table) -> pa.Table:
+        flat, _ = _doc_window_hashes(batch, text_col, n)
+        if not flat.size:
+            return empty_pre
+        u, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "_part": pa.array((u % np.uint64(num_partitions)).astype(np.int32)),
+                "h": pa.array(u.astype(np.int64)),
+                # clipped at 2: int8 keeps the dominant exchange at 13 B/row
+                "c": pa.array(np.minimum(cnt, 2).astype(np.int8)),
+            }
+        )
+
+    def dup_fold(pt: pa.Table) -> pa.Table:
+        h = pt.column("h").to_numpy(zero_copy_only=False)
+        if not h.size:
+            return empty_dirs
+        c = pt.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h_s, c_s = h[order], c[order]
+        new = np.empty(h_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(c_s, starts)  # clipped partials: no overflow
+        return pa.table({"h": pa.array(h_s[starts][tot >= 2])})
+
+    return (
+        ds.map_batches(distinct_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(dup_fold, batch_format="pyarrow")
+    )
+
+
+def _doc_span_reduce(dup_instances, *, key_col: str, n: int, num_partitions: int):
+    """(key, p) duplicated window instances -> maximal spans via the single
+    doc-keyed exchange (the classic plan's shuffle 2, unchanged)."""
+
+    def key_part(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        part = (hash64_int(k, 3) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    empty_spans = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+        }
+    )
+
+    def spans(pt: pa.Table) -> pa.Table:
+        k = pt.column("key").to_numpy(zero_copy_only=False)
+        if not k.size:
+            return empty_spans
+        p = pt.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, k))
+        k_s, p_s = k[order], p[order]
+        new = np.empty(k_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (k_s[1:] != k_s[:-1]) | (p_s[1:] - p_s[:-1] > n)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], k_s.size) - 1
+        return pa.table(
+            {
+                key_col: pa.array(k_s[starts]),
+                "span_start": pa.array(p_s[starts]),
+                "span_end": pa.array(p_s[ends] + n - 1),
+            }
+        )
+
+    return (
+        dup_instances.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(spans, batch_format="pyarrow")
+    )
 
 
 def duplicate_spans_stages(
@@ -117,47 +286,10 @@ def duplicate_spans_stages(
         kept = order[keep]
         return pa.table({"key": pa.array(key[kept]), "p": pa.array(p[kept])})
 
-    def key_part(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy(zero_copy_only=False)
-        part = (hash64_int(k, 3) % np.uint64(num_partitions)).astype(np.int32)
-        return t.append_column("_part", pa.array(part))
-
-    empty_spans = pa.table(
-        {
-            key_col: pa.array([], pa.int64()),
-            "span_start": pa.array([], pa.int64()),
-            "span_end": pa.array([], pa.int64()),
-        }
-    )
-
-    def spans(pt: pa.Table) -> pa.Table:
-        k = pt.column("key").to_numpy(zero_copy_only=False)
-        if not k.size:
-            return empty_spans
-        p = pt.column("p").to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, k))
-        k_s, p_s = k[order], p[order]
-        # a window extends the current span iff its range [p, p+n-1] overlaps
-        # or touches the span end: p <= prev_end + 1 <=> p - prev_p <= n
-        new = np.empty(k_s.size, dtype=bool)
-        new[0] = True
-        new[1:] = (k_s[1:] != k_s[:-1]) | (p_s[1:] - p_s[:-1] > n)
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], k_s.size) - 1
-        return pa.table(
-            {
-                key_col: pa.array(k_s[starts]),
-                "span_start": pa.array(p_s[starts]),
-                "span_end": pa.array(p_s[ends] + n - 1),
-            }
-        )
-
     def reduce(posted):
         dups = posted.groupby("_part").map_groups(dup_reduce, batch_format="pyarrow")
-        return (
-            dups.map_batches(key_part, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("_part")
-            .map_groups(spans, batch_format="pyarrow")
+        return _doc_span_reduce(
+            dups, key_col=key_col, n=n, num_partitions=num_partitions
         )
 
     return postings, reduce

@@ -158,9 +158,13 @@ def grouped_zscore_pipeline(
     (the feature-standardization staple).
 
     Two streaming passes: (1) per-block vectorized (group, n, S, Q)
-    partials — a KB-sized take_all (G groups × blocks rows, NOT data) merged
-    in Python ints on the driver; (2) a stateless per-row map with the tiny
-    stats table captured in the closure.  Nothing shuffles.
+    partials decomposed into 16-bit limb LANES and folded through the
+    bounded keyed tree reduce (fold.py) — the driver pulls exactly G rows,
+    never G × blocks (at 10⁶ blocks the old driver fold was millions of
+    tiny rows through single-threaded Python), and the limb lanes keep
+    every lane an ordinary int64 sum that is exact up to 2^47 partial rows
+    per group; (2) a stateless per-row map with the tiny stats table
+    captured in the closure.  Only the G-row partial table shuffles.
 
     Exactness: the identity (x − S/n)/σ = (n·x − S)/sqrt(n·Q − S²) uses one
     integer numerator and one integer radicand, each converted to float64
@@ -187,23 +191,42 @@ def grouped_zscore_pipeline(
             first[0] = True
             first[1:] = g_s[1:] != g_s[:-1]
         starts = np.flatnonzero(first)
-        return pa.table(
-            {
-                group_col: pa.array(g_s[starts]),
-                "n": pa.array(np.diff(np.append(starts, x_s.size)).astype(np.int64)),
-                "s": pa.array(np.add.reduceat(x_s, starts) if x_s.size else np.array([], np.int64)),
-                "q": pa.array(
-                    np.add.reduceat(x_s * x_s, starts) if x_s.size else np.array([], np.int64)
-                ),
-            }
-        )
+        empty = np.array([], np.int64)
+        s = np.add.reduceat(x_s, starts) if x_s.size else empty
+        q = np.add.reduceat(x_s * x_s, starts) if x_s.size else empty
+        # limb-lane decomposition: the CROSS-block re-sum of these int64
+        # partials can wrap even when every block passes its own gate, so
+        # split each partial into 16-bit lanes that fold exactly through
+        # the bounded keyed tree reduce (the grouped_moments convention).
+        sp = np.maximum(s, 0).astype(np.uint64)
+        sn = np.maximum(-s, 0).astype(np.uint64)
+        qu = q.astype(np.uint64)  # q >= 0 and < 2^63 by the block gate
+        cols = {
+            group_col: pa.array(g_s[starts]),
+            "n": pa.array(np.diff(np.append(starts, x_s.size)).astype(np.int64)),
+        }
+        for nm, arr in (("sp", sp), ("sn", sn), ("q", qu)):
+            for k in range(4):
+                cols[f"{nm}_{k}"] = pa.array(
+                    ((arr >> np.uint64(16 * k)) & _L16).astype(np.int64)
+                )
+        return pa.table(cols)
 
-    # G × num_blocks tiny rows — a broadcast-table materialization, not data
-    parts = ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    from .fold import partitioned_group_sum
+
+    limb_cols = [f"{nm}_{k}" for nm in ("sp", "sn", "q") for k in range(4)]
+    # tree fold: the driver pulls exactly G rows (one per group), never
+    # G × blocks partial rows
+    summed = partitioned_group_sum(
+        ds.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        ["n"] + limb_cols,
+        num_partitions=8,
+    ).take_all()
     stats: dict = {}
-    for r in parts:
-        n0, s0, q0 = stats.get(r[group_col], (0, 0, 0))
-        stats[r[group_col]] = (n0 + int(r["n"]), s0 + int(r["s"]), q0 + int(r["q"]))
+    for r in summed:
+        s = _limbs_to_int(r, "sp", 4) - _limbs_to_int(r, "sn", 4)
+        stats[r[group_col]] = (int(r["sum(n)"]), s, _limbs_to_int(r, "q", 4))
     for gname, (n, s, q) in stats.items():
         rad = n * q - s * s
         if rad >= 2**53 or n * max(abs(s), 1) >= 2**62:

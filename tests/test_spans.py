@@ -127,6 +127,34 @@ class TestDuplicateSpans:
             want.add((d, start, prev + n_win - 1))
         assert got == want
 
+    def test_forced_classic_path_matches_broadcast_plan(self, ray_session):
+        """max_broadcast_hashes=0 forces the two-shuffle co-partition
+        fallback; its spans must be identical to the broadcast plan's."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.spans import duplicate_spans_pipeline
+
+        rng = np.random.default_rng(91)
+        vocab = [f"w{i}" for i in range(10)]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 24))) for _ in range(60)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)}
+        )
+
+        def run(**kw):
+            df = duplicate_spans_pipeline(
+                rd.from_arrow(t).repartition(5),
+                key_col="doc_id",
+                text_col="text",
+                n=3,
+                **kw,
+            ).to_pandas()
+            return sorted(map(tuple, df.to_numpy().tolist()))
+
+        assert run(max_broadcast_hashes=0) == run()
+
 
 class TestResumableStagedJobs:
     """Two-phase checkpoint/resume for the postings pipelines
