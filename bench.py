@@ -58,6 +58,23 @@ def _input_rows(sf_dir: str) -> int:
     return total
 
 
+def _quiet_empty_schema_warnings() -> None:
+    """Drop Ray Data's 'RefBundle with a different schema ... new schema: .'
+    warnings: the SORT shuffle emits SCHEMA-LESS blocks for empty output
+    partitions (reproducible with any sparse groupby over empty input
+    blocks) — our own stages all emit TYPED empty tables, so these lines
+    are Ray-internal cosmetics, not a pipeline schema drift."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in rec.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def _warm_up(sf_dir: str) -> None:
     """Spin up the FULL Ray worker pool + library imports off the clock.
 
@@ -89,6 +106,7 @@ def run_bench(sf_dir: str, num_cpus: int, query_names=None) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
 
     from ddsketch_ruby_ray.queries import QUERIES, BENCH_QUERIES
 
@@ -152,6 +170,7 @@ def _prepare_scaling(num_cpus: int = 32) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
     from ddsketch_ruby_ray.sources.corpus import write_corpus
 
     write_corpus(path, _scaling_rows(), num_blocks=_scaling_blocks())
@@ -192,6 +211,7 @@ def _scaling_child(num_cpus: int) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
     from ddsketch_ruby_ray.pipelines import corpus_sketch_pipeline, read_corpus
 
     _warm_up("/root/testdata/sf0.001")
@@ -304,6 +324,7 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
     import numpy as np
     import pyarrow as pa
 
@@ -406,7 +427,8 @@ def _scaling_dedup_child(num_cpus: int, job: str) -> None:
             to_ev, batch_format="pyarrow", zero_copy_batch=True
         )
         n = ordered_analytics_pipeline(
-            ev, key_col="user", ts_col="ts", tiebreak_col="eid", value_col="v"
+            ev, key_col="user", ts_col="ts", tiebreak_col="eid", value_col="v",
+            compact_lanes=True,  # 1M-key / <2^31-value domain: 28 B/row lanes
         ).count()
         sec = time.perf_counter() - t0
         ray.shutdown()

@@ -169,6 +169,26 @@ def _bucket_fold_ctes(num_hashes: int, bands: int, key: str = "key") -> str:
         )
         prev, acc = f"fold{j}", f"acc{j}"
     ctes.append(f"buckets AS (SELECT key, band, {acc} AS bucket FROM {prev})")
+    # fused (band, bucket) id — the ONE column the pipeline ships through
+    # its exchange (pipelines/dedup.py lsh_candidate_pairs_pipeline):
+    # bb = splitmix64(bucket + splitmix64(band)); the per-band splitmix64
+    # constants are evaluated here in Python so the SQL stays flat.
+    import numpy as np
+
+    from ..core.hashing import splitmix64
+
+    band_sm = {b: int(splitmix64(np.uint64(b))) for b in range(bands)}
+    case = (
+        "CASE band "
+        + " ".join(f"WHEN {b} THEN {c}::HUGEINT" for b, c in band_sm.items())
+        + " END"
+    )
+    ctes.append(
+        f"bbpre AS (SELECT key, (bucket + {case}) % {_TWO64} AS x FROM buckets)"
+    )
+    ctes.append(
+        f"fused AS (SELECT key, {splitmix64_sql('x', normalize=False)} AS bb FROM bbpre)"
+    )
     return ",\n".join(ctes)
 
 
@@ -181,8 +201,8 @@ def lsh_pairs_sql(
 WITH sigs AS ({sig_sql}),
 {_bucket_fold_ctes(num_hashes, bands, key)}
 SELECT DISTINCT x.key AS a, y.key AS b
-FROM buckets x JOIN buckets y
-  ON x.band = y.band AND x.bucket = y.bucket AND x.key < y.key
+FROM fused x JOIN fused y
+  ON x.bb = y.bb AND x.key < y.key
 """
 
 

@@ -490,6 +490,13 @@ def lsh_candidate_pairs_pipeline(
         ds, key_col=key_col, text_col=text_col, num_hashes=num_hashes, ngram=ngram
     )
 
+    # The exchange carries ONE fused (band, bucket) id per row — the same
+    # splitmix64(bucket + splitmix64(band)) fold the partition hash already
+    # used — instead of separate band + bucket columns: 20 B/row, not 24,
+    # and a 2-key lexsort on the reduce side.  Bucket-equality classes are
+    # the fused id's equality classes in BOTH systems (the SQL oracle folds
+    # the same fused id; see functions/dedup_oracle.py::_bucket_fold_ctes),
+    # so pipeline and oracle stay bit-identical by construction.
     def to_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -497,54 +504,51 @@ def lsh_candidate_pairs_pipeline(
         sig = np.stack(
             [batch.column(f"m{i}").to_numpy(zero_copy_only=False) for i in range(num_hashes)]
         )
-        buckets = _band_buckets(sig, bands)  # (bands, n)
+        buckets = _band_buckets(sig, bands).astype(np.uint64)  # (bands, n)
+        band_sm = splitmix64(np.arange(bands, dtype=np.uint64))[:, None]
+        old = np.seterr(over="ignore")
+        try:
+            fused = splitmix64(buckets + band_sm).reshape(-1)
+        finally:
+            np.seterr(**old)
         tile_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
-                "bucket": pa.array(buckets.reshape(-1)),
+                "bb": pa.array(fused.astype(np.int64)),
                 key_col: pc.take(batch.column(key_col), tile_idx),
             }
         )
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
-    # (band, bucket) groups are co-located by a PARTITION of the bucket hash,
+    # fused-bucket groups are co-located by a PARTITION of the fused hash,
     # so the reduce side is ~num_partitions vectorized map_groups calls - not
     # one Python call per bucket (Ray's per-group overhead is ~250us, which
     # at 10^5+ buckets would dominate the whole pipeline).
     num_partitions = 64
 
     def add_part(t: pa.Table) -> pa.Table:
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bkt = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
-        old = np.seterr(over="ignore")
-        try:
-            part = (splitmix64(bkt + splitmix64(band)) % np.uint64(num_partitions)).astype(
-                np.int32
-            )
-        finally:
-            np.seterr(**old)
+        bb = t.column("bb").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (bb % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part))
 
     parted = buckets.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_of_partition(pt: pa.Table) -> pa.Table:
-        band = pt.column("band").to_numpy(zero_copy_only=False)
-        bkt = pt.column("bucket").to_numpy(zero_copy_only=False)
+        bkt_s = pt.column("bb").to_numpy(zero_copy_only=False)
         ids = pt.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, bkt, band))
-        band_s, bkt_s, ids_s = band[order], bkt[order], ids[order]
+        order = np.lexsort((ids, bkt_s))
+        bkt_s, ids_s = bkt_s[order], ids[order]
         n = len(order)
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = (band_s[1:] != band_s[:-1]) | (bkt_s[1:] != bkt_s[:-1])
+        new[1:] = bkt_s[1:] != bkt_s[:-1]
         seg_start = np.repeat(np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), n)))
         t = np.arange(n) - seg_start  # within-bucket position (0-based)
         if max_bucket is not None:
             seg_len = np.diff(np.append(np.flatnonzero(new), n))
             keep = np.repeat(seg_len <= max_bucket, seg_len)  # skew guard
-            band_s, bkt_s, ids_s = band_s[keep], bkt_s[keep], ids_s[keep]
+            bkt_s, ids_s = bkt_s[keep], ids_s[keep]
             seg_start, t = seg_start[keep], t[keep]
             # re-base seg_start to the filtered array's coordinates
             if len(t):

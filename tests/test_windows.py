@@ -141,6 +141,35 @@ class TestOrderedAnalytics:
         b = self._run(tbl, parts=17, value_col="value")
         assert a.equals(b)
 
+    def test_compact_lanes_bit_identical(self, ray_session):
+        """compact_lanes ships int32 key/value lanes; results must be
+        bit-identical to the default int64 lanes (they widen back before
+        any arithmetic)."""
+        tbl = self._tbl(800, seed=34)
+        a = self._run(tbl, value_col="value")
+        b = self._run(tbl, value_col="value", compact_lanes=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            a, b.astype({c: a[c].dtype for c in a.columns})
+        )
+
+    def test_compact_lanes_guard_raises(self, ray_session):
+        import numpy as np
+        import pytest
+
+        tbl = pa.table(
+            {
+                "eid": pa.array(np.arange(4), pa.int64()),
+                "k": pa.array([2**40] * 4, pa.int64()),  # out of int32
+                "ts": pa.array(
+                    np.arange(4) * 1_000_000, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        with pytest.raises(Exception, match="int32"):
+            self._run(tbl, compact_lanes=True)
+
 
 class TestRoundHalfAway:
     """round_half_away must equal DuckDB round(x) on every finite double."""
