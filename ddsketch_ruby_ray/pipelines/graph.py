@@ -46,7 +46,15 @@ __all__ = [
 ]
 
 PR_SCALE = 10**12
-_PR_REDUCE_PARTS = 64
+# Partition count for the PageRank build exchanges.  This is also a LEVER on
+# the outdeg meta exchange's volume: deg partials exist per (dst-partition,
+# src), so a src with outdeg d lands in ~P·(1−(1−1/P)^d) partitions — fewer,
+# larger partitions mean fewer partials per src.  GRAFT_PR_PARTS overrides
+# for measurement (tools / BASELINE.md); the default must stay >= 2× the
+# benched cpu level so no fold task starves the pool.
+import os as _os
+
+_PR_REDUCE_PARTS = int(_os.environ.get("GRAFT_PR_PARTS", "64"))
 
 
 def _with_part(t: pa.Table, col: str, num_partitions: int) -> pa.Table:
@@ -267,6 +275,12 @@ def _pin_edge_slices(
 
     @ray.remote
     def split(tbl: pa.Table, P: int):
+        if tbl.num_rows == 0 or "_part" not in tbl.schema.names:
+            # Ray's sort shuffle emits SCHEMA-LESS blocks for empty output
+            # partitions — type them here (edge-slice lanes are int64 at
+            # every call site) instead of KeyError-ing mid-build
+            empty = pa.table({c: pa.array([], pa.int64()) for c in columns})
+            return empty if P == 1 else tuple([empty] * P)
         prt = tbl.column("_part").to_numpy(zero_copy_only=False)
         cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in columns}
         empty = pa.table({c: pa.array(v[:0]) for c, v in cols.items()})

@@ -4376,12 +4376,17 @@ def session_event_pairs(sf_dir: str):
     from .pipelines.basket import frequent_pairs_pipeline
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-    type_rows = ds.map_batches(
-        lambda t: pa.table({"t": t.column("event_type").unique()}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()  # tiny: per-block distinct rows, merged on the driver
-    types = sorted({r["t"] for r in type_rows})
+    type_rows = (
+        ds.map_batches(
+            lambda t: pa.table({"t": t.column("event_type").unique()}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("t")
+        .count()
+        .take_all()
+    )  # tree-folded: one row per DISTINCT type reaches the driver
+    types = sorted(r["t"] for r in type_rows)
     code = {t: i for i, t in enumerate(types)}
     code_ref = ray.put(code)
 

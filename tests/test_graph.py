@@ -220,6 +220,28 @@ class TestPageRankModes:
         ).to_pandas()
         assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
 
+    def test_shuffle_survives_schemaless_empty_blocks(self, ray_session):
+        """Ray's sort shuffle emits SCHEMA-LESS blocks for empty output
+        partitions; _pin_edge_slices' split task must type them instead of
+        KeyError-ing on the missing _part column (found by the crossover
+        sweep at 2M nodes; reproduced here with far more input blocks than
+        rows so the dedup sort emits empty partitions)."""
+        import ray.data as rd
+
+        tbl = pa.table(
+            {
+                "src": pa.array([1, 2, 3, 4, 1], pa.int64()),
+                "dst": pa.array([2, 3, 4, 1, 3], pa.int64()),
+            }
+        )
+        a = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(16), num_partitions=8, mode="shuffle"
+        ).to_pandas()
+        b = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(16), num_partitions=8, mode="broadcast"
+        ).to_pandas()
+        assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
+
 
 class TestBfsModes:
     def test_broadcast_equals_shuffle(self, ray_session):
