@@ -46,6 +46,17 @@ __all__ = [
 ]
 
 PR_SCALE = 10**12
+
+# auto-mode broadcast cap, MEASURED (tools/graph_crossover.py, 32M edges,
+# 16 cpus, best-of-2 fresh children): broadcast beats the shuffle plan at
+# EVERY swept node count — 2.89x at 1M nodes decaying ~0.2x per doubling to
+# 1.91x at 16M — so the wall-time crossover extrapolates to ~300M nodes and
+# the binding constraint is DRIVER MEMORY for the O(nodes) rank state
+# (~32 B/node of arrays + an O(nodes) broadcast per iteration).  16M nodes
+# ~ 0.5 GB driver state: comfortable; past that the shuffle plan keeps
+# state distributed.  Sweep table in BASELINE.md.
+_MAX_BROADCAST_NODES = 16_000_000
+
 # Partition count for the PageRank build exchanges.  This is also a LEVER on
 # the outdeg meta exchange's volume: deg partials exist per (dst-partition,
 # src), so a src with outdeg d lands in ~P·(1−(1−1/P)^d) partitions — fewer,
@@ -310,7 +321,7 @@ def pagerank_pipeline(
     iters: int = 3,
     num_partitions: int = 64,
     mode: str = "auto",
-    max_broadcast_nodes: int = 8_000_000,
+    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
 ):
     """Dataset[(src, dst)] -> Dataset[(node, rank_fp)]: ``iters`` exact
     fixed-point PageRank iterations (damping 0.85, SCALE=1e12, dangling
@@ -975,7 +986,7 @@ def bfs_hops_pipeline(
     max_hops: int = 4,
     num_partitions: int = 64,
     mode: str = "auto",
-    max_broadcast_nodes: int = 8_000_000,
+    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
 ):
     """Dataset[(src, dst)] x Dataset[seed nodes] -> Dataset[(node, hops)]:
     minimum hop count (<= max_hops) from ANY seed over the UNDIRECTED edge
@@ -1382,7 +1393,7 @@ def sssp_pipeline(
     max_rounds: int = 4,
     num_partitions: int = 64,
     mode: str = "auto",
-    max_broadcast_nodes: int = 8_000_000,
+    max_broadcast_nodes: int = _MAX_BROADCAST_NODES,
 ):
     """K-round Bellman-Ford single-source-set shortest paths over the
     UNDIRECTED weighted edge set: -> Dataset[(node, dist)] — the minimum
