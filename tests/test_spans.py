@@ -155,6 +155,64 @@ class TestDuplicateSpans:
 
         assert run(max_broadcast_hashes=0) == run()
 
+    def test_multi_seed_paths_match_bruteforce(self, ray_session):
+        """Fuzz: broadcast plan == classic plan == brute force across seeds
+        and window sizes (small vocab forces heavy cross-doc duplication)."""
+        import ray.data as rd
+
+        from ddsketch_ruby_ray.pipelines.dedup import tokenize
+        from ddsketch_ruby_ray.pipelines.spans import duplicate_spans_pipeline
+
+        from collections import Counter
+
+        for seed, n_win in ((5, 2), (6, 3), (7, 5)):
+            rng = np.random.default_rng(seed)
+            vocab = [f"w{i}" for i in range(8)]
+            texts = [
+                " ".join(rng.choice(vocab, rng.integers(0, 16)))
+                for _ in range(30)
+            ]
+            t = pa.table(
+                {"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)}
+            )
+
+            def run(**kw):
+                df = duplicate_spans_pipeline(
+                    rd.from_arrow(t).repartition(4),
+                    key_col="doc_id",
+                    text_col="text",
+                    n=n_win,
+                    **kw,
+                ).to_pandas()
+                return sorted(map(tuple, df.to_numpy().tolist()))
+
+            got = run()
+            assert got == run(max_broadcast_hashes=0), (seed, n_win)
+            # brute force
+            counts: Counter = Counter()
+            wins = {}
+            for d, s in enumerate(texts):
+                toks = tokenize(s)
+                ws = [
+                    " ".join(toks[i : i + n_win])
+                    for i in range(len(toks) - n_win + 1)
+                ]
+                wins[d] = ws
+                counts.update(ws)
+            want = []
+            for d, ws in wins.items():
+                dup_p = [i + 1 for i, w in enumerate(ws) if counts[w] >= 2]
+                if not dup_p:
+                    continue
+                start = prev = dup_p[0]
+                for p in dup_p[1:]:
+                    if p - prev > n_win:
+                        want.append((d, start, prev + n_win - 1))
+                        start = p
+                    prev = p
+                want.append((d, start, prev + n_win - 1))
+            assert got == sorted(want), (seed, n_win)
+
 
 class TestResumableStagedJobs:
     """Two-phase checkpoint/resume for the postings pipelines
