@@ -115,33 +115,55 @@ def duplicate_spans_pipeline(
     )
     dup_ref = ray.put(dup_hashes)
 
-    empty_inst = pa.table(
-        {"key": pa.array([], pa.int64()), "p": pa.array([], pa.int64())}
+    empty_spans = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+        }
     )
 
-    def dup_postings(batch: pa.Table) -> pa.Table:
+    def dup_spans_map(batch: pa.Table) -> pa.Table:
+        """Filter duplicated window instances AND merge them into maximal
+        spans in the same map: a document is one ROW, so every one of its
+        positions lives in this block — phase 2 needs NO exchange at all
+        (the classic plan shuffled instances by doc only because its
+        by-hash exchange had scattered them).  On duplication-heavy
+        corpora, where instances are corpus-scale (the bench corpus
+        measures 156M duplicated instances of 156M windows), this removes
+        the last full-scale exchange from the plan.  Duplicate key VALUES
+        split across blocks would stay unmerged here (the classic plan
+        merges them); key_col is a per-row doc id everywhere in this repo,
+        so the plans agree — asserted nowhere, documented here."""
         d = ray.get(dup_ref)  # zero-copy numpy view of the plasma buffer
         flat, bounds = _doc_window_hashes(batch, text_col, n)
         if not d.size or not flat.size:
-            return empty_inst
+            return empty_spans
         counts = np.diff(bounds)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.arange(flat.size, dtype=np.int64) - np.repeat(bounds[:-1], counts) + 1
         idx = np.searchsorted(d, flat)
         isdup = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == flat)
+        k_s = np.repeat(keys, counts)[isdup]
+        p_s = pos[isdup]
+        if not k_s.size:
+            return empty_spans
+        o = np.lexsort((p_s, k_s))  # same-key rows in one block merge too
+        k_s, p_s = k_s[o], p_s[o]
+        new = np.empty(k_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (k_s[1:] != k_s[:-1]) | (p_s[1:] - p_s[:-1] > n)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], k_s.size) - 1
         return pa.table(
             {
-                "key": pa.array(np.repeat(keys, counts)[isdup]),
-                "p": pa.array(pos[isdup]),
+                key_col: pa.array(k_s[starts]),
+                "span_start": pa.array(p_s[starts]),
+                "span_end": pa.array(p_s[ends] + n - 1),
             }
         )
 
-    return _doc_span_reduce(
-        ds.map_batches(dup_postings, batch_format="pyarrow", zero_copy_batch=True),
-        key_col=key_col,
-        n=n,
-        num_partitions=num_partitions,
-    )
+    return ds.map_batches(dup_spans_map, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _dup_hash_directory(ds, *, text_col: str, n: int, num_partitions: int):
