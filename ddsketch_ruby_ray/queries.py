@@ -549,6 +549,27 @@ def user_running_totals(sf_dir: str):
     )
 
 
+def user_running_totals_compact(sf_dir: str):
+    """user_running_totals through the COMPACT int32 lanes (28 B/row
+    exchange instead of 36; pipelines/windows.py compact_lanes): the lanes
+    widen back to int64 before any arithmetic, so the result — and the SQL
+    oracle — are identical to the default-lane query.  Gate-proves the
+    round-5 exchange diet bit-exact; the range guards raise loudly if a
+    corpus ever exceeds the int32 key/value domain."""
+    from .pipelines.windows import ordered_analytics_pipeline
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return ordered_analytics_pipeline(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_col="value",
+        carry_cols=["event_id"],
+        compact_lanes=True,
+    )
+
+
 def user_event_paths(sf_dir: str):
     """Per-user ordered event-type PATH (clickstream sequence): SQL's
     string_agg(event_type, '|' ORDER BY ts, event_id) per user — one
@@ -4688,6 +4709,7 @@ QUERIES = {
     "session_concurrency_timeline": session_concurrency_timeline,
     "user_sessions": user_sessions,
     "user_running_totals": user_running_totals,
+    "user_running_totals_compact": user_running_totals_compact,
     "user_event_paths": user_event_paths,
     "user_moving_stats": user_moving_stats,
     "user_value_ranks": user_value_ranks,
@@ -4962,6 +4984,15 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id
     """,
     "user_running_totals": """
+        SELECT event_id, user_id,
+               row_number() OVER w AS rn,
+               CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+                    AS BIGINT) AS cum_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "user_running_totals_compact": """
         SELECT event_id, user_id,
                row_number() OVER w AS rn,
                CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
