@@ -662,36 +662,95 @@ def _pagerank_broadcast(
             }
         )
 
+    _LO31 = np.int64(0x7FFFFFFF)
+
     def norm_dst_packed(t: pa.Table) -> pa.Table:
-        """Packed fast path: one (dst<<32|src) int64 per edge — half the
-        exchange bytes, single-key sort in the fold.  Raises
-        :class:`PackedIdOverflow` for ids outside [0, 2^31)."""
+        """Packed fast path, ROUND-5 FUSED SHAPE: one exchange carries BOTH
+        the block-deduped edges (pk = dst<<32|src, routed hash(dst)) AND the
+        block's per-src distinct-dst deg PARTIALS (top-bit-marked
+        pk = 2^63 | src<<31 | cnt, routed hash(src)).  The separate outdeg
+        meta exchange — a second 29M-row sort-shuffle plus a full reread of
+        the pinned blocks to feed it — disappears: every fact about node n
+        (its deg partials AND its appearances as dst) lands in partition
+        hash(n) of THIS exchange.  Raises :class:`PackedIdOverflow` for ids
+        outside [0, 2^31); cnt < 2^31 because it counts distinct dst ids."""
         s = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
         d = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        part = (hash64_int(d) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+        u = np.unique(_pack_pair(d, s))  # block-local dedup (sorted)
+        dd = u >> np.int64(32)
+        ss = u & _LO31
+        part_e = (hash64_int(dd) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+        sn, cnt = np.unique(ss, return_counts=True)
+        ppk = (
+            (np.uint64(1) << np.uint64(63))
+            | (sn.astype(np.uint64) << np.uint64(31))
+            | cnt.astype(np.uint64)
+        ).view(np.int64)
+        part_p = (hash64_int(sn) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
         return pa.table(
-            {"pk": pa.array(_pack_pair(d, s)), "_part": pa.array(part)}
+            {
+                "pk": pa.array(np.concatenate([u, ppk])),
+                "_part": pa.array(np.concatenate([part_e, part_p])),
+            }
         )
 
     def dedup_sort_packed(g: pa.Table) -> pa.Table:
-        pk = np.sort(g.column("pk").to_numpy(zero_copy_only=False))
+        """One partition of the fused exchange -> dst-sorted deduped edges
+        (is_deg=0) + ONE complete (node, outdeg) row per node hashed here
+        (is_deg=1; partial sums MINUS nothing yet) + rare cross-block
+        duplicate-pair corrections (is_deg=2, applied on the driver): a
+        pair present in b blocks contributed b partial units, and exactly
+        b-1 copies are dropped here, so deg = partial_sum - drops is EXACT."""
+        pk_all = g.column("pk").to_numpy(zero_copy_only=False)
+        is_partial = pk_all < 0  # top-bit-marked partial rows
+        pk = np.sort(pk_all[~is_partial])
         keep = np.empty(pk.size, dtype=bool)
         if pk.size:
             keep[0] = True
             keep[1:] = pk[1:] != pk[:-1]
+        dropped_src = pk[~keep] & _LO31  # cross-block duplicate copies
         pk = pk[keep]
         dst = pk >> np.int64(32)
-        src = pk & np.int64(0x7FFFFFFF)
-        deg_node, deg_val = np.unique(src, return_counts=True)
+        src = pk & _LO31
+        # per-node outdeg from the partial rows routed to this partition
+        ppk = pk_all[is_partial].view(np.uint64)
+        psrc = ((ppk >> np.uint64(31)) & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        pcnt = (ppk & np.uint64(0x7FFFFFFF)).astype(np.int64)
+        o = np.argsort(psrc, kind="stable")
+        psrc, pcnt = psrc[o], pcnt[o]
+        new = np.empty(psrc.size, dtype=bool)
+        if psrc.size:
+            new[0] = True
+            new[1:] = psrc[1:] != psrc[:-1]
+        starts = np.flatnonzero(new)
+        deg_src = psrc[starts]
+        deg_sum = (
+            np.add.reduceat(pcnt, starts) if starts.size else pcnt[:0]
+        )
+        # node enumeration: srcs routed here UNION distinct dst landed here
+        if dst.size:
+            dnew = np.empty(dst.size, dtype=bool)
+            dnew[0] = True
+            dnew[1:] = dst[1:] != dst[:-1]
+            uniq_dst = dst[np.flatnonzero(dnew)]
+        else:
+            uniq_dst = dst
+        nodes = np.union1d(deg_src, uniq_dst)
+        deg = np.zeros(nodes.size, dtype=np.int64)
+        if deg_src.size:
+            deg[np.searchsorted(nodes, deg_src)] = deg_sum
+        # corrections, pre-summed per src (empty unless cross-block dups)
+        cu, cc = np.unique(dropped_src, return_counts=True)
         return pa.table(
             {
-                "dst": pa.array(np.concatenate([dst, deg_node])),
-                "src": pa.array(np.concatenate([src, deg_val])),
+                "dst": pa.array(np.concatenate([dst, nodes, cu])),
+                "src": pa.array(np.concatenate([src, deg, cc.astype(np.int64)])),
                 "is_deg": pa.array(
                     np.concatenate(
                         [
                             np.zeros(dst.size, dtype=np.int8),
-                            np.ones(deg_node.size, dtype=np.int8),
+                            np.ones(nodes.size, dtype=np.int8),
+                            np.full(cu.size, 2, dtype=np.int8),
                         ]
                     )
                 ),
@@ -723,95 +782,135 @@ def _pagerank_broadcast(
         )
     _mark("fused edge exchange (dedup+pin) materialized")
 
-    # ONE meta pass over the pinned blocks: distinct-dst runs (kind 0) and
-    # the deg partials (kind 1), both routed by hash(node) through a thin
-    # keyed fold that emits exactly one (node, outdeg) row per node — the
-    # only table the driver ever pulls (O(nodes), honoring max_nodes).
-    # When the packed build path succeeded (ids < 2^31), the partial rows
-    # pack to ONE int64 each — pk = (node << 31) | deg, safe because a
-    # src's distinct-dst count is bounded by the id domain < 2^31 — which
-    # cuts this exchange's data bytes 40% (it is the worst-retention phase
-    # per the BASELINE.md shmcopy measurement).
-    packed_meta = packed_build
-
-    def meta_map(t: pa.Table) -> pa.Table:
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        isd = t.column("is_deg").to_numpy(zero_copy_only=False)
-        e = isd == 0
-        d_e = dst[e]
-        if d_e.size:
-            new = np.empty(d_e.size, dtype=bool)
-            new[0] = True
-            new[1:] = d_e[1:] != d_e[:-1]
-            uniq = d_e[np.flatnonzero(new)]
-        else:
-            uniq = d_e
-        m = isd == 1
-        node = np.concatenate([uniq, dst[m]])
-        deg = np.concatenate([np.zeros(uniq.size, dtype=np.int64), src[m]])
-        if packed_meta:
-            part = (hash64_int(node) % np.uint64(_PR_REDUCE_PARTS)).astype(np.int32)
+    if packed_build:
+        # ROUND-5 FUSED META: the per-node outdeg rows (is_deg=1) and the
+        # rare duplicate corrections (is_deg=2) were computed INSIDE the
+        # edge exchange's fold (each node's facts co-located by the same
+        # hash there) — extract them with one shuffle-free pass over the
+        # pinned blocks and finish on the driver.  The previous shape ran
+        # a SECOND full sort-shuffle of ~1 partial row per (partition,
+        # src) here, the worst-retention phase of the whole job.
+        def extract_meta(t: pa.Table) -> pa.Table:
+            isd = t.column("is_deg").to_numpy(zero_copy_only=False)
+            m = isd != 0
             return pa.table(
                 {
-                    "pk": pa.array((node << np.int64(31)) | deg),
-                    "_part": pa.array(part),
+                    "node": pa.array(
+                        t.column("dst").to_numpy(zero_copy_only=False)[m]
+                    ),
+                    "deg": pa.array(
+                        t.column("src").to_numpy(zero_copy_only=False)[m]
+                    ),
+                    "kind": pa.array(isd[m]),
                 }
             )
-        return _with_part(
-            pa.table({"node": pa.array(node), "deg": pa.array(deg)}),
-            "node",
-            _PR_REDUCE_PARTS,
-        )
 
-    def meta_fold(g: pa.Table) -> pa.Table:
-        if packed_meta:
-            pk = np.sort(g.column("pk").to_numpy(zero_copy_only=False))
-            node = pk >> np.int64(31)
-            deg = pk & np.int64((1 << 31) - 1)
-        else:
+        meta_tabs = ray.get(
+            by_dst.map_batches(
+                extract_meta, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )  # one batched get: refs resolve in parallel, not one RTT each
+        _mark("meta extracted (no exchange)")
+        meta_tabs = [t for t in meta_tabs if t.num_rows]
+        if not meta_tabs:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "rank_fp": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        meta = pa.concat_tables(meta_tabs)
+        kind = meta.column("kind").to_numpy(zero_copy_only=False)
+        is_node = kind == 1
+        m_node = meta.column("node").to_numpy(zero_copy_only=False)[is_node]
+        m_deg = meta.column("deg").to_numpy(zero_copy_only=False)[is_node]
+        n_nodes = int(m_node.size)  # each node emitted by exactly one fold
+        if n_nodes > max_nodes:
+            raise _TooManyNodes(n_nodes)
+        order = np.argsort(m_node, kind="stable")
+        nodes_arr = m_node[order]
+        outdeg_arr = m_deg[order].astype(np.int64).copy()
+        if not np.all(is_node):  # cross-block duplicate-pair corrections
+            c_node = meta.column("node").to_numpy(zero_copy_only=False)[~is_node]
+            c_cnt = meta.column("deg").to_numpy(zero_copy_only=False)[~is_node]
+            np.subtract.at(
+                outdeg_arr, np.searchsorted(nodes_arr, c_node), c_cnt
+            )
+    else:
+        # fallback (wide ids): the classic second keyed fold over per-
+        # partition deg partials routed by hash(node)
+        def meta_map(t: pa.Table) -> pa.Table:
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            isd = t.column("is_deg").to_numpy(zero_copy_only=False)
+            e = isd == 0
+            d_e = dst[e]
+            if d_e.size:
+                new = np.empty(d_e.size, dtype=bool)
+                new[0] = True
+                new[1:] = d_e[1:] != d_e[:-1]
+                uniq = d_e[np.flatnonzero(new)]
+            else:
+                uniq = d_e
+            m = isd == 1
+            node = np.concatenate([uniq, dst[m]])
+            deg = np.concatenate([np.zeros(uniq.size, dtype=np.int64), src[m]])
+            return _with_part(
+                pa.table({"node": pa.array(node), "deg": pa.array(deg)}),
+                "node",
+                _PR_REDUCE_PARTS,
+            )
+
+        def meta_fold(g: pa.Table) -> pa.Table:
             node = g.column("node").to_numpy(zero_copy_only=False)
             deg = g.column("deg").to_numpy(zero_copy_only=False)
             o = np.argsort(node, kind="stable")
             node, deg = node[o], deg[o]
-        new = np.empty(node.size, dtype=bool)
-        if node.size:
-            new[0] = True
-            new[1:] = node[1:] != node[:-1]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {
-                "node": pa.array(node[starts]),
-                "deg": pa.array(np.add.reduceat(deg, starts) if starts.size else deg[:0]),
-            }
-        )
-
-    meta_tabs = [
-        ray.get(r)
-        for r in by_dst.map_batches(
-            meta_map, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("_part")
-        .map_groups(meta_fold, batch_format="pyarrow")
-        .to_arrow_refs()
-    ]
-    _mark("meta fold collected")
-    meta_tabs = [t for t in meta_tabs if t.num_rows]
-    if not meta_tabs:
-        return rd.from_arrow(
-            pa.table(
-                {"node": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
+            new = np.empty(node.size, dtype=bool)
+            if node.size:
+                new[0] = True
+                new[1:] = node[1:] != node[:-1]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {
+                    "node": pa.array(node[starts]),
+                    "deg": pa.array(
+                        np.add.reduceat(deg, starts) if starts.size else deg[:0]
+                    ),
+                }
             )
-        )
-    meta = pa.concat_tables(meta_tabs)
-    m_node = meta.column("node").to_numpy(zero_copy_only=False)
-    m_deg = meta.column("deg").to_numpy(zero_copy_only=False)
-    n_nodes = int(m_node.size)  # fold emits each node exactly once
-    if n_nodes > max_nodes:
-        raise _TooManyNodes(n_nodes)
-    order = np.argsort(m_node, kind="stable")
-    nodes_arr = m_node[order]
-    outdeg_arr = m_deg[order].astype(np.int64)
+
+        meta_tabs = [
+            ray.get(r)
+            for r in by_dst.map_batches(
+                meta_map, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_part")
+            .map_groups(meta_fold, batch_format="pyarrow")
+            .to_arrow_refs()
+        ]
+        _mark("meta fold collected")
+        meta_tabs = [t for t in meta_tabs if t.num_rows]
+        if not meta_tabs:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "rank_fp": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        meta = pa.concat_tables(meta_tabs)
+        m_node = meta.column("node").to_numpy(zero_copy_only=False)
+        m_deg = meta.column("deg").to_numpy(zero_copy_only=False)
+        n_nodes = int(m_node.size)  # fold emits each node exactly once
+        if n_nodes > max_nodes:
+            raise _TooManyNodes(n_nodes)
+        order = np.argsort(m_node, kind="stable")
+        nodes_arr = m_node[order]
+        outdeg_arr = m_deg[order].astype(np.int64)
     nodes_ref = ray.put(nodes_arr)
 
     base_share = PR_SCALE // n_nodes
@@ -876,17 +975,18 @@ def _pagerank_broadcast(
         reduced = pinned.map_batches(
             in_sums, batch_format="pyarrow", zero_copy_batch=True
         )
-        for tr in reduced.to_arrow_refs():
-            t = ray.get(tr)
-            if t.num_rows:
-                # add, don't assign: correct even if a dst's rows ever split
-                # across output blocks (whole-block batches make each dst
-                # appear once today, but the fold must not depend on that)
-                np.add.at(
-                    in_sum,
-                    t.column("idx").to_numpy(zero_copy_only=False),
-                    t.column("s").to_numpy(zero_copy_only=False),
-                )
+        # one batched get (parallel resolve), then a single scatter-add —
+        # add, don't assign: correct even if a dst's rows ever split across
+        # output blocks (whole-block batches make each dst appear once
+        # today, but the fold must not depend on that)
+        tabs = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            cat = pa.concat_tables(tabs)
+            np.add.at(
+                in_sum,
+                cat.column("idx").to_numpy(zero_copy_only=False),
+                cat.column("s").to_numpy(zero_copy_only=False),
+            )
         r_arr = base + (85 * (in_sum + dang_share)) // 100
         _mark("iteration")
 

@@ -220,6 +220,28 @@ class TestPageRankModes:
         ).to_pandas()
         assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
 
+    def test_duplicate_heavy_multigraph_corrections_exact(self, ray_session):
+        """The fused build ships per-block deg partials through the edge
+        exchange; cross-block duplicate pairs are corrected via is_deg=2
+        carrier rows on the driver.  A 3000-edge multigraph over 40 nodes
+        (every pair duplicated many times across 9 blocks) exercises that
+        correction path hard — broadcast must equal shuffle bit-for-bit."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, 40, 3000)
+        d = rng.integers(0, 40, 3000)
+        tbl = pa.table(
+            {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}
+        )
+        a = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(9), iters=3, mode="broadcast"
+        ).to_pandas()
+        b = pagerank_pipeline(
+            rd.from_arrow(tbl).repartition(9), iters=3, mode="shuffle"
+        ).to_pandas()
+        assert dict(zip(a.node, a.rank_fp)) == dict(zip(b.node, b.rank_fp))
+
     def test_shuffle_survives_schemaless_empty_blocks(self, ray_session):
         """Ray's sort shuffle emits SCHEMA-LESS blocks for empty output
         partitions; _pin_edge_slices' split task must type them instead of
