@@ -50,7 +50,9 @@ PR_SCALE = 10**12
 # auto-mode broadcast cap, MEASURED (tools/graph_crossover.py, 32M edges,
 # 16 cpus, best-of-2 fresh children): broadcast beats the shuffle plan at
 # EVERY swept node count — 2.89x at 1M nodes decaying ~0.2x per doubling to
-# 1.91x at 16M — so the wall-time crossover extrapolates to ~300M nodes and
+# 1.91x at 16M with the round-4 build; the round-5 fused-meta build WIDENS
+# it (re-measured endpoints: 3.5x at 1M, 2.10x at 16M) — so the wall-time
+# crossover extrapolates to ~300M nodes and
 # the binding constraint is DRIVER MEMORY for the O(nodes) rank state
 # (~32 B/node of arrays + an O(nodes) broadcast per iteration).  16M nodes
 # ~ 0.5 GB driver state: comfortable; past that the shuffle plan keeps
